@@ -1,0 +1,77 @@
+"""Fuzzy kernels: scalar spec vs plain DP, batch engine vs scalar spec."""
+
+import random
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from address_address_matching_ray.functions import fuzzy
+
+
+def dp_lcs(a: str, b: str) -> int:
+    la, lb = len(a), len(b)
+    dp = [[0] * (lb + 1) for _ in range(la + 1)]
+    for i in range(la):
+        for j in range(lb):
+            dp[i + 1][j + 1] = dp[i][j] + 1 if a[i] == b[j] else max(dp[i][j + 1], dp[i + 1][j])
+    return dp[la][lb]
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="ab1 #-", max_size=70), st.text(alphabet="ab1 #-", max_size=70))
+def test_lcs_bitparallel_matches_dp(a, b):
+    assert fuzzy.lcs_len(a, b) == dp_lcs(a, b)
+
+
+def test_batch_lcs_matches_scalar():
+    rng = random.Random(7)
+    alpha = "abcdef 0123#-/"
+    A = ["".join(rng.choice(alpha) for _ in range(rng.randint(0, 100))) for _ in range(400)]
+    B = ["".join(rng.choice(alpha) for _ in range(rng.randint(0, 100))) for _ in range(400)]
+    got = fuzzy.batch_lcs_len(A, B)
+    want = np.array([dp_lcs(a, b) for a, b in zip(A, B)])
+    assert (got == want).all()
+
+
+def test_ratio_semantics():
+    # rapidfuzz fuzz.ratio boundary behavior
+    assert fuzzy.ratio("", "") == 100.0
+    assert fuzzy.ratio("", "a") == 0.0
+    assert fuzzy.ratio("abc", "abc") == 100.0
+    assert fuzzy.ratio("ab", "ba") == pytest.approx(50.0)
+    # indel: 2*LCS/(la+lb)
+    assert fuzzy.ratio("kitten", "sitting") == pytest.approx(200 * 4 / 13)
+
+
+def test_token_sort_and_partial():
+    assert fuzzy.token_sort_ratio("berry st 55", "55 berry st") == 100.0
+    assert fuzzy.partial_ratio("brook", "brooklyn") == 100.0
+    assert fuzzy.partial_ratio("", "") == 100.0
+    assert fuzzy.partial_ratio("", "x") == 0.0
+    assert fuzzy.partial_ratio("ny", "nyc") == 100.0
+
+
+def test_batch_wrappers_match_scalars():
+    A = ["55 berry st", "", "brooklyn", "112 bedford ave apt 3r", "x" * 80]
+    B = ["berry st 55", "", "brooklyn ny", "112 bedford avenue #3r", "x" * 30 + "y" * 40]
+    assert np.allclose(fuzzy.batch_ratio(A, B), [fuzzy.ratio(a, b) for a, b in zip(A, B)])
+    assert np.allclose(fuzzy.batch_token_sort_ratio(A, B),
+                       [fuzzy.token_sort_ratio(a, b) for a, b in zip(A, B)])
+    assert np.allclose(fuzzy.batch_partial_ratio(A, B),
+                       [fuzzy.partial_ratio(a, b) for a, b in zip(A, B)])
+
+
+def test_jaccard():
+    assert fuzzy.jaccard(["a", "b"], ["b", "a"]) == 100.0
+    assert fuzzy.jaccard([], []) == 100.0
+    assert fuzzy.jaccard(["a"], ["b"]) == 0.0
+    assert fuzzy.jaccard(["a", "b", "c"], ["b", "c", "d"]) == pytest.approx(50.0)
+
+
+def test_jaro_winkler():
+    assert fuzzy.jaro_winkler("martha", "martha") == 100.0
+    assert fuzzy.jaro_winkler("martha", "marhta") == pytest.approx(96.111, abs=0.01)
+    assert fuzzy.jaro_winkler("", "abc") == 0.0
+    assert fuzzy.jaro_winkler("dixon", "dicksonx") == pytest.approx(81.333, abs=0.01)

@@ -1,0 +1,95 @@
+"""Parsers vs the reference's canonical corpus (U:1772-1778).
+
+Goldens are the reference *fallback-path* outputs (usaddress is an
+optional dependency absent in both environments), traced line-by-line
+from ``ultimate_address_matcher.py:440-607`` / ``optimized.py:357-441``
+— quirks (``85`` as unit of a house-range, ordinal collapse eating
+``1H`` → house ``1``) intentionally preserved.
+"""
+
+from address_address_matching_ray.functions import parse as P
+
+
+def comp(c):
+    return (c.unit, c.house_number, c.street_name, c.street_type,
+            c.city, c.state, c.zip_code)
+
+
+def test_parse_components_canonical():
+    got = {a: comp(P.parse_components(a)) for a in [
+        "85-101 North 3rd Street Brooklyn, NY 11249",
+        "3R 112 Bedford Avenue Brooklyn, NY 11211",
+        "1H 55 Berry Street Brooklyn, NY 11211",
+        "21F 22 NORTH 6 STREET Brooklyn, NY 11249",
+        "3Q 60 Broadway Brooklyn, NY 11249",
+    ]}
+    assert got["3R 112 Bedford Avenue Brooklyn, NY 11211"] == (
+        "3R", "112", "Bedford", "ave", "Brooklyn", "NY", "11211")
+    assert got["1H 55 Berry Street Brooklyn, NY 11211"] == (
+        "1H", "55", "Berry", "st", "Brooklyn", "NY", "11211")
+    assert got["21F 22 NORTH 6 STREET Brooklyn, NY 11249"] == (
+        "21F", "22", "NORTH 6", "st", "Brooklyn", "NY", "11249")
+    # quirks preserved:
+    assert got["85-101 North 3rd Street Brooklyn, NY 11249"] == (
+        "85", "", "-101 North 3rd", "st", "Brooklyn", "NY", "11249")
+    assert got["3Q 60 Broadway Brooklyn, NY 11249"] == (
+        "3Q", "60", "Broadway Brooklyn", "", "Brooklyn", "NY", "11249")
+
+
+def test_parse_address_canonical():
+    p = P.parse_address("3R 112 Bedford Avenue Brooklyn, NY 11211")
+    assert (p.house, p.street, p.city, p.state, p.zip) == (
+        "", "3r 112 bedford ave", "brooklyn", "ny", "11211")
+    p = P.parse_address("112 Bedford Avenue Apt 3R Brooklyn, NY 11211")
+    assert (p.house, p.street, p.unit, p.city, p.state, p.zip) == (
+        "112", "bedford ave", "3R", "brooklyn", "ny", "11211")
+    # quirk: normalize's ordinal collapse (O:294) eats the H of "#1H"
+    p = P.parse_address("55 Berry Street #1H Brooklyn NY 11211")
+    assert (p.house, p.unit) == ("55", "1")
+    p = P.parse_address("55 Berry Street #4B Brooklyn NY 11211")
+    assert (p.house, p.unit) == ("55", "4B")
+    assert P.parse_address("").house == ""
+    # NY/NY city alias (O:403-404)
+    p = P.parse_address("1 Centre St NY NY 10007")
+    assert p.city == "NEW YORK"
+
+
+def test_extractors():
+    assert P.extract_unit("1H 55 Berry Street") == "1H"
+    assert P.extract_unit("NY 11249") == ""            # state excluded (U:473-479)
+    assert P.extract_house_number("123 Main St") == "123"
+    assert P.extract_house_number("123A Main") == "123A"
+    assert P.extract_house_number("123-125 Oak") == "123"  # pattern order (U:509-513)
+    assert P.separate_street_and_location("55 Berry St, Brooklyn NY") == (
+        "55 Berry St", "Brooklyn NY")
+    assert P.separate_street_and_location("55 Berry St Brooklyn NY 11211") == (
+        "55 Berry St Brooklyn", "NY 11211")
+    assert P.parse_street("Berry Street") == ("Berry", "st")
+    assert P.parse_street("Broadway") == ("Broadway", "")
+    assert P.parse_location("") == ("Brooklyn", "NY", "")   # default geo (U:581)
+    assert P.parse_location("Newark NJ 07101") == ("Brooklyn", "NJ", "07101")
+
+
+def test_variants():
+    v = P.generate_variants("1H 55 Berry Street Brooklyn, NY 11211")
+    assert len(v) <= 15
+    assert len(set(v)) == len(v)                        # order-preserving dedup
+    assert v[0] == "1H 55 Berry st Brooklyn NY 11211"   # to_string("full") first
+    assert "55 Berry st Apt 1H" in v                    # unit-format variant
+    assert "55 Berry Brooklyn NY" in v                  # simplified
+    # street-name variant from STREET_VARIANTS ('berry')
+    assert any("berry street" in x for x in v)
+    # no-unit query still yields variants
+    v2 = P.generate_variants("200 Kent Avenue Brooklyn NY")
+    assert v2 and all(x.strip() for x in v2)
+
+
+def test_unit_variants():
+    # U:1260-1299
+    assert P.generate_unit_variants("19D") == ["19D", "19", "19A", "19B", "19C"]
+    assert P.generate_unit_variants("A19") == ["A19", "19A"]
+    assert P.generate_unit_variants("#7") == ["#7", "7", "7A", "7B", "7C", "7D"]
+    assert P.generate_unit_variants("APT 3R") == ["APT 3R", "3R", "3", "3A", "3B", "3C"]
+    # config-gated speculative expansion off (SURVEY §2.2 M16)
+    assert P.generate_unit_variants("19D", speculative=False) == ["19D", "19"]
+    assert P.generate_unit_variants("12", speculative=False) == ["12"]
