@@ -1,0 +1,156 @@
+"""MinHash / LSH / SimHash sketches for blocking and near-dup detection.
+
+The reference retrieves candidates from a search service (SURVEY §2.4
+J1); at 10^12-row scale candidate generation becomes locality-sensitive
+blocking keys feeding a ``groupby`` shuffle (north-star rule).  These
+kernels are the standard public constructions (Broder '97 MinHash,
+Indyk-Motwani LSH banding, Charikar '02 SimHash) vectorized with numpy
+— one matrix op per batch, no per-row Python in the hot path.
+
+All hashing is seeded and deterministic (stable across retries —
+SURVEY §4.2 determinism requirement).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MERSENNE = (1 << 61) - 1
+_MAX_HASH = np.uint64((1 << 32) - 1)
+
+
+def _stable_token_hash(tokens: list[str]) -> np.ndarray:
+    """Deterministic 32-bit hashes of tokens — pandas' vectorized
+    siphash with its fixed default key (stable across processes, unlike
+    Python's salted ``hash``)."""
+    import pandas as pd
+    h = pd.util.hash_array(np.asarray(tokens, dtype=object), categorize=True)
+    return h & _MAX_HASH
+
+
+def shingles(tokens: list[str], k: int = 3) -> list[str]:
+    """k-token shingles; falls back to the token set when len < k."""
+    if len(tokens) < k:
+        return [" ".join(tokens)] if tokens else []
+    return [" ".join(tokens[i:i + k]) for i in range(len(tokens) - k + 1)]
+
+
+class MinHasher:
+    """Seeded universal-hash MinHash.  Build once per actor
+    (``__init__``), call per batch — the permutation matrix is the
+    stateful part (SURVEY §2.3 ST3 analog)."""
+
+    def __init__(self, num_perm: int = 64, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.num_perm = num_perm
+        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+
+    def signature(self, token_hashes: np.ndarray) -> np.ndarray:
+        """(num_perm,) uint32 signature of one document's token hashes."""
+        if len(token_hashes) == 0:
+            return np.full(self.num_perm, _MAX_HASH, dtype=np.uint64)
+        # (perm, tokens): (a*x + b) mod p, truncated to 32 bits
+        x = token_hashes.astype(np.uint64)[None, :]
+        vals = (self.a[:, None] * x + self.b[:, None]) % np.uint64(_MERSENNE)
+        return (vals & _MAX_HASH).min(axis=1)
+
+    def batch_signatures(self, docs_tokens: list[list[str]]) -> np.ndarray:
+        """(n_docs, num_perm) signatures for a batch.
+
+        Vectorized as ONE flat hash array + ``np.minimum.reduceat`` over
+        document boundaries instead of a per-doc loop.
+        """
+        lens = np.array([len(t) for t in docs_tokens], dtype=np.int64)
+        n = len(docs_tokens)
+        out = np.full((n, self.num_perm), int(_MAX_HASH), dtype=np.uint64)
+        flat = [tok for toks in docs_tokens for tok in toks]
+        if not flat:
+            return out
+        hashes = _stable_token_hash(flat)  # (T,)
+        vals = (self.a[:, None] * hashes[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+        vals &= _MAX_HASH  # (perm, T)
+        nonempty = lens > 0
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])[nonempty]
+        mins = np.minimum.reduceat(vals, starts, axis=1)  # (perm, n_nonempty)
+        out[nonempty] = mins.T
+        return out
+
+
+def lsh_band_keys(signatures: np.ndarray, bands: int) -> list[list[str]]:
+    """Split each (num_perm,) signature into ``bands`` row-groups; each
+    band hashes to a blocking key ``"b{i}:{digest}"``.  Docs sharing any
+    band key become candidates (classic LSH banding)."""
+    n, num_perm = signatures.shape
+    rows = num_perm // bands
+    keys: list[list[str]] = [[] for _ in range(n)]
+    sig = signatures.reshape(n, bands, rows)
+    # mix rows within a band to one 64-bit digest, vectorized
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    digest = np.zeros((n, bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for r in range(rows):
+            digest = (digest ^ sig[:, :, r]) * mult
+    for i in range(n):
+        keys[i] = [f"b{j}:{digest[i, j]:016x}" for j in range(bands)]
+    return keys
+
+
+class SimHasher:
+    """64-bit SimHash over token hashes (Charikar '02)."""
+
+    def __init__(self, bits: int = 64, seed: int = 7):
+        rng = np.random.RandomState(seed)
+        self.bits = bits
+        # one random odd multiplier per bit-mix round
+        self.mix = rng.randint(1, 1 << 62, size=2, dtype=np.uint64) | np.uint64(1)
+
+    def _token_bits(self, token_hashes: np.ndarray) -> np.ndarray:
+        """(T, bits) ±1 bit matrix from 32-bit token hashes, widened to
+        64 bits with two mix rounds."""
+        h = token_hashes.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            wide = (h * self.mix[0]) ^ ((h * self.mix[1]) << np.uint64(32))
+        shifts = np.arange(self.bits, dtype=np.uint64)
+        return ((wide[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+
+    def signature(self, token_hashes: np.ndarray) -> int:
+        if len(token_hashes) == 0:
+            return 0
+        bits = self._token_bits(token_hashes)
+        votes = (2 * bits - 1).sum(axis=0)
+        return int((np.uint64(1) << np.arange(self.bits, dtype=np.uint64))[votes > 0].sum())
+
+    def batch_signatures(self, docs_tokens: list[list[str]]) -> np.ndarray:
+        out = np.zeros(len(docs_tokens), dtype=np.uint64)
+        flat = [tok for toks in docs_tokens for tok in toks]
+        if not flat:
+            return out
+        lens = np.array([len(t) for t in docs_tokens], dtype=np.int64)
+        bits = self._token_bits(_stable_token_hash(flat))  # (T, bits)
+        votes = np.add.reduceat(2 * bits - 1,
+                                np.concatenate([[0], np.cumsum(lens)[:-1]])[lens > 0],
+                                axis=0)
+        sigs = ((votes > 0).astype(np.uint64)
+                * (np.uint64(1) << np.arange(self.bits, dtype=np.uint64))[None, :]).sum(axis=1)
+        out[lens > 0] = sigs
+        return out
+
+
+def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise Hamming distance between uint64 SimHash arrays."""
+    from address_address_matching_ray.functions.fuzzy import _popcount64
+    return _popcount64(np.bitwise_xor(a, b))
+
+
+def simhash_band_keys(sigs: np.ndarray, bands: int = 4) -> list[list[str]]:
+    """Near-dup blocking for SimHash: split the 64-bit signature into
+    ``bands`` bit-slices; equal slice ⇒ candidate (tolerates up to
+    bands−1 differing bits by the pigeonhole principle)."""
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+    out: list[list[str]] = []
+    slices = [(sigs >> np.uint64(j * width)) & mask for j in range(bands)]
+    for i in range(len(sigs)):
+        out.append([f"s{j}:{int(slices[j][i]):x}" for j in range(bands)])
+    return out

@@ -1,0 +1,108 @@
+"""Transitive clustering: distributed connected components over edges.
+
+Iterative hash-partitioned min-label propagation (SURVEY §7.1 step 5;
+the reference has no clustering — its best-match-per-query collapses to
+this under self-join semantics; BTS/ICDE'24 in PAPERS.md is the
+load-balanced refinement if tree depth ever bites):
+
+    labels ← node id
+    repeat: label(n) ← min(label(n), min over neighbors' labels)
+    until the global label sum stops changing (labels only decrease,
+    so an unchanged sum ⇔ a fixpoint — no join needed for the test)
+
+Each iteration is one ``Dataset.join`` (hash shuffle on node id) + one
+``groupby().min()``.  Labels are materialized per iteration (they are
+one slim row per node — tiny next to the input); iteration count is
+bounded by the cluster diameter, which blocking keeps small.
+
+Determinism: cluster id = min doc_id of the component (stable under
+retries and partitioning — SURVEY §4.2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _project(ds, mapping: dict[str, str]):
+    """select+rename as an Arrow map_batches, forcing id columns back to
+    uint64 (groupby/join stages re-infer int64; mixed key types break
+    ``Dataset.join``).  Portable across block types —
+    ``Dataset.rename_columns`` fails on pandas-backed blocks in this
+    Ray version."""
+    src = list(mapping)
+    dst = list(mapping.values())
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.select(src).rename_columns(dst)
+        for name in t.column_names:
+            if t.schema.field(name).type != pa.uint64():
+                t = t.set_column(t.column_names.index(name), name,
+                                 pa.compute.cast(t[name], pa.uint64()))
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def connected_components(edges_ds, num_partitions: int = 16,
+                         max_iters: int = 25):
+    """edges(left_id,right_id) → labels Dataset (doc_id, cluster_id).
+
+    Only edge endpoints appear; isolated docs are attached by
+    ``attach_singletons``.
+    """
+    fwd = _project(edges_ds, {"left_id": "node", "right_id": "nbr"})
+    rev = _project(edges_ds, {"right_id": "node", "left_id": "nbr"})
+    adj = fwd.union(rev).materialize()
+
+    # initial label = min(self, min neighbor) — first propagation free
+    def init_label(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": df["node"].astype("uint64"),
+            "cluster_id": np.minimum(df["node"].to_numpy(dtype="uint64"),
+                                     df["nbr"].to_numpy(dtype="uint64"))})
+
+    labels = _project(
+        adj.map_batches(init_label, batch_format="pandas")
+           .groupby("node").min("cluster_id"),
+        {"node": "node", "min(cluster_id)": "cluster_id"}).materialize()
+    prev_sum = labels.sum("cluster_id")
+
+    for _ in range(max_iters):
+        # candidate labels flow across edges: node ← label(nbr)
+        cand = adj.join(labels, join_type="inner",
+                        num_partitions=num_partitions,
+                        on=("nbr",), right_on=("node",),
+                        left_suffix="", right_suffix="_r")
+        cand = _project(cand, {"node": "node", "cluster_id": "cluster_id"})
+        labels = _project(
+            cand.union(labels).groupby("node").min("cluster_id"),
+            {"node": "node", "min(cluster_id)": "cluster_id"}).materialize()
+        cur_sum = labels.sum("cluster_id")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    return _project(labels, {"node": "doc_id", "cluster_id": "cluster_id"})
+
+
+def attach_singletons(extracted_ds, labels_ds, num_partitions: int = 16):
+    """Left-attach cluster labels to every doc; docs with no accepted
+    edge become singleton clusters (cluster_id = own doc_id) — the
+    anti-join semantics of SURVEY §2.4."""
+    docs = extracted_ds.select_columns(["doc_id"])
+    joined = docs.join(labels_ds, join_type="left_outer",
+                       num_partitions=num_partitions,
+                       on=("doc_id",), right_on=("doc_id",))
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        cid = df["cluster_id"]
+        doc = df["doc_id"].astype("uint64")
+        return pd.DataFrame({
+            "doc_id": doc,
+            "cluster_id": cid.fillna(doc).astype("uint64"),
+        })
+
+    return joined.map_batches(fill, batch_format="pandas")

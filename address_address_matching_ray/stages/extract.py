@@ -1,0 +1,128 @@
+"""Deterministic text extraction + normalization + address parsing stage.
+
+``read_parquet(pages) → map_batches(extract_parse) → extracted``
+(SURVEY §7.1 step 1-2).  Stateless — plain function, Arrow in /
+Arrow out.  The html→text extraction is the canonical-form invariant
+(byte-identical per url, frozen by golden files in
+``tests/golden/extracted_text/``) — the analog of the reference's
+normalizer contract (``optimized.py:271-304``).
+
+Output schema (``extracted``):
+    doc_id uint64, url string, warc_ts timestamp[us], lang string,
+    extracted_text string, addr string, norm_addr string,
+    house/street_name/street_type/unit/city/state/zip string
+"""
+
+from __future__ import annotations
+
+import html as html_mod
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from address_address_matching_ray.functions.normalize import normalize_series
+from address_address_matching_ray.functions.parse import parse_components
+
+_SCRIPT_RE = re.compile(r"(?is)<(script|style)\b.*?</\1\s*>")
+_COMMENT_RE = re.compile(r"(?s)<!--.*?-->")
+_TAG_RE = re.compile(r"(?s)<[^>]+>")
+_WS_RE = re.compile(r"\s+")
+
+# Address window: up to 8 word-ish tokens ending in a 5-digit zip.
+_ADDR_WINDOW_RE = re.compile(r"((?:[A-Za-z0-9#\-',.]+\s+){0,8}\d{5}(?:-\d{4})?)")
+# Fallback: house number + words + street type, no zip.
+_ADDR_TYPE_RE = re.compile(
+    r"\b(\d+[\w-]*\s+(?:[A-Za-z0-9#']+\s+){0,5}"
+    r"(?:St|Street|Ave|Avenue|Blvd|Boulevard|Rd|Road|Dr|Drive|Ln|Lane|Ct|Court|"
+    r"Pl|Place|Pkwy|Parkway|Ter|Terrace|Cir|Circle|Hwy|Highway|Way|Broadway))\b",
+    re.IGNORECASE)
+_LEAD_TOKEN_OK_RE = re.compile(r"^(?:\d|[A-Za-z0-9]{1,3}$|#)")
+
+
+def extract_text(raw: bytes | str) -> str:
+    """html → visible text, deterministically: drop script/style/comment
+    blocks, strip tags, unescape entities, collapse whitespace."""
+    if raw is None:
+        return ""
+    s = raw.decode("utf-8", "replace") if isinstance(raw, (bytes, bytearray)) else str(raw)
+    s = _SCRIPT_RE.sub(" ", s)
+    s = _COMMENT_RE.sub(" ", s)
+    s = _TAG_RE.sub(" ", s)
+    s = html_mod.unescape(s)
+    return _WS_RE.sub(" ", s).strip()
+
+
+def extract_address(text: str) -> str:
+    """First address-like window in the text: zip-anchored token window,
+    else a house-number+street-type pattern; leading non-address tokens
+    (prose) trimmed."""
+    m = _ADDR_WINDOW_RE.search(text)
+    if not m:
+        m = _ADDR_TYPE_RE.search(text)
+        if not m:
+            return ""
+        return m.group(1).strip()
+    tokens = m.group(1).split()
+    start = 0
+    for i, t in enumerate(tokens[:-1]):
+        if _LEAD_TOKEN_OK_RE.match(t):
+            start = i
+            break
+    else:
+        start = len(tokens) - 1
+    return " ".join(tokens[start:]).strip()
+
+
+def hash_url(urls: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Stable 64-bit doc id from the url column (vectorized siphash)."""
+    h = pd.util.hash_array(np.asarray(urls, dtype=object), categorize=False)
+    return pa.array(h, pa.uint64())
+
+
+def extract_parse(batch: pa.Table) -> pa.Table:
+    """The stage body: html→text, address window, normalize, parse."""
+    n = batch.num_rows
+    if "doc_id" in batch.column_names:
+        doc_id = pc.cast(batch["doc_id"], pa.uint64())
+    else:
+        doc_id = hash_url(batch["url"])
+
+    htmls = batch["html"].to_pylist()
+    extracted = [extract_text(h) for h in htmls]
+    addrs = [extract_address(t) for t in extracted]
+    parsed = [parse_components(a) for a in addrs]
+
+    norm_addr = normalize_series(pd.Series(addrs, dtype="object"))
+
+    def col(attr: str) -> pa.Array:
+        return pa.array([getattr(p, attr) for p in parsed], pa.string())
+
+    return pa.table({
+        "doc_id": doc_id,
+        "url": batch["url"],
+        "warc_ts": batch["warc_ts"],
+        "lang": batch["lang"],
+        "extracted_text": pa.array(extracted, pa.string()),
+        "addr": pa.array(addrs, pa.string()),
+        "norm_addr": pa.array(norm_addr.tolist(), pa.string()),
+        "house": col("house_number"),
+        "street_name": col("street_name"),
+        "street_type": col("street_type"),
+        "unit": col("unit"),
+        "city": col("city"),
+        "state": col("state"),
+        "zip": col("zip_code"),
+    })
+
+
+def extract_stage(pages, batch_size: int = 2048):
+    """pages Dataset → extracted Dataset (stateless tasks).
+
+    ``html`` is the only wide column; it is consumed here and dropped,
+    so downstream shuffles move slim rows only.
+    """
+    return pages.map_batches(extract_parse, batch_format="pyarrow",
+                             batch_size=batch_size)
