@@ -286,11 +286,68 @@ def parse_location(location_part: str, default_city: str = "Brooklyn",
     return city, state, zip_code
 
 
+# unit-first pattern gate — U:416-424: the reference's PRIMARY
+# (usaddress) path only runs custom unit extraction when the address
+# starts "``<short token> <digit…>``".  We additionally require a letter
+# in the token: a purely numeric lead is a house number (the ungated
+# fallback would swallow every 3-digit house as a unit — U:482 pattern 1
+# — which the reference only hits when usaddress is absent).
+_UNIT_FIRST_RE = re.compile(r"^([0-9]*[A-Za-z][A-Za-z0-9]{0,2})\s+\d")
+_EXPLICIT_UNIT_RE = re.compile(r"\b(apt|suite|unit|#)\s*([A-Z0-9]{1,3})\b",
+                               re.IGNORECASE)
+_HOUSE_RANGE_FIRST = [re.compile(p) for p in (
+    r"^(\d+-\d+)",            # ranges whole, like usaddress ("85-101")
+    r"^(\d+[A-Za-z]*)",
+    r"\b(\d+[A-Za-z]*)\s+[A-Za-z]",
+)]
+
+
 def parse_components(address: str) -> AddressComponents:
-    """U fallback composition (U:440-468): unit → house → street/location
-    split → street name/type → location.  Quirk preserved: extracted
-    unit/house substrings are removed with ``str.replace(x, '', 1)``
-    (first occurrence anywhere)."""
+    """Primary-path parse (the reference's usaddress route with its
+    mis-parse repairs, U:366-439, re-expressed with the deterministic
+    extractors): unit-first gate → explicit apt/unit/# marker → house
+    (range kept whole) → street/location split → street name/type →
+    location.
+
+    Documented delta vs the *fallback* composition (U:440-468): the
+    ungated ``_extract_unit`` there mis-parses every short leading house
+    number as a unit ("490 Court St" → unit=490); the production path
+    (usaddress present) does not, and this engine follows the
+    production path.
+    """
+    if not address or not address.strip():
+        return AddressComponents()
+    cleaned = address.strip()
+    unit = ""
+    m = _UNIT_FIRST_RE.match(cleaned)
+    if m and m.group(1).upper() not in STATE_ABBREVS_UPPER:
+        unit = m.group(1).upper()
+        cleaned = cleaned[m.end(1):].strip()
+    else:
+        m2 = _EXPLICIT_UNIT_RE.search(cleaned)
+        if m2:
+            unit = m2.group(2).upper()
+            cleaned = (cleaned[:m2.start()] + " " + cleaned[m2.end():]).strip()
+    house_number = ""
+    for pat in _HOUSE_RANGE_FIRST:
+        hm = pat.match(cleaned)
+        if hm:
+            house_number = hm.group(1)
+            break
+    if house_number:
+        cleaned = cleaned.replace(house_number, "", 1).strip()
+    street_part, location_part = separate_street_and_location(cleaned)
+    street_name, street_type = parse_street(street_part)
+    city, state, zip_code = parse_location(location_part)
+    return AddressComponents(
+        unit=unit, house_number=house_number, street_name=street_name,
+        street_type=street_type, city=city, state=state, zip_code=zip_code)
+
+
+def parse_components_fallback(address: str) -> AddressComponents:
+    """The faithful degraded-path composition (U:440-468), quirks and
+    all — kept for parity reference and tests; not used on the data
+    path (see ``parse_components`` docstring)."""
     if not address or not address.strip():
         return AddressComponents()
     cleaned = address.strip()

@@ -37,7 +37,8 @@ class LinkageResult:
 def run_linkage(pages_ds, cfg: PipelineConfig | None = None,
                 checkpoint_root: str | None = None,
                 input_fp: str = "", buckets: int = 64,
-                num_partitions: int = 16):
+                num_partitions: int = 16,
+                cc_driver_threshold: int = 2_000_000):
     """pages Dataset → (extracted, edges, clusters) Datasets.
 
     With ``checkpoint_root`` set, ``extracted``/``edges``/``clusters``
@@ -56,7 +57,8 @@ def run_linkage(pages_ds, cfg: PipelineConfig | None = None,
 
     def build_clusters(extracted, edges):
         accepted = edges.filter(expr="accepted == True")
-        labels = connected_components(accepted, num_partitions=num_partitions)
+        labels = connected_components(accepted, num_partitions=num_partitions,
+                                      driver_threshold=cc_driver_threshold)
         return attach_singletons(extracted, labels, num_partitions=num_partitions)
 
     if checkpoint_root:

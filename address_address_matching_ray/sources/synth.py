@@ -98,10 +98,15 @@ def _entity_address(cid: int, seed: int) -> str:
         if case_idx < len(CANONICAL_CASES):
             return CANONICAL_CASES[case_idx]
     h = _h(seed, 202, cid)
-    street = STREETS[h % len(STREETS)]
-    city, state, zips = CITIES[(h >> 8) % len(CITIES)]
-    zipc = zips[(h >> 16) % len(zips)]
-    house = 1 + (h >> 24) % 980
+    street_idx = h % len(STREETS)
+    street = STREETS[street_idx]
+    city_idx = (h >> 8) % len(CITIES)
+    city, state, zips = CITIES[city_idx]
+    # zip is a function of (street, city): real streets live in one zip,
+    # and distinct entities then can't collide on house+street+city with
+    # different zips (an undecidable confusable for the reference formulas)
+    zipc = zips[_h(seed, 77, street_idx, city_idx) % len(zips)]
+    house = 1 + (h >> 24) % 9800
     unit = ""
     if (h >> 40) % 10 < 3:
         unit = f"{1 + (h >> 44) % 20}{chr(ord('A') + (h >> 50) % 6)}"

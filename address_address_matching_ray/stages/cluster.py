@@ -47,12 +47,26 @@ def _project(ds, mapping: dict[str, str]):
 
 
 def connected_components(edges_ds, num_partitions: int = 16,
-                         max_iters: int = 25):
+                         max_iters: int = 25,
+                         driver_threshold: int = 2_000_000):
     """edges(left_id,right_id) → labels Dataset (doc_id, cluster_id).
+
+    Adaptive: when the edge list is small (≤ ``driver_threshold`` rows
+    of two uint64s — a few MB), the distributed fixpoint's per-iteration
+    join overhead dwarfs the work, so the slim id pairs are pulled to
+    the driver and union-found directly (the guide's "union-find on the
+    driver only if the candidate set is provably small").  Above the
+    threshold the iterative hash-partitioned label propagation runs.
+    Both paths produce identical labels (cluster id = min member id);
+    a property test asserts it.
 
     Only edge endpoints appear; isolated docs are attached by
     ``attach_singletons``.
     """
+    n_edges = edges_ds.count()
+    if n_edges <= driver_threshold:
+        return _driver_union_find(edges_ds)
+
     fwd = _project(edges_ds, {"left_id": "node", "right_id": "nbr"})
     rev = _project(edges_ds, {"right_id": "node", "left_id": "nbr"})
     adj = fwd.union(rev).materialize()
@@ -86,6 +100,38 @@ def connected_components(edges_ds, num_partitions: int = 16,
         prev_sum = cur_sum
 
     return _project(labels, {"node": "doc_id", "cluster_id": "cluster_id"})
+
+
+def _driver_union_find(edges_ds):
+    """Small-graph path: collect only the two id columns and union-find
+    with path compression; labels = min doc_id per component."""
+    import ray.data as rd
+
+    ids = edges_ds.select_columns(["left_id", "right_id"]).to_pandas()
+    left = ids["left_id"].to_numpy(dtype="uint64")
+    right = ids["right_id"].to_numpy(dtype="uint64")
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(left.tolist(), right.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id keeps the canonical label invariant cheap
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    nodes = np.unique(np.concatenate([left, right]))
+    labels = np.fromiter((find(int(n)) for n in nodes), dtype=np.uint64,
+                         count=len(nodes))
+    out = pd.DataFrame({"doc_id": nodes, "cluster_id": labels})
+    return rd.from_pandas(out)
 
 
 def attach_singletons(extracted_ds, labels_ds, num_partitions: int = 16):

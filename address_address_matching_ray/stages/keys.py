@@ -134,9 +134,12 @@ class KeyDeriver:
 
 
 def keys_stage(extracted, cfg: PipelineConfig | None = None,
-               concurrency: int | tuple = 4, batch_size: int = 2048):
+               concurrency: int | tuple | None = None, batch_size: int = 2048):
     cfg = cfg or PipelineConfig()
+    # autoscaling pool (min 1): a fixed-size pool would reserve CPUs for
+    # its lifetime and can starve the other pools/shuffles of the same
+    # streaming pipeline on small machines
     return extracted.map_batches(
         KeyDeriver, fn_constructor_kwargs={"cfg": cfg},
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency)
+        concurrency=concurrency or (1, 8))

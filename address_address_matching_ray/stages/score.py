@@ -103,4 +103,6 @@ def score_stage(pairs_ds, cfg: PipelineConfig | None = None,
         PairScorer, fn_constructor_kwargs={"cfg": cfg},
         batch_format="pyarrow",
         batch_size=batch_size or cfg.score_batch_size,
-        concurrency=concurrency or cfg.score_concurrency)
+        # autoscaling (min 1) so the pool never deadlocks the pipeline's
+        # other stages on low-CPU machines
+        concurrency=concurrency or (1, cfg.score_concurrency * 2))

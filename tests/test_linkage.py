@@ -1,0 +1,150 @@
+"""End-to-end linkage pipeline gates (BASELINE.md targets):
+
+- pairwise decision parity vs the replayed reference formulas on every
+  candidate pair sharing a blocking key (the F1 ≥ 0.99 gate — here the
+  engine IS the formulas, so parity must be exact)
+- pairwise F1 vs planted ground-truth clusters ≥ 0.99
+- clustering invariance to partitioning / bucket count
+- checkpoint resume: re-run skips completed stages and reproduces
+  byte-identical cluster assignments
+"""
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from address_address_matching_ray.config import PipelineConfig
+from address_address_matching_ray.sources.synth import synth_pages, synth_truth
+
+N_PAGES = 800
+
+
+@pytest.fixture(scope="module")
+def linkage_run(ray_session, tmp_path_factory):
+    from address_address_matching_ray.pipelines.linkage import run_linkage
+
+    pages = synth_pages(N_PAGES, seed=42)
+    res = run_linkage(pages, buckets=8, num_partitions=4)
+    edges = res.edges.to_pandas()
+    clusters = res.clusters.to_pandas()
+    truth = synth_truth(N_PAGES, seed=42).to_pandas()
+    return edges, clusters, truth
+
+
+def pairwise_f1(assign_true: pd.Series, assign_got: pd.Series) -> float:
+    m = pd.DataFrame({"t": assign_true, "g": assign_got})
+    tp = sum(v * (v - 1) // 2 for v in m.groupby(["t", "g"]).size())
+    def pairs(s):
+        return sum(v * (v - 1) // 2 for v in Counter(s).values())
+    pt, pg = pairs(m.t), pairs(m.g)
+    prec = tp / pg if pg else 1.0
+    rec = tp / pt if pt else 1.0
+    return 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+
+
+def test_f1_vs_truth(linkage_run):
+    edges, clusters, truth = linkage_run
+    m = truth.merge(clusters, on="doc_id", suffixes=("_t", "_g"))
+    assert len(m) == N_PAGES
+    f1 = pairwise_f1(m["cluster_id_t"], m["cluster_id_g"])
+    assert f1 >= 0.99, f"pairwise F1 vs planted truth {f1:.4f} < 0.99"
+
+
+def test_decision_parity_vs_reference_formulas(linkage_run):
+    """Replay the scalar reference formulas (tests/test_scoring.py
+    oracle) on a sample of the pipeline's own candidate pairs: the
+    pipeline's accept decision must match the formula decision."""
+    from tests.test_scoring import (
+        oracle_component_scores, oracle_confidence, oracle_tier,
+    )
+    from address_address_matching_ray.config import TIER_TABLE
+    from address_address_matching_ray.stages.extract import extract_parse
+    from address_address_matching_ray.sources.synth import pages_batch
+
+    edges, clusters, truth = linkage_run
+    ext = extract_parse(pages_batch(np.arange(N_PAGES), seed=42)).to_pandas()
+    ext = ext.set_index("doc_id")
+    cfg = PipelineConfig()
+    sample = edges.sample(n=min(400, len(edges)), random_state=0)
+    mismatches = 0
+    for _, e in sample.iterrows():
+        L, R = ext.loc[e.left_id], ext.loc[e.right_id]
+        q = {"street": " ".join(p for p in (L.street_name, L.street_type) if p),
+             "house": L.house, "unit": L.unit, "city": L.city,
+             "state": L.state, "zip": L.zip}
+        r = {"street_name": R.street_name, "street_type": R.street_type,
+             "predir": "", "house": R.house, "unit": R.unit,
+             "city": R.city, "state": R.state, "zip": R.zip}
+        conf = oracle_confidence(oracle_component_scores(q, r))
+        tier_names = [t[0] for t in TIER_TABLE] + ["failed"]
+        want_accept = (conf >= cfg.edge_min_confidence
+                       and tier_names[oracle_tier(conf)] != "failed")
+        if L.unit and R.unit and L.unit.upper() != R.unit.upper():
+            want_accept = False                         # wrong-unit veto
+        assert conf == pytest.approx(e.confidence, abs=1e-9)
+        if bool(e.accepted) != want_accept:
+            mismatches += 1
+    assert mismatches == 0
+
+
+def test_partition_invariance(ray_session):
+    """Same input at different bucket/partition counts AND through both
+    clustering paths (driver union-find vs distributed label
+    propagation) → identical clusters (SURVEY §5.2 property test)."""
+    from address_address_matching_ray.pipelines.linkage import run_linkage
+
+    pages = synth_pages(400, seed=7)
+    a = run_linkage(pages, buckets=4, num_partitions=2).clusters.to_pandas()
+    b = run_linkage(synth_pages(400, seed=7), buckets=13, num_partitions=5,
+                    cc_driver_threshold=0).clusters.to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_checkpoint_resume(ray_session, tmp_path):
+    from address_address_matching_ray.pipelines.linkage import run_linkage
+
+    root = str(tmp_path / "ckpt")
+    pages = synth_pages(300, seed=9)
+    r1 = run_linkage(pages, checkpoint_root=root, input_fp="n300s9",
+                     buckets=4, num_partitions=2)
+    c1 = r1.clusters.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert r1.from_checkpoint == {"extracted": False, "edges": False,
+                                  "clusters": False}
+
+    # resume: everything valid → all stages skipped, identical output
+    r2 = run_linkage(synth_pages(300, seed=9), checkpoint_root=root,
+                     input_fp="n300s9", buckets=4, num_partitions=2)
+    assert r2.from_checkpoint == {"extracted": True, "edges": True,
+                                  "clusters": True}
+    c2 = r2.clusters.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(c1, c2)
+
+    # simulated crash: clusters checkpoint lost → only clusters recompute
+    import shutil, os
+    shutil.rmtree(os.path.join(root, "clusters"))
+    r3 = run_linkage(synth_pages(300, seed=9), checkpoint_root=root,
+                     input_fp="n300s9", buckets=4, num_partitions=2)
+    assert r3.from_checkpoint == {"extracted": True, "edges": True,
+                                  "clusters": False}
+    c3 = r3.clusters.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(c1, c3)
+
+    # config change invalidates lineage
+    r4 = run_linkage(synth_pages(300, seed=9), checkpoint_root=root,
+                     input_fp="n300s9", buckets=4, num_partitions=2,
+                     cfg=PipelineConfig(edge_min_confidence=95.0))
+    assert r4.from_checkpoint["edges"] is False
+
+
+def test_self_match_roundtrip(linkage_run):
+    """U:1656-1762 analog: every record resolves into a cluster that
+    contains itself (trivially) and exact-duplicate rows land together."""
+    edges, clusters, truth = linkage_run
+    assert clusters.doc_id.nunique() == N_PAGES
+    # hot cluster 0 (docs 0..99) must be one got-cluster
+    hot = clusters[clusters.doc_id < 100]
+    assert hot.cluster_id.nunique() == 1

@@ -22,6 +22,7 @@ def test_parse_components_canonical():
         "1H 55 Berry Street Brooklyn, NY 11211",
         "21F 22 NORTH 6 STREET Brooklyn, NY 11249",
         "3Q 60 Broadway Brooklyn, NY 11249",
+        "490 Court Street New York, NY 10007",
     ]}
     assert got["3R 112 Bedford Avenue Brooklyn, NY 11211"] == (
         "3R", "112", "Bedford", "ave", "Brooklyn", "NY", "11211")
@@ -29,11 +30,22 @@ def test_parse_components_canonical():
         "1H", "55", "Berry", "st", "Brooklyn", "NY", "11211")
     assert got["21F 22 NORTH 6 STREET Brooklyn, NY 11249"] == (
         "21F", "22", "NORTH 6", "st", "Brooklyn", "NY", "11249")
-    # quirks preserved:
+    # primary path keeps house ranges whole (usaddress semantics)
     assert got["85-101 North 3rd Street Brooklyn, NY 11249"] == (
-        "85", "", "-101 North 3rd", "st", "Brooklyn", "NY", "11249")
+        "", "85-101", "North 3rd", "st", "Brooklyn", "NY", "11249")
     assert got["3Q 60 Broadway Brooklyn, NY 11249"] == (
         "3Q", "60", "Broadway Brooklyn", "", "Brooklyn", "NY", "11249")
+    # plain house numbers are NOT units (primary-path gate, U:416-424)
+    assert got["490 Court Street New York, NY 10007"] == (
+        "", "490", "Court", "st", "Brooklyn", "NY", "10007")
+
+
+def test_parse_components_fallback_quirks():
+    # the faithful degraded path (U:440-468) keeps its quirks
+    c = P.parse_components_fallback("85-101 North 3rd Street Brooklyn, NY 11249")
+    assert comp(c) == ("85", "", "-101 North 3rd", "st", "Brooklyn", "NY", "11249")
+    c = P.parse_components_fallback("490 Court Street New York, NY 10007")
+    assert c.unit == "490"      # ungated pattern 1 swallows the house
 
 
 def test_parse_address_canonical():
