@@ -1,0 +1,233 @@
+"""Deduplication operators over a documents table (training-data ops).
+
+Each variant is Ray-Data-first and shares the blocking machinery of the
+linkage pipeline (hash-partitioned groupby; no driver-side loops):
+
+- ``exact_dedup``        hash-partition on normalized text → keep the
+                         min-doc_id representative per group
+- ``minhash_dedup``      shingle → MinHash → LSH band keys → bucketed
+                         groupby → verified token-Jaccard → connected
+                         components → representatives
+- ``simhash_dedup``      64-bit SimHash, band-sliced blocking, Hamming
+                         verification
+- ``ngram_jaccard_dedup`` character-n-gram Jaccard verification on
+                         LSH candidates (recall path for short texts)
+
+All decisions are deterministic (representative = min doc_id).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from address_address_matching_ray.config import PipelineConfig
+from address_address_matching_ray.functions.fuzzy import jaccard
+from address_address_matching_ray.functions.minhash import (
+    MinHasher, SimHasher, hamming_distance, lsh_band_keys, shingles,
+    simhash_band_keys,
+)
+from address_address_matching_ray.functions.textstats import char_ngrams
+from address_address_matching_ray.stages.cluster import connected_components
+
+
+def _norm_text(s: pd.Series) -> pd.Series:
+    return s.fillna("").str.lower().str.split().str.join(" ")
+
+
+def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
+    """One representative row (min id) per distinct normalized text.
+    ``groupby(norm_text)`` hash shuffle + vectorized per-group argmin."""
+    def add_norm(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_norm"] = _norm_text(df[text_col])
+        return df
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.sort_values(id_col, kind="mergesort").iloc[:1]
+        return keep.assign(n_dups=len(g))
+
+    out = (docs_ds.map_batches(add_norm, batch_format="pandas")
+           .groupby("_norm").map_groups(keep_first, batch_format="pandas"))
+    return out.drop_columns(["_norm"])
+
+
+class _NearDupKeyer:
+    """Actor stage: doc → candidate band keys (minhash or simhash)."""
+
+    def __init__(self, mode: str, cfg: PipelineConfig,
+                 text_col: str, id_col: str):
+        self.mode = mode
+        self.cfg = cfg
+        self.text_col = text_col
+        self.id_col = id_col
+        self.minhasher = MinHasher(cfg.minhash_perms, cfg.seed)
+        self.simhasher = SimHasher(cfg.simhash_bits, cfg.seed)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        toks = [t.lower().split() for t in df[self.text_col].fillna("")]
+        ids = df[self.id_col].to_numpy()
+        texts = _norm_text(df[self.text_col]).to_numpy(dtype=object)
+        if self.mode == "minhash":
+            sh = [shingles(t, self.cfg.shingle_size) for t in toks]
+            sigs = self.minhasher.batch_signatures(sh)
+            keys = lsh_band_keys(sigs, self.cfg.lsh_bands)
+        else:
+            sigs = self.simhasher.batch_signatures(toks)
+            keys = simhash_band_keys(sigs, 4)
+            sim_sig = sigs
+        rows_id, rows_key, rows_text, rows_sig = [], [], [], []
+        for i in range(len(df)):
+            for k in keys[i]:
+                rows_id.append(ids[i])
+                rows_key.append(k)
+                rows_text.append(texts[i])
+                rows_sig.append(int(sigs[i]) if self.mode == "simhash" else 0)
+        return pd.DataFrame({
+            "doc_id": pd.array(rows_id, dtype="uint64"),
+            "band_key": rows_key,
+            "norm_text": rows_text,
+            "simhash": pd.array(rows_sig, dtype="uint64"),
+        })
+
+
+def _candidate_pairs(keyed_ds, buckets: int = 32):
+    """band-keyed rows → unique candidate id pairs (bucketed shuffle,
+    same pattern as stages/pairs.py)."""
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = pd.util.hash_array(df["band_key"].to_numpy(dtype=object))
+        df["bucket"] = (h % np.uint64(buckets)).astype("int64")
+        return df
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.sort_values(["band_key", "doc_id"])
+                .drop_duplicates(["band_key", "doc_id"]).reset_index(drop=True))
+        keys = df["band_key"].to_numpy(dtype=object)
+        starts = np.flatnonzero(np.concatenate([[True], keys[1:] != keys[:-1]]))
+        ends = np.concatenate([starts[1:], [len(df)]])
+        ids = df["doc_id"].to_numpy(dtype="uint64")
+        texts = df["norm_text"].to_numpy(dtype=object)
+        sigs = df["simhash"].to_numpy(dtype="uint64")
+        GL, GR = [], []
+        for s, e in zip(starts, ends):
+            n = int(e - s)
+            if n < 2 or n > 500:       # degenerate band (boilerplate) guard
+                continue
+            li, ri = np.triu_indices(n, k=1)
+            GL.append(s + li)
+            GR.append(s + ri)
+        if not GL:
+            return pd.DataFrame({
+                "left_id": pd.array([], dtype="uint64"),
+                "right_id": pd.array([], dtype="uint64"),
+                "l_text": pd.Series(dtype="object"),
+                "r_text": pd.Series(dtype="object"),
+                "l_sig": pd.array([], dtype="uint64"),
+                "r_sig": pd.array([], dtype="uint64")})
+        gl, gr = np.concatenate(GL), np.concatenate(GR)
+        out = pd.DataFrame({
+            "left_id": ids[gl], "right_id": ids[gr],
+            "l_text": texts[gl], "r_text": texts[gr],
+            "l_sig": sigs[gl], "r_sig": sigs[gr]})
+        return out.drop_duplicates(["left_id", "right_id"]).reset_index(drop=True)
+
+    return (keyed_ds.map_batches(bucket, batch_format="pandas")
+            .groupby("bucket").map_groups(
+                lambda g: pairs(g.drop(columns=["bucket"])),
+                batch_format="pandas"))
+
+
+def _dedup_from_edges(docs_ds, edges_ds, id_col: str = "doc_id"):
+    """edges → components → representative filter via broadcast of the
+    non-representative id set (semi-join with a broadcast key set)."""
+    import ray
+
+    labels = connected_components(edges_ds.materialize()).to_pandas()
+    if "doc_id" in labels.columns:
+        dupes = set(labels.loc[labels.doc_id != labels.cluster_id, "doc_id"].tolist())
+    else:
+        dupes = set()          # no near-dup edges at all
+    dupes_ref = ray.put(dupes)
+
+    def drop_dupes(df: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(dupes_ref)
+        return df[~df[id_col].isin(d)]
+
+    return docs_ds.map_batches(drop_dupes, batch_format="pandas")
+
+
+def minhash_dedup(docs_ds, cfg: PipelineConfig | None = None,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  jaccard_threshold: float = 70.0, buckets: int = 32):
+    """MinHash-LSH near-dup removal (Broder-style): keep min-id
+    representative of every near-dup component."""
+    cfg = cfg or PipelineConfig()
+    keyed = docs_ds.map_batches(
+        _NearDupKeyer, fn_constructor_kwargs={
+            "mode": "minhash", "cfg": cfg, "text_col": text_col,
+            "id_col": id_col},
+        batch_format="pandas", concurrency=(1, 4))
+    cand = _candidate_pairs(keyed, buckets)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df[["left_id", "right_id"]]
+        sims = np.fromiter(
+            (jaccard(a.split(), b.split())
+             for a, b in zip(df["l_text"], df["r_text"])),
+            dtype=np.float64, count=len(df))
+        return df.loc[sims >= jaccard_threshold, ["left_id", "right_id"]]
+
+    edges = cand.map_batches(verify, batch_format="pandas")
+    return _dedup_from_edges(docs_ds, edges, id_col)
+
+
+def simhash_dedup(docs_ds, cfg: PipelineConfig | None = None,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3, buckets: int = 32):
+    """SimHash near-dup removal: band-sliced blocking + Hamming verify."""
+    cfg = cfg or PipelineConfig()
+    keyed = docs_ds.map_batches(
+        _NearDupKeyer, fn_constructor_kwargs={
+            "mode": "simhash", "cfg": cfg, "text_col": text_col,
+            "id_col": id_col},
+        batch_format="pandas", concurrency=(1, 4))
+    cand = _candidate_pairs(keyed, buckets)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df[["left_id", "right_id"]]
+        d = hamming_distance(df["l_sig"].to_numpy(dtype="uint64"),
+                             df["r_sig"].to_numpy(dtype="uint64"))
+        return df.loc[d <= max_hamming, ["left_id", "right_id"]]
+
+    edges = cand.map_batches(verify, batch_format="pandas")
+    return _dedup_from_edges(docs_ds, edges, id_col)
+
+
+def ngram_jaccard_dedup(docs_ds, cfg: PipelineConfig | None = None,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 5, threshold: float = 60.0,
+                        buckets: int = 32):
+    """Character-n-gram Jaccard near-dup removal (LSH candidates,
+    n-gram-set verification — robust for short/typo-heavy texts)."""
+    cfg = cfg or PipelineConfig()
+    keyed = docs_ds.map_batches(
+        _NearDupKeyer, fn_constructor_kwargs={
+            "mode": "minhash", "cfg": cfg, "text_col": text_col,
+            "id_col": id_col},
+        batch_format="pandas", concurrency=(1, 4))
+    cand = _candidate_pairs(keyed, buckets)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df[["left_id", "right_id"]]
+        sims = np.fromiter(
+            (jaccard(char_ngrams(a, n), char_ngrams(b, n))
+             for a, b in zip(df["l_text"], df["r_text"])),
+            dtype=np.float64, count=len(df))
+        return df.loc[sims >= threshold, ["left_id", "right_id"]]
+
+    edges = cand.map_batches(verify, batch_format="pandas")
+    return _dedup_from_edges(docs_ds, edges, id_col)

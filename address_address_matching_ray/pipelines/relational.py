@@ -1,0 +1,169 @@
+"""Relational / windowed operators over the testdata star schema.
+
+These demonstrate the aggregate / join / sort / top-k / window
+capabilities of the engine (SURVEY §2.6-§2.8: A1-A4, K1-K2, J3, D2) with
+exact DuckDB SQL oracles.  Patterns:
+
+- pre-aggregate inside ``map_batches`` before the groupby when the key
+  space is small (combiner), keep the shuffle tiny
+- ``Dataset.join`` for large-large joins; broadcast dict for dim tables
+- deterministic top-k = sort on (measure desc, key asc) + limit
+- tumbling windows = bucket timestamp in a vectorized map, then groupby
+  (events is a finite log; no watermark semantics — SURVEY §2.10)
+
+Column names match the oracle SQL exactly (driver hash-compares).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def read(sf_dir: str, table: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def round_cols(ds, cols: dict[str, int]):
+    """Round float aggregate columns to fixed decimals — distributed
+    summation order injects ~1e-15 relative noise vs a serial oracle;
+    both sides round identically so value hashes match."""
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for c, nd in cols.items():
+            df[c] = df[c].round(nd)
+        return df
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def lineitem_agg(sf_dir: str):
+    """TPC-H Q1-shaped aggregate (A1 analog: partial+final for free)."""
+    ds = read(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_linestatus", "l_quantity",
+                       "l_extendedprice", "l_discount"])
+
+    def revenue(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("revenue", rev)
+
+    out = (ds.map_batches(revenue, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                      Sum("revenue", alias_name="sum_revenue"),
+                      Mean("l_discount", alias_name="avg_disc"),
+                      Count(alias_name="n_rows")))
+    out = round_cols(out, {"sum_qty": 2, "sum_revenue": 2, "avg_disc": 8})
+    return out.sort(["l_returnflag", "l_linestatus"])
+
+
+def events_windowed(sf_dir: str):
+    """Tumbling 1-hour windows per event_type: count + value sum/mean."""
+    ds = read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def window(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["window_start"] = df["ts"].dt.floor("h")
+        return df.drop(columns=["ts"])
+
+    out = (ds.map_batches(window, batch_format="pandas")
+           .groupby(["event_type", "window_start"])
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("value", alias_name="sum_value")))
+    out = round_cols(out, {"sum_value": 4})
+    return out.sort(["event_type", "window_start"])
+
+
+def top_users(sf_dir: str, k: int = 20):
+    """Per-user value sum → deterministic global top-k (K1/K2 analog)."""
+    ds = read(sf_dir, "events", columns=["user_id", "value"])
+    agg = ds.groupby("user_id").aggregate(
+        Sum("value", alias_name="total_value"),
+        Count(alias_name="n_events"))
+    agg = round_cols(agg, {"total_value": 4})
+    return agg.sort(["total_value", "user_id"], descending=[True, False]).limit(k)
+
+
+def segment_revenue(sf_dir: str):
+    """customer ⋈ orders (hash join) → revenue per market segment (J3)."""
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    joined = orders.join(cust, join_type="inner", num_partitions=8,
+                         on=("o_custkey",), right_on=("c_custkey",))
+    out = (joined.groupby("c_mktsegment")
+           .aggregate(Sum("o_totalprice", alias_name="total_revenue"),
+                      Count(alias_name="n_orders")))
+    return round_cols(out, {"total_revenue": 2}).sort("c_mktsegment")
+
+
+def nation_order_counts(sf_dir: str):
+    """Broadcast-dim join: nation name lookup inside map_batches
+    (small side via ray.put — no shuffle; SURVEY §2.4 J3 mapping)."""
+    import ray
+
+    nation = read(sf_dir, "nation").to_pandas()
+    lookup = ray.put(dict(zip(nation.n_nationkey, nation.n_name)))
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(lookup)
+        df = df.copy()
+        df["n_name"] = df["c_nationkey"].map(d)
+        return df[["c_custkey", "n_name"]]
+
+    orders = read(sf_dir, "orders", columns=["o_custkey"])
+    withnation = orders.join(
+        cust.map_batches(attach, batch_format="pandas"),
+        join_type="inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",))
+    return (withnation.groupby("n_name")
+            .aggregate(Count(alias_name="n_orders")).sort("n_name"))
+
+
+def order_priority_distribution(sf_dir: str):
+    """A2 analog: distribution with per-batch partial counts feeding a
+    tiny final groupby (combiner pattern)."""
+    ds = read(sf_dir, "orders", columns=["o_orderpriority"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["o_orderpriority"].value_counts()
+        return pd.DataFrame({"o_orderpriority": vc.index.astype(str),
+                             "cnt": vc.to_numpy()})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("o_orderpriority")
+            .aggregate(Sum("cnt", alias_name="n_orders"))
+            .sort("o_orderpriority"))
+
+
+def distinct_event_types(sf_dir: str):
+    """D2 analog (distinct via groupby)."""
+    ds = read(sf_dir, "events", columns=["event_type"])
+    return ds.groupby("event_type").count().sort("event_type").map_batches(
+        lambda t: t.rename_columns(["event_type", "n"]), batch_format="pyarrow")
+
+
+def user_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Sessionization (stream-shaped op): per-user ts-sorted gap split
+    inside ``groupby(user).map_groups`` — the ordering contract is
+    per-group sort, not global order (SURVEY §2.10)."""
+    ds = read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        gaps = g["ts"].diff().dt.total_seconds().fillna(1e18)
+        sid = (gaps > gap_minutes * 60).cumsum()
+        out = g.groupby(sid).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"), session_end=("ts", "max"),
+            n_events=("event_id", "count"))
+        return out.reset_index(drop=True)
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return out.sort(["user_id", "session_start"])

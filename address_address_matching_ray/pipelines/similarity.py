@@ -1,0 +1,194 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``brute_force_topk``: exact cosine top-k — the query matrix is
+  broadcast ONCE via ``ray.put`` and every batch does one numpy matmul
+  (zero-copy Arrow → numpy); per-batch local top-k partials are merged
+  in a final tiny reduction, so nothing but (query, candidate, score)
+  triples ever leave the workers.
+- ``lsh_topk``: the scale path — random-hyperplane (SimHash-style)
+  bucketing of both sides; only bucket-colliding candidates are scored.
+  Recall < 1 by construction; report it against brute force in tests.
+- ``embedding_dedup``: cosine near-dup removal via the same LSH
+  buckets + threshold + connected components.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from address_address_matching_ray.stages.cluster import connected_components
+
+
+def _to_matrix(col) -> np.ndarray:
+    """list<float> column → (n, d) float32 matrix."""
+    arrs = [np.asarray(v, dtype=np.float32) for v in col]
+    return np.stack(arrs) if arrs else np.zeros((0, 0), dtype=np.float32)
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(norms, 1e-12)
+
+
+def brute_force_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     concurrency=(1, 8)):
+    """Exact cosine top-k of each query against the dataset.
+
+    Returns a Dataset (query_idx, vec_id, score, rank) of q×k rows.
+    """
+    import ray
+
+    q = _normalize_rows(np.asarray(query_vecs, dtype=np.float32))
+    q_ref = ray.put(q)
+
+    class Scorer:
+        def __init__(self):
+            self.q = ray.get(q_ref)          # broadcast: fetched once per actor
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = _normalize_rows(_to_matrix(df[vec_col]))
+            sims = self.q @ m.T              # (nq, batch)
+            ids = df[id_col].to_numpy()
+            kk = min(k, sims.shape[1])
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = []
+            for qi in range(sims.shape[0]):
+                for j in part[qi]:
+                    rows.append((qi, ids[j], float(sims[qi, j])))
+            out = pd.DataFrame(rows, columns=["query_idx", id_col, "score"])
+            out["query_idx"] = out["query_idx"].astype("int64")
+            return out
+
+    partials = emb_ds.map_batches(Scorer, batch_format="pandas",
+                                  batch_size=4096, concurrency=concurrency)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", id_col], ascending=[False, True],
+                          kind="mergesort").head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
+        return g
+
+    return partials.groupby("query_idx").map_groups(
+        final_topk, batch_format="pandas")
+
+
+class _HyperplaneHasher:
+    def __init__(self, dim: int, bits: int = 12, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.standard_normal((dim, bits)).astype(np.float32)
+
+    def bucket(self, m: np.ndarray) -> np.ndarray:
+        bits = (m @ self.planes) > 0
+        return (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype(np.int64)
+
+
+def lsh_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             bits: int = 8, probes: int = 2, seed: int = 42):
+    """Approximate top-k: score only candidates whose hyperplane bucket
+    matches one of the query's ``probes`` nearest buckets (the exact
+    bucket plus single-bit flips).  Scale path: bucket fan-out shrinks
+    the scored set by ~2^bits / probes·bits."""
+    import ray
+
+    q = _normalize_rows(np.asarray(query_vecs, dtype=np.float32))
+    hasher = _HyperplaneHasher(q.shape[1], bits, seed)
+    q_buckets = hasher.bucket(q)                      # (nq,)
+    probe_sets = []
+    for b in q_buckets:
+        s = {int(b)}
+        for f in range(bits):
+            if len(s) >= 1 + probes * bits:
+                break
+            s.add(int(b) ^ (1 << f))
+        probe_sets.append(s)
+    wanted: dict[int, list[int]] = {}
+    for qi, s in enumerate(probe_sets):
+        for b in s:
+            wanted.setdefault(b, []).append(qi)
+    state = ray.put((q, hasher.planes, wanted))
+
+    class Scorer:
+        def __init__(self):
+            self.q, planes, self.wanted = ray.get(state)
+            self.hasher = _HyperplaneHasher.__new__(_HyperplaneHasher)
+            self.hasher.planes = planes
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = _normalize_rows(_to_matrix(df[vec_col]))
+            buckets = self.hasher.bucket(m)
+            ids = df[id_col].to_numpy()
+            rows = []
+            for j, b in enumerate(buckets):
+                for qi in self.wanted.get(int(b), ()):
+                    rows.append((qi, ids[j], float(self.q[qi] @ m[j])))
+            out = pd.DataFrame(rows, columns=["query_idx", id_col, "score"])
+            if not len(out):
+                out["query_idx"] = out["query_idx"].astype("int64")
+            return out
+
+    partials = emb_ds.map_batches(Scorer, batch_format="pandas",
+                                  batch_size=4096, concurrency=(1, 8))
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", id_col], ascending=[False, True],
+                          kind="mergesort").head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
+        return g
+
+    return partials.groupby("query_idx").map_groups(
+        final_topk, batch_format="pandas")
+
+
+def embedding_dedup(emb_ds, threshold: float = 0.98,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    bits: int = 10, seed: int = 42, dim: int | None = None):
+    """Cosine near-dup removal: hyperplane-bucket blocking → in-bucket
+    exact cosine ≥ threshold → connected components → keep min-id reps."""
+    if dim is None:
+        first = emb_ds.take(1)[0][vec_col]
+        dim = len(first)
+    hasher = _HyperplaneHasher(dim, bits, seed)
+
+    def keyer(df: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize_rows(_to_matrix(df[vec_col]))
+        return pd.DataFrame({
+            "vec_id": df[id_col].to_numpy(),
+            "bucket": hasher.bucket(m),
+            "vec": list(m),
+        })
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame({"left_id": pd.array([], dtype="uint64"),
+                                 "right_id": pd.array([], dtype="uint64")})
+        g = g.sort_values("vec_id").reset_index(drop=True)
+        m = np.stack(g["vec"].to_list())
+        sims = m @ m.T
+        li, ri = np.triu_indices(n, k=1)
+        keep = sims[li, ri] >= threshold
+        ids = g["vec_id"].to_numpy(dtype="uint64")
+        return pd.DataFrame({"left_id": ids[li[keep]], "right_id": ids[ri[keep]]})
+
+    edges = (emb_ds.map_batches(keyer, batch_format="pandas")
+             .groupby("bucket").map_groups(
+                 lambda g: pairs(g.drop(columns=["bucket"])),
+                 batch_format="pandas"))
+
+    import ray
+
+    labels = connected_components(edges.materialize()).to_pandas()
+    if "doc_id" in labels.columns:
+        dupes = set(labels.loc[labels.doc_id != labels.cluster_id, "doc_id"].tolist())
+    else:
+        dupes = set()          # no near-dup edges at all
+    dupes_ref = ray.put(dupes)
+
+    def drop_dupes(df: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(dupes_ref)
+        return df[~df[id_col].isin(d)]
+
+    return emb_ds.map_batches(drop_dupes, batch_format="pandas")

@@ -64,6 +64,12 @@ def connected_components(edges_ds, num_partitions: int = 16,
     ``attach_singletons``.
     """
     n_edges = edges_ds.count()
+    if n_edges == 0:
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame({
+            "doc_id": pd.array([], dtype="uint64"),
+            "cluster_id": pd.array([], dtype="uint64")}))
     if n_edges <= driver_threshold:
         return _driver_union_find(edges_ds)
 
