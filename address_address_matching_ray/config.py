@@ -69,8 +69,10 @@ class PipelineConfig:
     speculative_unit_variants: bool = False  # the 19A/19B/19C expansion (U:1280-1296)
 
     # ── blocking / shuffle ──
-    minhash_perms: int = 64          # MinHash signature length
-    lsh_bands: int = 16              # bands (rows = perms // bands)
+    minhash_perms: int = 16          # MinHash signature length (linkage blocking)
+    lsh_bands: int = 4               # bands (rows = perms // bands)
+    dedup_minhash_perms: int = 64    # richer sketch for text near-dup dedup
+    dedup_lsh_bands: int = 16
     shingle_size: int = 3            # token shingles for MinHash
     simhash_bits: int = 64
     max_block_size: int = 200        # rows per blocking group before salting

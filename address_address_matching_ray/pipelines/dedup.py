@@ -61,7 +61,7 @@ class _NearDupKeyer:
         self.cfg = cfg
         self.text_col = text_col
         self.id_col = id_col
-        self.minhasher = MinHasher(cfg.minhash_perms, cfg.seed)
+        self.minhasher = MinHasher(cfg.dedup_minhash_perms, cfg.seed)
         self.simhasher = SimHasher(cfg.simhash_bits, cfg.seed)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
@@ -71,7 +71,7 @@ class _NearDupKeyer:
         if self.mode == "minhash":
             sh = [shingles(t, self.cfg.shingle_size) for t in toks]
             sigs = self.minhasher.batch_signatures(sh)
-            keys = lsh_band_keys(sigs, self.cfg.lsh_bands)
+            keys = lsh_band_keys(sigs, self.cfg.dedup_lsh_bands)
         else:
             sigs = self.simhasher.batch_signatures(toks)
             keys = simhash_band_keys(sigs, 4)

@@ -38,7 +38,7 @@ def run_linkage(pages_ds, cfg: PipelineConfig | None = None,
                 checkpoint_root: str | None = None,
                 input_fp: str = "", buckets: int = 64,
                 num_partitions: int = 16,
-                cc_driver_threshold: int = 2_000_000):
+                cc_driver_threshold: int = 20_000_000):
     """pages Dataset → (extracted, edges, clusters) Datasets.
 
     With ``checkpoint_root`` set, ``extracted``/``edges``/``clusters``

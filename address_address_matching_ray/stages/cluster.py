@@ -48,11 +48,11 @@ def _project(ds, mapping: dict[str, str]):
 
 def connected_components(edges_ds, num_partitions: int = 16,
                          max_iters: int = 25,
-                         driver_threshold: int = 2_000_000):
+                         driver_threshold: int = 20_000_000):
     """edges(left_id,right_id) → labels Dataset (doc_id, cluster_id).
 
     Adaptive: when the edge list is small (≤ ``driver_threshold`` rows
-    of two uint64s — a few MB), the distributed fixpoint's per-iteration
+    of two uint64s — ≤ ~320 MB), the distributed fixpoint's per-iteration
     join overhead dwarfs the work, so the slim id pairs are pulled to
     the driver and union-found directly (the guide's "union-find on the
     driver only if the candidate set is provably small").  Above the
@@ -109,42 +109,71 @@ def connected_components(edges_ds, num_partitions: int = 16,
 
 
 def _driver_union_find(edges_ds):
-    """Small-graph path: collect only the two id columns and union-find
-    with path compression; labels = min doc_id per component."""
+    """Small-graph path: collect only the two id columns and run a fully
+    vectorized hook + pointer-jump connected components (numpy; no
+    per-edge Python loop).  ``np.unique`` sorts node ids, so the minimum
+    compressed index per component IS the minimum doc_id — the canonical
+    label invariant for free."""
     import ray.data as rd
 
     ids = edges_ds.select_columns(["left_id", "right_id"]).to_pandas()
     left = ids["left_id"].to_numpy(dtype="uint64")
     right = ids["right_id"].to_numpy(dtype="uint64")
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:
-            parent[x], x = root, parent[x]
-        return root
-
-    for a, b in zip(left.tolist(), right.tolist()):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # union by min id keeps the canonical label invariant cheap
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-
-    nodes = np.unique(np.concatenate([left, right]))
-    labels = np.fromiter((find(int(n)) for n in nodes), dtype=np.uint64,
-                         count=len(nodes))
-    out = pd.DataFrame({"doc_id": nodes, "cluster_id": labels})
+    nodes, inv = np.unique(np.concatenate([left, right]), return_inverse=True)
+    li, ri = inv[: len(left)], inv[len(left):]
+    m = len(nodes)
+    label = np.arange(m, dtype=np.int64)
+    while True:
+        prev = label
+        # hook: both endpoints take the pair's minimum current label
+        mn = np.minimum(label[li], label[ri])
+        label = label.copy()
+        np.minimum.at(label, li, mn)
+        np.minimum.at(label, ri, mn)
+        # compress: pointer jumping until stable
+        while True:
+            nl = label[label]
+            if np.array_equal(nl, label):
+                break
+            label = nl
+        if np.array_equal(prev, label):
+            break
+    out = pd.DataFrame({"doc_id": nodes, "cluster_id": nodes[label]})
     return rd.from_pandas(out)
 
 
-def attach_singletons(extracted_ds, labels_ds, num_partitions: int = 16):
+def attach_singletons(extracted_ds, labels_ds, num_partitions: int = 16,
+                      broadcast_threshold: int = 5_000_000):
     """Left-attach cluster labels to every doc; docs with no accepted
     edge become singleton clusters (cluster_id = own doc_id) — the
-    anti-join semantics of SURVEY §2.4."""
+    anti-join semantics of SURVEY §2.4.
+
+    Adaptive like ``connected_components``: a small labels table (one
+    slim row per *edge endpoint*, usually ≪ docs) is broadcast once via
+    ``ray.put`` and applied as a map — no shuffle; a large one goes
+    through the hash-partitioned left-outer ``Dataset.join``."""
     docs = extracted_ds.select_columns(["doc_id"])
+    n_labels = labels_ds.count()
+
+    if n_labels <= broadcast_threshold:
+        import ray
+
+        lab = labels_ds.to_pandas()
+        mapping = (dict(zip(lab["doc_id"].astype("uint64"),
+                            lab["cluster_id"].astype("uint64")))
+                   if len(lab) and "doc_id" in lab.columns else {})
+        ref = ray.put(mapping)
+
+        def fill_map(df: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(ref)
+            doc = df["doc_id"].astype("uint64")
+            return pd.DataFrame({
+                "doc_id": doc,
+                "cluster_id": doc.map(m).fillna(doc).astype("uint64"),
+            })
+
+        return docs.map_batches(fill_map, batch_format="pandas")
+
     joined = docs.join(labels_ds, join_type="left_outer",
                        num_partitions=num_partitions,
                        on=("doc_id",), right_on=("doc_id",))

@@ -55,25 +55,30 @@ def extract_text(raw: bytes | str) -> str:
     return _WS_RE.sub(" ", s).strip()
 
 
+_ALPHA_TOKEN_RE = re.compile(r"[A-Za-z]{2,}")
+
+
 def extract_address(text: str) -> str:
-    """First address-like window in the text: zip-anchored token window,
-    else a house-number+street-type pattern; leading non-address tokens
-    (prose) trimmed."""
-    m = _ADDR_WINDOW_RE.search(text)
-    if not m:
-        m = _ADDR_TYPE_RE.search(text)
-        if not m:
-            return ""
+    """First *valid* address-like window in the text: zip-anchored token
+    window (validated — a bare 5-digit number like a listing id is not
+    an address: the window must keep ≥3 tokens incl. a word after
+    trimming leading prose), else a house-number+street-type pattern."""
+    for m in _ADDR_WINDOW_RE.finditer(text):
+        tokens = m.group(1).split()
+        start = 0
+        for i, t in enumerate(tokens[:-1]):
+            if _LEAD_TOKEN_OK_RE.match(t):
+                start = i
+                break
+        else:
+            start = len(tokens) - 1
+        cand = tokens[start:]
+        if len(cand) >= 3 and any(_ALPHA_TOKEN_RE.search(t) for t in cand):
+            return " ".join(cand).strip()
+    m = _ADDR_TYPE_RE.search(text)
+    if m:
         return m.group(1).strip()
-    tokens = m.group(1).split()
-    start = 0
-    for i, t in enumerate(tokens[:-1]):
-        if _LEAD_TOKEN_OK_RE.match(t):
-            start = i
-            break
-    else:
-        start = len(tokens) - 1
-    return " ".join(tokens[start:]).strip()
+    return ""
 
 
 def hash_url(urls: pa.Array | pa.ChunkedArray) -> pa.Array:

@@ -20,7 +20,7 @@ shuffle.  Each record fans out to at most a handful of key rows
 Stateful stage: the MinHash permutation matrix is built once per actor
 (``KeyDeriver.__init__``) — SURVEY §2.3 ST3 analog.
 
-Key rows carry the slim scoring payload (9 short strings) so pair
+Key rows carry the slim scoring payload (8 short strings) so pair
 generation needs no second join against the docs table; the wide
 ``html``/``extracted_text`` columns never enter the shuffle.
 """
@@ -42,7 +42,7 @@ from address_address_matching_ray.functions.normalize import (
 _SCHEME_RE = re.compile(r"^[a-z][a-z0-9+.-]*://", re.I)
 _TRACKING_PARAM_RE = re.compile(r"^(utm_[a-z]+|ref|fbclid|gclid|mc_cid|mc_eid)$", re.I)
 
-PAYLOAD_COLS = ("addr", "norm_addr", "house", "street_name", "street_type",
+PAYLOAD_COLS = ("norm_addr", "house", "street_name", "street_type",
                 "unit", "city", "state", "zip")
 
 
@@ -133,13 +133,36 @@ class KeyDeriver:
         return pa.table(cols)
 
 
+# per-worker-process cache: stateless tasks reuse Ray's already-warm
+# default workers (no per-stage actor process spawn — that fixed cost
+# dominated small runs), while the derivation state (permutation
+# matrices, compiled tables) is still built once per worker, keyed by
+# config fingerprint.
+_DERIVER_CACHE: dict[str, KeyDeriver] = {}
+
+
+def _derive_task(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    fp = cfg.fingerprint()
+    deriver = _DERIVER_CACHE.get(fp)
+    if deriver is None:
+        deriver = KeyDeriver(cfg)
+        _DERIVER_CACHE[fp] = deriver
+    return deriver(batch)
+
+
 def keys_stage(extracted, cfg: PipelineConfig | None = None,
-               concurrency: int | tuple | None = None, batch_size: int = 2048):
+               concurrency: int | tuple | None = None, batch_size: int = 2048,
+               use_actor_pool: bool = False):
+    """extracted → keys.  Default: stateless tasks + per-worker cache
+    (state is small, so the warm task pool beats spawning an actor pool).
+    ``use_actor_pool=True`` switches to an autoscaling actor pool — the
+    right shape when derivation state becomes heavy (e.g. a model)."""
     cfg = cfg or PipelineConfig()
-    # autoscaling pool (min 1): a fixed-size pool would reserve CPUs for
-    # its lifetime and can starve the other pools/shuffles of the same
-    # streaming pipeline on small machines
+    if use_actor_pool:
+        return extracted.map_batches(
+            KeyDeriver, fn_constructor_kwargs={"cfg": cfg},
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency or (1, 32))
     return extracted.map_batches(
-        KeyDeriver, fn_constructor_kwargs={"cfg": cfg},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency or (1, 8))
+        _derive_task, fn_kwargs={"cfg": cfg},
+        batch_format="pyarrow", batch_size=batch_size)

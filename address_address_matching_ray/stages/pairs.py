@@ -36,14 +36,23 @@ from address_address_matching_ray.stages.keys import PAYLOAD_COLS
 
 
 def _pair_indices(n: int, cfg: PipelineConfig) -> tuple[np.ndarray, np.ndarray, int]:
-    """Local (left, right) index pairs for a block of n sorted members."""
+    """Local (left, right) index pairs for a block of n sorted members.
+
+    Capped blocks get window pairs (each member × next W neighbors)
+    PLUS star pairs to the block minimum: the star keeps the *accepted*
+    subgraph's diameter ~2, so transitive clustering converges in O(1)
+    label-propagation rounds instead of O(block size) along a window
+    chain (pathological for the distributed fixpoint).
+    """
     total = n * (n - 1) // 2
     if n <= cfg.max_block_size and total <= cfg.max_pairs_per_block:
         li, ri = np.triu_indices(n, k=1)
         return li, ri, 0
     w = max(1, min(n - 1, cfg.max_pairs_per_block // n))
-    li = np.concatenate([np.arange(n - d) for d in range(1, w + 1)])
-    ri = np.concatenate([np.arange(d, n) for d in range(1, w + 1)])
+    li = np.concatenate([np.arange(n - d) for d in range(1, w + 1)]
+                        + [np.zeros(n - 1 - w, dtype=np.int64)])
+    ri = np.concatenate([np.arange(d, n) for d in range(1, w + 1)]
+                        + [np.arange(w + 1, n)])
     return li, ri, total - len(li)
 
 

@@ -95,14 +95,35 @@ class PairScorer:
         return pa.table(out)
 
 
+# per-worker-process scorer cache (see keys_stage: warm task pool beats
+# per-stage actor spawn for cheap state; actor pool stays available for
+# heavy-state scoring, e.g. model-based)
+_SCORER_CACHE: dict[str, PairScorer] = {}
+
+
+def _score_task(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    fp = cfg.fingerprint()
+    scorer = _SCORER_CACHE.get(fp)
+    if scorer is None:
+        scorer = PairScorer(cfg)
+        _SCORER_CACHE[fp] = scorer
+    return scorer(batch)
+
+
 def score_stage(pairs_ds, cfg: PipelineConfig | None = None,
                 concurrency: int | tuple | None = None,
-                batch_size: int | None = None):
+                batch_size: int | None = None,
+                use_actor_pool: bool = False):
     cfg = cfg or PipelineConfig()
+    if use_actor_pool:
+        return pairs_ds.map_batches(
+            PairScorer, fn_constructor_kwargs={"cfg": cfg},
+            batch_format="pyarrow",
+            batch_size=batch_size or cfg.score_batch_size,
+            # autoscaling (min 1) so the pool never deadlocks the
+            # pipeline's other stages on low-CPU machines
+            concurrency=concurrency or (1, 64))
     return pairs_ds.map_batches(
-        PairScorer, fn_constructor_kwargs={"cfg": cfg},
+        _score_task, fn_kwargs={"cfg": cfg},
         batch_format="pyarrow",
-        batch_size=batch_size or cfg.score_batch_size,
-        # autoscaling (min 1) so the pool never deadlocks the pipeline's
-        # other stages on low-CPU machines
-        concurrency=concurrency or (1, cfg.score_concurrency * 2))
+        batch_size=batch_size or cfg.score_batch_size)

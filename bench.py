@@ -1,0 +1,123 @@
+"""Benchmark harness.
+
+Default: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and print ONE JSON line:
+
+    {"metric": "...", "value": <headline seconds>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "pages_per_sec": ...}
+
+``--scaling``: run the headline pipeline twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and report both
+throughputs + scaling efficiency = (T_8 / T_32) / 4 (the sandbox's
+evidence for the north rule's two-cluster-size criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return -1.0
+
+
+def run_bench() -> dict:
+    import ray
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    import ray.data as rd
+
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+    from address_address_matching_ray.pipelines.linkage import run_linkage
+    from address_address_matching_ray.sources.synth import synth_pages
+
+    # bench uses a larger synthetic-pages workload than the correctness
+    # queries so compute dominates fixed startup costs
+    n_pages = int(os.environ.get(
+        "GRAFT_BENCH_PAGES", 50 * entrymod._n_pages_for(sf_dir)))
+    timings: dict[str, float] = {}
+
+    # warm the page-cache / import path with one untimed small read
+    rd.read_parquet(f"{sf_dir}/documents.parquet").count()
+
+    # ── headline: flagship linkage over synthetic pages ──
+    t0 = time.time()
+    res = run_linkage(synth_pages(n_pages, seed=42),
+                      buckets=max(num_cpus * 4, 32),
+                      num_partitions=max(num_cpus, 8))
+    n_clusters = res.clusters.count()
+    headline = time.time() - t0
+    timings["linkage"] = round(headline, 3)
+
+    # ── secondary pipelines ──
+    Q = entrymod.queries()
+    for name in ["exact_dedup", "minhash_dedup", "lineitem_agg",
+                 "events_windowed", "ann_topk", "text_annotate",
+                 "user_sessions", "segment_revenue"]:
+        t0 = time.time()
+        out = Q[name](sf_dir)
+        # consume without driver materialization of big data
+        if hasattr(out, "count"):
+            out.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "linkage_e2e_seconds_sf_pages",
+        "value": timings["linkage"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+        "num_cpus": num_cpus,
+        "n_pages": n_pages,
+        "n_clusters_rows": n_clusters,
+        "pages_per_sec": round(n_pages / timings["linkage"], 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, num_cpus=8 then 32 → efficiency."""
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": t_lo, "sec_32": t_hi,
+        "pages_per_sec_8": r_lo["pages_per_sec"],
+        "pages_per_sec_32": r_hi["pages_per_sec"],
+        "sf": r_hi["sf"], "n_pages": r_hi["n_pages"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

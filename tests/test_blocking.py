@@ -85,7 +85,7 @@ def test_make_pairs_full_and_window():
     assert (out.dropped_pairs == 0).all()
     assert out.specificity.iloc[0] == 20.0       # min(100/3, 20)
     # payload travels with the pair
-    assert out.iloc[0]["l_addr"].startswith("addr")
+    assert out.iloc[0]["l_norm_addr"].startswith("norm_addr")
 
     # hot block → window pairing, connected, logged drops
     cfg2 = PipelineConfig(max_block_size=10, max_pairs_per_block=100)
