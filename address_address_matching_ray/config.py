@@ -88,6 +88,12 @@ class PipelineConfig:
     # ── edge acceptance for clustering ──
     edge_min_confidence: float = 85.0  # high_conf ⇒ edge (tiers exact/relaxed)
 
+    # ── input column renames — the IndexFieldMapping analog
+    # (optimized.py:94-109; SURVEY §2.11): real schemas make the
+    # reference's field sniffing (U:191-242) unnecessary, a rename map
+    # covers differently-named inputs ──
+    column_map: dict = field(default_factory=dict)   # e.g. {"content": "html"}
+
     def __post_init__(self) -> None:
         total = (self.street_weight + self.house_weight + self.city_weight
                  + self.zip_weight + self.state_weight + self.unit_weight)

@@ -85,6 +85,73 @@ def run_linkage(pages_ds, cfg: PipelineConfig | None = None,
                          from_checkpoint=hit)
 
 
+def rejects_summary(extracted_ds):
+    """A3 analog (optimized.py:882,1096-1098): distinct reject reasons
+    with counts, top-5 — an aggregate, never a driver loop."""
+    return (extracted_ds.filter(expr='reject_reason != ""')
+            .groupby("reject_reason").count()
+            .sort("count()", descending=True).limit(5))
+
+
+def cluster_representatives(clusters_ds, extracted_ds, num_partitions: int = 8):
+    """One representative row per cluster: min doc_id member carries the
+    cluster's canonical address (deterministic tie-break, SURVEY §2.10)
+    plus member count — the K1 'best per query' / P9 result-assembly
+    analog for self-join linkage."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Min
+
+    agg = clusters_ds.groupby("cluster_id").aggregate(
+        Min("doc_id", alias_name="rep_doc_id"),
+        Count(alias_name="n_members"))
+
+    def recast(df: pd.DataFrame) -> pd.DataFrame:
+        # groupby re-infers int64; join keys must match doc_id's uint64
+        df = df.copy()
+        df["cluster_id"] = df["cluster_id"].astype("uint64")
+        df["rep_doc_id"] = df["rep_doc_id"].astype("uint64")
+        return df
+
+    agg = agg.map_batches(recast, batch_format="pandas")
+    payload = extracted_ds.select_columns(
+        ["doc_id", "addr", "norm_addr", "city", "state", "zip"])
+    joined = agg.join(payload, join_type="inner",
+                      num_partitions=num_partitions,
+                      on=("rep_doc_id",), right_on=("doc_id",))
+
+    def tidy(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["cluster_id", "rep_doc_id", "n_members", "addr",
+                   "norm_addr", "city", "state", "zip"]]
+
+    return joined.map_batches(tidy, batch_format="pandas")
+
+
+def resolve_entity_ids(clusters_ds, id_table_ds, num_partitions: int = 8):
+    """J3 analog (U:994-1055 ``_find_address_id_in_base``): attach an
+    external entity id to every doc by joining cluster labels against an
+    id-dimension table keyed by cluster_id.  Small dim tables should be
+    broadcast instead (see relational.nation_order_counts)."""
+    return clusters_ds.join(id_table_ds, join_type="left_outer",
+                            num_partitions=num_partitions,
+                            on=("cluster_id",), right_on=("cluster_id",))
+
+
+def to_export(clusters_ds, edges_ds=None):
+    """Downstream projection — ``to_n8n_format`` analog (U:128-135):
+    (doc_id, address_id, success).  Confidence/reliability live on the
+    edges table; here every doc resolves (success ⇔ non-singleton)."""
+    import pandas as pd
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "address_id": df["cluster_id"],
+            "success": df["cluster_id"] != df["doc_id"],
+        })
+
+    return clusters_ds.map_batches(f, batch_format="pandas")
+
+
 def tier_distribution(edges_ds):
     """A2 analog: per-tier accepted-edge counts (U:1583-1598)."""
     return (edges_ds.groupby("tier").count()

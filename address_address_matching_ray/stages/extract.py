@@ -87,8 +87,19 @@ def hash_url(urls: pa.Array | pa.ChunkedArray) -> pa.Array:
     return pa.array(h, pa.uint64())
 
 
-def extract_parse(batch: pa.Table) -> pa.Table:
-    """The stage body: html→text, address window, normalize, parse."""
+def extract_parse(batch: pa.Table, cfg=None) -> pa.Table:
+    """The stage body: html→text, address window, normalize, parse.
+
+    With a config: input columns are renamed per ``cfg.column_map``
+    (the IndexFieldMapping analog) and rows failing the reference's
+    require-filters (empty query, ``require_house``/``require_zip`` —
+    optimized.py:784-793, SURVEY §2.2 M18) get a non-empty
+    ``reject_reason`` instead of being silently dropped; the blocking
+    stage skips them and ``rejects_summary`` aggregates them (A3).
+    """
+    if cfg is not None and cfg.column_map:
+        names = [cfg.column_map.get(c, c) for c in batch.column_names]
+        batch = batch.rename_columns(names)
     n = batch.num_rows
     if "doc_id" in batch.column_names:
         doc_id = pc.cast(batch["doc_id"], pa.uint64())
@@ -105,7 +116,21 @@ def extract_parse(batch: pa.Table) -> pa.Table:
     def col(attr: str) -> pa.Array:
         return pa.array([getattr(p, attr) for p in parsed], pa.string())
 
+    reasons = []
+    req_house = bool(cfg and cfg.require_house)
+    req_zip = bool(cfg and cfg.require_zip)
+    for a, p in zip(addrs, parsed):
+        if not a:
+            reasons.append("empty_address")
+        elif req_house and not p.house_number:
+            reasons.append("missing_house")
+        elif req_zip and not p.zip_code:
+            reasons.append("missing_zip")
+        else:
+            reasons.append("")
+
     return pa.table({
+        "reject_reason": pa.array(reasons, pa.string()),
         "doc_id": doc_id,
         "url": batch["url"],
         "warc_ts": batch["warc_ts"],
@@ -123,11 +148,12 @@ def extract_parse(batch: pa.Table) -> pa.Table:
     })
 
 
-def extract_stage(pages, batch_size: int = 2048):
+def extract_stage(pages, batch_size: int = 2048, cfg=None):
     """pages Dataset → extracted Dataset (stateless tasks).
 
     ``html`` is the only wide column; it is consumed here and dropped,
     so downstream shuffles move slim rows only.
     """
     return pages.map_batches(extract_parse, batch_format="pyarrow",
-                             batch_size=batch_size)
+                             batch_size=batch_size,
+                             fn_kwargs={"cfg": cfg})

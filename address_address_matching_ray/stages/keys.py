@@ -158,6 +158,10 @@ def keys_stage(extracted, cfg: PipelineConfig | None = None,
     ``use_actor_pool=True`` switches to an autoscaling actor pool — the
     right shape when derivation state becomes heavy (e.g. a model)."""
     cfg = cfg or PipelineConfig()
+    schema_names = extracted.schema().names
+    if "reject_reason" in schema_names:
+        # rows failing the require-filters never enter the shuffle (M18)
+        extracted = extracted.filter(expr='reject_reason == ""')
     if use_actor_pool:
         return extracted.map_batches(
             KeyDeriver, fn_constructor_kwargs={"cfg": cfg},

@@ -1,0 +1,255 @@
+"""Dedup / similarity / text / multimodal / export pipeline tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from address_address_matching_ray.config import PipelineConfig
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs_ds(ray_session, rows):
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def test_exact_dedup(ray_session):
+    from address_address_matching_ray.pipelines.dedup import exact_dedup
+
+    rows = {
+        "doc_id": pd.array([3, 1, 2, 4, 5], dtype="uint64"),
+        "text": ["Hello  world", "hello world", "something else",
+                 "HELLO WORLD", "unique doc"],
+    }
+    out = exact_dedup(_docs_ds(ray_session, rows)).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    # "Hello  world"/"hello world"/"HELLO WORLD" normalize identically → keep id 1
+    assert out.doc_id.tolist() == [1, 2, 5]
+    assert out.loc[out.doc_id == 1, "n_dups"].iloc[0] == 3
+
+
+def test_minhash_dedup_removes_near_dups(ray_session):
+    from address_address_matching_ray.pipelines.dedup import minhash_dedup
+
+    base = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls softly on the quiet empty street tonight")
+    near = base.replace("quiet", "silent")
+    rows = {
+        "doc_id": pd.array([10, 11, 12], dtype="uint64"),
+        "text": [base, near, "completely different content about databases "
+                             "and distributed query engines at scale"],
+    }
+    out = minhash_dedup(_docs_ds(ray_session, rows), buckets=4).to_pandas()
+    assert sorted(out.doc_id.tolist()) == [10, 12]   # 11 deduped into 10
+
+
+def test_simhash_and_ngram_dedup(ray_session):
+    from address_address_matching_ray.pipelines.dedup import (
+        ngram_jaccard_dedup, simhash_dedup,
+    )
+
+    # SimHash needs enough tokens for stable majority votes — short docs
+    # flip many bits per edit (why minhash/ngram variants exist)
+    base = ("the quick brown fox jumps over the lazy dog and runs across "
+            "the wide green field toward the old wooden barn where many "
+            "small animals hide from the cold winter wind while farmers "
+            "work hard every day to gather crops before the first snow arrives")
+    rows = {
+        "doc_id": pd.array([1, 2, 3], dtype="uint64"),
+        "text": [base, base.replace("wooden", "stone"),
+                 "completely different topic about databases query engines "
+                 "and distributed computing with shuffles joins aggregations"],
+    }
+    out1 = simhash_dedup(_docs_ds(ray_session, rows), buckets=4).to_pandas()
+    assert 3 in out1.doc_id.tolist() and 1 in out1.doc_id.tolist()
+    assert 2 not in out1.doc_id.tolist()
+    out2 = ngram_jaccard_dedup(_docs_ds(ray_session, rows), buckets=4).to_pandas()
+    assert sorted(out2.doc_id.tolist()) == [1, 3]
+
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    import ray.data as rd
+    from address_address_matching_ray.pipelines.similarity import brute_force_topk
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    pdf = emb.to_pandas()
+    M = np.stack([np.asarray(v, dtype=np.float32) for v in pdf.embedding])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    q = Mn[:2]
+    got = brute_force_topk(emb, q, k=4).to_pandas()
+    for qi in range(2):
+        sims = q[qi] @ Mn.T
+        order = np.lexsort((pdf.vec_id.to_numpy(), -sims))[:4]
+        want = pdf.vec_id.to_numpy()[order].tolist()
+        g = got[got.query_idx == qi].sort_values("rank").vec_id.tolist()
+        assert g == want, (qi, g, want)
+
+
+def test_lsh_topk_recall(ray_session):
+    import ray.data as rd
+    from address_address_matching_ray.pipelines.similarity import (
+        brute_force_topk, lsh_topk,
+    )
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    pdf = emb.to_pandas()
+    M = np.stack([np.asarray(v, dtype=np.float32) for v in pdf.embedding])
+    q = M[:3]
+    exact = brute_force_topk(emb, q, k=5).to_pandas()
+    approx = lsh_topk(emb, q, k=5, bits=6).to_pandas()
+    # every query answers itself at rank 1 (query vec is in the table)
+    r1 = approx[approx["rank"] == 1].sort_values("query_idx").vec_id.tolist()
+    assert r1 == [0, 1, 2]
+    recall = len(set(map(tuple, approx[["query_idx", "vec_id"]].values))
+                 & set(map(tuple, exact[["query_idx", "vec_id"]].values))) / len(exact)
+    assert recall >= 0.4      # approximate by design; report, don't hide
+
+
+def test_embedding_dedup_removes_planted_dup(ray_session):
+    import ray.data as rd
+    from address_address_matching_ray.pipelines.similarity import embedding_dedup
+
+    rng = np.random.RandomState(0)
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    vecs = np.vstack([base, base[3] * 2.0])   # same direction as row 3
+    df = pd.DataFrame({
+        "vec_id": pd.array(range(21), dtype="uint64"),
+        "embedding": [v.tolist() for v in vecs],
+        "label": np.zeros(21, dtype="int32"),
+    })
+    out = embedding_dedup(rd.from_pandas(df), threshold=0.999, bits=4).to_pandas()
+    assert 20 not in out.vec_id.tolist()
+    assert 3 in out.vec_id.tolist()
+    assert len(out) == 20
+
+
+def test_textstats_kernels():
+    from address_address_matching_ray.functions import textstats
+
+    langs = textstats.detect_language(pd.Series([
+        "the cat sat on the mat and it was a good day for all of us",
+        "der Hund und die Katze sind in dem Haus mit einem Ball",
+        "zzz qqq xxx", ""]))
+    assert langs.tolist()[:2] == ["en", "de"]
+    assert langs.tolist()[2] == "und"
+
+    tc = textstats.token_count(pd.Series(["a b  c", "", None]))
+    assert tc.tolist() == [3, 0, 0]
+
+    fp = textstats.fingerprint(pd.Series(["alpha beta gamma delta"] * 2
+                                         + ["totally different words here"]))
+    assert fp.iloc[0] == fp.iloc[1] != fp.iloc[2]
+
+    q = textstats.quality_features(pd.Series([
+        "A normal english sentence with reasonable words and good flow.",
+        "!!! ??? ### $$$ %%%"]))
+    assert q.quality.iloc[0] > q.quality.iloc[1]
+
+
+def test_media_plumbing(ray_session):
+    from address_address_matching_ray.pipelines.multimodal import (
+        MediaDecoder, decode_stage, frame_sample_stage, resize_stage,
+        synth_media,
+    )
+
+    media = synth_media(60, seed=1)
+    decoded = decode_stage(media).materialize()
+    assert decoded.count() == 60
+    df = decoded.to_pandas()
+    assert set(df.kind) == {"image", "audio", "video"}
+    assert (df.n_bytes > 0).all()
+    assert all(len(v) == 16 for v in df.feature)
+    # deterministic (content-wise: execution order is not guaranteed)
+    df2 = decode_stage(synth_media(60, seed=1)).to_pandas()
+    a = df.sort_values("media_id").byte_mean.tolist()
+    b = df2.sort_values("media_id").byte_mean.tolist()
+    assert a == b
+
+    small = resize_stage(decoded, target=8).to_pandas()
+    assert all(len(v) == 8 for v in small.feature)
+
+    frames = frame_sample_stage(media, every_ms=5000).to_pandas()
+    assert set(frames.kind) == {"video"}
+    assert (frames.frame_ts_ms % 5000 == 0).all()
+
+    with pytest.raises(NotImplementedError):
+        MediaDecoder(mode="real")
+
+
+def test_rejects_routing(ray_session):
+    from address_address_matching_ray.pipelines.linkage import rejects_summary
+    from address_address_matching_ray.sources.synth import synth_pages
+    from address_address_matching_ray.stages.extract import extract_stage
+    from address_address_matching_ray.stages.keys import keys_stage
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    def page(i, body):
+        return (i, f"https://x.example/{i}", 1609459200_000000 + i,
+                f"<html><body><p>{body}</p></body></html>".encode(), body, "en")
+
+    rows = [
+        page(1, "For rent: 55 Berry Street Brooklyn, NY 11211. Nice."),
+        page(2, "At 112 Bedford Avenue right now"),          # no zip
+        page(3, "no address in this text at all"),           # empty addr
+    ]
+    ids, urls, ts, htmls, texts, langs = zip(*rows)
+    pages = rd.from_arrow(pa.table({
+        "url": pa.array(urls), "warc_ts": pa.array(list(ts), pa.timestamp("us")),
+        "html": pa.array(list(htmls), pa.binary()), "text": pa.array(texts),
+        "lang": pa.array(langs), "doc_id": pa.array(list(ids), pa.uint64())}))
+
+    cfg = PipelineConfig(require_zip=True)
+    ext = extract_stage(pages, cfg=cfg).materialize()
+    df = ext.to_pandas().sort_values("doc_id")
+    assert df.reject_reason.tolist() == ["", "missing_zip", "empty_address"]
+    keys = keys_stage(ext, cfg).to_pandas()
+    assert set(keys.doc_id) == {1}                # rejects never shuffled
+    summary = rejects_summary(ext).to_pandas()
+    assert summary["count()"].sum() == 2
+    # without require_zip only the empty address is rejected
+    ext2 = extract_stage(pages, cfg=PipelineConfig()).to_pandas()
+    assert sorted(ext2.reject_reason.tolist()) == ["", "", "empty_address"]
+
+
+def test_cluster_outputs(ray_session):
+    import ray.data as rd
+    from address_address_matching_ray.pipelines.linkage import (
+        cluster_representatives, resolve_entity_ids, run_linkage, to_export,
+    )
+    from address_address_matching_ray.sources.synth import synth_pages
+
+    res = run_linkage(synth_pages(300, seed=42), buckets=4, num_partitions=2)
+    reps = cluster_representatives(res.clusters, res.extracted).to_pandas()
+    assert (reps.n_members >= 1).all()
+    assert reps.cluster_id.is_unique
+    # representative is the min member id == cluster label
+    assert (reps.rep_doc_id == reps.cluster_id).all()
+
+    exported = to_export(res.clusters).to_pandas()
+    assert set(exported.columns) == {"doc_id", "address_id", "success"}
+
+    dim = rd.from_pandas(pd.DataFrame({
+        "cluster_id": reps.cluster_id.astype("uint64"),
+        "pid": ["ent_%d" % c for c in reps.cluster_id]}))
+    resolved = resolve_entity_ids(res.clusters, dim, num_partitions=2).to_pandas()
+    assert resolved.pid.notna().all()
+
+
+def test_catalog_and_csv(ray_session, tmp_path):
+    import ray.data as rd
+    from address_address_matching_ray.sources.catalog import export_csv, list_tables
+
+    tables = list_tables(SF)
+    names = {t["table"] for t in tables}
+    assert {"documents", "lineitem", "events"} <= names
+    assert all(t["rows"] > 0 for t in tables)
+
+    ds = rd.from_pandas(pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}))
+    p = export_csv(ds, str(tmp_path / "out.csv"))
+    assert open(p).read().startswith("a,b")
+    with pytest.raises(ValueError):
+        export_csv(ds, str(tmp_path / "big.csv"), max_rows=1)
