@@ -224,6 +224,28 @@ def _q_sessions(sf_dir: str):
     return user_sessions(sf_dir)
 
 
+def _q_match_queries(sf_dir: str):
+    """The reference's primary API shape: free-text queries vs an
+    address-records table (round-trip self-match, U:1656 analog)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from address_address_matching_ray.pipelines.matching import match_queries
+    from address_address_matching_ray.sources.records import (
+        fixture_records_table, synth_records,
+    )
+
+    records = rd.from_arrow(fixture_records_table()).union(
+        synth_records(400, seed=_SEED)).materialize()
+    rec_pdf = records.select_columns(["pid", "ADDRESS"]).to_pandas()
+    rec_pdf = rec_pdf.sort_values("pid").head(200)
+    queries = rd.from_arrow(pa.table({
+        "query_id": pa.array(range(len(rec_pdf)), pa.uint64()),
+        "query": pa.array(rec_pdf["ADDRESS"].tolist(), pa.string())}))
+    out = match_queries(queries, records, buckets=8)
+    return out.select_columns(
+        ["query_id", "pid", "confidence", "match_level", "reliability"]).sort("query_id")
+
+
 def _q_media_decode(sf_dir: str):
     from address_address_matching_ray.pipelines.multimodal import (
         decode_stage, synth_media,
@@ -272,6 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority": _q_order_priority,
         "distinct_events": _q_distinct_events,
         "user_sessions": _q_sessions,
+        "match_queries": _q_match_queries,
         # multimodal plumbing (deterministic fake decode)
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,

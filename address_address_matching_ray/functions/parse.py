@@ -337,8 +337,21 @@ def parse_components(address: str) -> AddressComponents:
     if house_number:
         cleaned = cleaned.replace(house_number, "", 1).strip()
     street_part, location_part = separate_street_and_location(cleaned)
+    # peel a trailing known-city token off the street part (usaddress
+    # tags it PlaceName; the regex splitter leaks it into the street
+    # when no street type follows — "60 Broadway Brooklyn, NY")
+    city_hint = ""
+    words = street_part.split()
+    while words and words[-1].lower() in CITY_MAPPING:
+        city_hint = (words[-1].lower() + (" " + city_hint if city_hint else "")).strip()
+        words = words[:-1]
+    if city_hint:
+        street_part = " ".join(words)
+        city_hint = CITY_MAPPING.get(city_hint, city_hint).title()
     street_name, street_type = parse_street(street_part)
     city, state, zip_code = parse_location(location_part)
+    if city_hint:
+        city = city_hint
     return AddressComponents(
         unit=unit, house_number=house_number, street_name=street_name,
         street_type=street_type, city=city, state=state, zip_code=zip_code)

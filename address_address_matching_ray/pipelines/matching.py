@@ -1,0 +1,277 @@
+"""Query→records matching: the reference's primary API, distributed.
+
+``match_queries(queries, records)`` reproduces
+``UltimateAddressMatcher.match_address`` (U:868-952) / ``AddressMatcher
+.batch_match`` (O:812-867) as a Ray Data pipeline: free-text query
+addresses are linked against an address-records table (the "index",
+FIXTURES.md F2 schema = IndexFieldMapping defaults O:94-109):
+
+    queries ─► parse (O-parser, M5) + variant fan-out (M15) → key rows
+    records ─► field-derived key rows (J1/J2 blocking predicates)
+            ─► ONE groupby shuffle → cross-side candidate pairs
+            ─► tiered scorer (P1-P5) → per-query best match (K1/K2)
+            ─► quality / adjusted confidence / reliability (P6-P8)
+            ─► UltimateMatchResult-shaped rows (P9) + n8n projection
+
+Ranking collapse of the sequential cascade (documented delta, SURVEY
+§7.2 hard part 1): winner = max by (unit-exact match, exactness flag,
+confidence, then pid for determinism) — the reference's early-return
+rules (unit match returns immediately U:938-939; exact/relaxed non-unit
+hits keep searching when a unit is expected U:941-943) reduce to this
+order-independent priority for pairs that co-block.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from address_address_matching_ray.config import PipelineConfig
+from address_address_matching_ray.functions import scoring
+from address_address_matching_ray.functions.normalize import (
+    normalize, normalize_array, soundex,
+)
+from address_address_matching_ray.functions.parse import (
+    generate_variants, parse_address, parse_components,
+)
+
+Q_PAYLOAD = ("q_street", "q_house", "q_unit", "q_city", "q_state", "q_zip",
+             "q_norm", "query")
+R_PAYLOAD = ("pid", "ADDRESS", "HOUSE", "STREET", "STRTYPE", "PREDIR",
+             "CITY", "STATE", "ZIP_CODE", "APTNBR", "r_norm")
+
+
+def _query_keys(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    """Parse each query and emit its blocking keys (variant fan-out
+    bounded by cfg.max_variants — K3 caps)."""
+    qids = batch["query_id"].to_pylist()
+    queries = [q or "" for q in batch["query"].to_pylist()]
+    rows = []
+    for qid, q in zip(qids, queries):
+        if not q.strip():
+            continue                                   # M18 empty guard
+        # primary-path parser for the scoring payload (the reference's
+        # usaddress route; the regex fallback mangles house ranges and
+        # ordinal-collapsed units — see parse_components docstring)
+        c = parse_components(q)
+        street = f"{c.street_name} {c.street_type}".strip()
+        qn = normalize(q)
+        payload = (street, c.house_number, c.unit, c.city, c.state,
+                   c.zip_code, qn, q)
+        keys: list[str] = []
+        if qn:
+            keys.append(f"e:{qn}")
+        seen_comp: set[str] = set()
+        # component keys from the U-parser over the query AND its
+        # variants (M15 — the variant generator IS the key fan-out)
+        for v in [q] + generate_variants(q, cfg.max_variants)[:cfg.variants_per_tier]:
+            c = parse_components(v)
+            if c.house_number and c.street_name:
+                sn = normalize(c.street_name)
+                first = sn.split()[0] if sn else ""
+                for k in (f"h:{c.house_number}|{sn}|{c.zip_code}",
+                          f"h2:{c.house_number}|{sn}",
+                          f"f:{c.house_number}|{first}|{c.zip_code}",
+                          f"s:{c.house_number}|{soundex(sn)}|{c.state.upper()}"):
+                    if k not in seen_comp:
+                        seen_comp.add(k)
+                        keys.append(k)
+        for k in keys:
+            rows.append((qid, k, *payload))
+    cols = list(zip(*rows)) if rows else [[]] * (2 + len(Q_PAYLOAD))
+    out = {"query_id": pa.array(list(cols[0]), pa.uint64()),
+           "block_key": pa.array(list(cols[1]), pa.string())}
+    for i, name in enumerate(Q_PAYLOAD):
+        out[name] = pa.array(list(cols[2 + i]), pa.string())
+    return pa.table(out)
+
+
+def _record_keys(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    """Blocking keys from record fields (the J1 query-builder predicates
+    re-expressed as keys)."""
+    df = batch.to_pandas().fillna("")
+    n = len(df)
+    street_norm = normalize_array(df["STREET"].to_numpy(dtype=object))
+    r_norm = normalize_array(df["ADDRESS"].to_numpy(dtype=object))
+    rows = []
+    for i in range(n):
+        house = str(df["HOUSE"].iloc[i])
+        sn = street_norm[i]
+        keys = []
+        if r_norm[i]:
+            keys.append(f"e:{r_norm[i]}")
+        if house and sn:
+            first = sn.split()[0] if sn else ""
+            keys.append(f"h:{house}|{sn}|{df['ZIP_CODE'].iloc[i]}")
+            keys.append(f"h2:{house}|{sn}")
+            keys.append(f"f:{house}|{first}|{df['ZIP_CODE'].iloc[i]}")
+            keys.append(f"s:{house}|{soundex(sn)}|{str(df['STATE'].iloc[i]).upper()}")
+        for k in keys:
+            rows.append((i, k))
+    idx = np.array([r[0] for r in rows], dtype=np.int64)
+    out = {"block_key": pa.array([r[1] for r in rows], pa.string())}
+    for name in R_PAYLOAD:
+        if name == "r_norm":
+            vals = r_norm[idx] if len(idx) else []
+        else:
+            vals = df[name].astype(str).to_numpy(dtype=object)[idx] if len(idx) else []
+        out[name] = pa.array(list(vals), pa.string())
+    return pa.table(out)
+
+
+def _score_candidates(df: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
+    """Batch-score query×record candidates with the reference formulas."""
+    n = len(df)
+    q = {"street": df["q_street"].to_numpy(dtype=object),
+         "house": df["q_house"].to_numpy(dtype=object),
+         "unit": df["q_unit"].to_numpy(dtype=object),
+         "city": df["q_city"].to_numpy(dtype=object),
+         "state": df["q_state"].to_numpy(dtype=object),
+         "zip": df["q_zip"].to_numpy(dtype=object)}
+    r = {"street_name": df["STREET"].to_numpy(dtype=object),
+         "street_type": df["STRTYPE"].to_numpy(dtype=object),
+         "predir": df["PREDIR"].to_numpy(dtype=object),
+         "house": df["HOUSE"].to_numpy(dtype=object),
+         "unit": df["APTNBR"].to_numpy(dtype=object),
+         "city": df["CITY"].to_numpy(dtype=object),
+         "state": df["STATE"].to_numpy(dtype=object),
+         "zip": df["ZIP_CODE"].to_numpy(dtype=object)}
+    comp = scoring.component_scores(q, r)
+    confidence = scoring.weighted_confidence(comp, cfg)
+    from address_address_matching_ray.functions import fuzzy
+
+    similarity = fuzzy.batch_ratio(df["q_norm"].tolist(), df["r_norm"].tolist())
+    exact = scoring.exactness(similarity, confidence, comp)
+    tier = scoring.assign_tier(confidence)
+    unit_adj = scoring.unit_adjustment(q["unit"], r["unit"], cfg)
+    quality = scoring.quality_score(confidence, similarity, comp, tier, r)
+    quality = np.clip(quality + unit_adj, 0.0, None)
+    out = df[["query_id", "query", "pid", "ADDRESS"]].copy()
+    out["confidence"] = confidence
+    out["similarity"] = similarity
+    out["exact"] = exact
+    out["tier_idx"] = tier
+    out["match_level"] = scoring.TIER_NAMES_ARR[tier]
+    out["unit_exact"] = unit_adj > 0
+    out["wrong_unit"] = unit_adj < 0
+    out["quality_score"] = quality
+    out["confidence_adjusted"] = scoring.adjusted_confidence(confidence, tier)
+    out["reliability"] = scoring.RELIABILITY_NAMES[scoring.reliability(quality)]
+    return out
+
+
+def match_queries(queries_ds, records_ds, cfg: PipelineConfig | None = None,
+                  buckets: int = 32, candidates_per_query: int = 64):
+    """queries (query_id, query) × records (F2 schema) → best match per
+    query.  Unmatched queries are NOT silently dropped — join the result
+    back or check ``match_level == 'failed'`` rows from
+    ``attach_failed``."""
+    cfg = cfg or PipelineConfig()
+
+    qk = queries_ds.map_batches(_query_keys, fn_kwargs={"cfg": cfg},
+                                batch_format="pyarrow", batch_size=1024)
+    rk = records_ds.map_batches(_record_keys, fn_kwargs={"cfg": cfg},
+                                batch_format="pyarrow", batch_size=2048)
+
+    def tag(side):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column("side", pa.array([side] * t.num_rows, pa.string()))
+        return f
+
+    both = qk.map_batches(tag("q"), batch_format="pyarrow").union(
+        rk.map_batches(tag("r"), batch_format="pyarrow"))
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = pd.util.hash_array(df["block_key"].to_numpy(dtype=object))
+        df["bucket"] = (h % np.uint64(buckets)).astype("int64")
+        return df
+
+    def cross_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """All query×record pairs within each block of the bucket,
+        capped per (query, block) — the reference's per-tier max_results
+        caps (K1/K3)."""
+        g = g.sort_values(["block_key", "side"], kind="mergesort")
+        out_frames = []
+        for _, blk in g.groupby("block_key", sort=False):
+            qs = blk[blk["side"] == "q"]
+            rs = blk[blk["side"] == "r"]
+            if not len(qs) or not len(rs):
+                continue
+            rs = rs.drop_duplicates("pid").head(max(candidates_per_query, 50))
+            qs = qs.drop_duplicates("query_id")
+            qi = np.repeat(np.arange(len(qs)), len(rs))
+            ri = np.tile(np.arange(len(rs)), len(qs))
+            left = qs.iloc[qi][["query_id", *Q_PAYLOAD]].reset_index(drop=True)
+            right = rs.iloc[ri][list(R_PAYLOAD)].reset_index(drop=True)
+            out_frames.append(pd.concat([left, right], axis=1))
+        if not out_frames:
+            return pd.DataFrame({c: pd.Series(dtype="object")
+                                 for c in ("query_id", *Q_PAYLOAD, *R_PAYLOAD)})
+        out = pd.concat(out_frames, ignore_index=True)
+        return out.drop_duplicates(["query_id", "pid"])
+
+    cand = (both.map_batches(bucketize, batch_format="pandas")
+            .groupby("bucket").map_groups(
+                lambda g: cross_pairs(g.drop(columns=["bucket"])),
+                batch_format="pandas"))
+
+    scored = cand.map_batches(
+        lambda df: _score_candidates(df, cfg) if len(df) else pd.DataFrame(),
+        batch_format="pandas")
+
+    # cross-bucket dedup of (query, pid) + threshold filter, then best
+    # per query (K1/K2 with the unit-priority collapse)
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["query_id", "pid"])
+        g = g[(g["confidence"] >= cfg.min_similarity_threshold)
+              & ~g["wrong_unit"].astype(bool)]
+        if not len(g):
+            return g.head(0)
+        g = g.sort_values(
+            ["unit_exact", "exact", "confidence", "pid"],
+            ascending=[False, False, False, True], kind="mergesort")
+        return g.head(1).drop(columns=["wrong_unit"])
+
+    return scored.groupby("query_id").map_groups(best, batch_format="pandas")
+
+
+def attach_failed(queries_ds, matches_ds):
+    """Left-attach: queries with no surviving candidate get a 'failed'
+    row (U:950-952) instead of disappearing."""
+    import ray
+
+    matched = set(matches_ds.select_columns(["query_id"]).to_pandas()["query_id"])
+    ref = ray.put(matched)
+
+    def failed_rows(df: pd.DataFrame) -> pd.DataFrame:
+        got = ray.get(ref)
+        miss = df[~df["query_id"].isin(got)]
+        if not len(miss):
+            return pd.DataFrame()
+        return pd.DataFrame({
+            "query_id": miss["query_id"], "query": miss["query"],
+            "pid": None, "ADDRESS": None, "confidence": 0.0,
+            "similarity": 0.0, "exact": False, "tier_idx": 10,
+            "match_level": "failed", "unit_exact": False,
+            "quality_score": 0.0, "confidence_adjusted": 0.0,
+            "reliability": "speculative",
+        })
+
+    return matches_ds.union(
+        queries_ds.map_batches(failed_rows, batch_format="pandas"))
+
+
+def to_n8n_format(matches_ds):
+    """U:128-135 — the downstream workflow projection."""
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "query_id": df["query_id"],
+            "success": df["pid"].notna(),
+            "address_id": df["pid"],
+            "confidence": df["confidence_adjusted"],
+            "reliability": df["reliability"],
+        })
+
+    return matches_ds.map_batches(f, batch_format="pandas")

@@ -1,0 +1,110 @@
+"""Query→records matching — the reference's primary API.
+
+The round-trip test IS the reference's only correctness oracle
+(``test_title_data_matching_100_samples``, U:1656-1762): matching each
+record's own ADDRESS string must resolve back to that record's pid.
+"""
+
+import pandas as pd
+import pytest
+
+from address_address_matching_ray.config import PipelineConfig
+from address_address_matching_ray.sources.records import (
+    FIXTURE_RECORDS, fixture_records_table, synth_records,
+)
+
+
+def _queries_ds(ray_session, strings):
+    import pyarrow as pa
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "query_id": pa.array(range(len(strings)), pa.uint64()),
+        "query": pa.array(strings, pa.string())}))
+
+
+@pytest.fixture(scope="module")
+def records_ds(ray_session):
+    import ray.data as rd
+
+    return rd.from_arrow(fixture_records_table()).union(
+        synth_records(300, seed=42)).materialize()
+
+
+def test_roundtrip_self_match(ray_session, records_ds):
+    """U:1656 analog: every fixture record's ADDRESS resolves to its own
+    pid with a reliable level."""
+    from address_address_matching_ray.pipelines.matching import match_queries
+
+    queries = [r["ADDRESS"] for r in FIXTURE_RECORDS]
+    out = match_queries(_queries_ds(ray_session, queries), records_ds,
+                        buckets=4).to_pandas()
+    out = out.sort_values("query_id")
+    assert len(out) == len(queries)
+    got = out.pid.tolist()
+    want = [r["pid"] for r in FIXTURE_RECORDS]
+    assert got == want, list(zip(queries, got, want))
+    assert (out.confidence >= 85).all()
+
+
+def test_canonical_tricky_queries(ray_session, records_ds):
+    """The five tricky parse cases (U:1772-1778) as raw query strings —
+    unit-first forms must land on the right record."""
+    from address_address_matching_ray.pipelines.matching import match_queries
+
+    cases = {
+        "85-101 North 3rd Street Brooklyn, NY 11249": "test_001",
+        "3R 112 Bedford Avenue Brooklyn, NY 11211": "test_002",
+        "1H 55 Berry Street Brooklyn, NY 11211": "test_003",
+        "21F 22 NORTH 6 STREET Brooklyn, NY 11249": "test_004",
+        "3Q 60 Broadway Brooklyn, NY 11249": "test_005",
+    }
+    out = match_queries(_queries_ds(ray_session, list(cases)), records_ds,
+                        buckets=4).to_pandas().sort_values("query_id")
+    assert out.pid.tolist() == list(cases.values()), out[["query", "pid", "confidence"]]
+
+
+def test_failed_and_n8n(ray_session, records_ds):
+    from address_address_matching_ray.pipelines.matching import (
+        attach_failed, match_queries, to_n8n_format,
+    )
+
+    qs = _queries_ds(ray_session, [
+        "55 Berry Street Apt 1H Brooklyn NY 11211",
+        "9999 Nonexistent Plaza Nowhere ZZ 00000",
+        "",
+    ])
+    matches = match_queries(qs, records_ds, buckets=4).materialize()
+    full = attach_failed(qs, matches).to_pandas().sort_values("query_id")
+    assert len(full) == 3
+    assert full.match_level.tolist()[0] != "failed"
+    assert full.match_level.tolist()[1] == "failed"
+    assert full.match_level.tolist()[2] == "failed"
+
+    n8n = to_n8n_format(matches).to_pandas()
+    assert set(n8n.columns) == {"query_id", "success", "address_id",
+                                "confidence", "reliability"}
+    assert n8n.success.all()
+
+
+def test_unit_priority(ray_session):
+    """A unit-bearing query prefers the unit-exact record over a same-
+    address record without unit (U:911-943 collapse)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from address_address_matching_ray.pipelines.matching import match_queries
+
+    recs = rd.from_arrow(pa.table({
+        "pid": ["no_unit", "right_unit", "wrong_unit"],
+        "ADDRESS": ["77 Kent Avenue Brooklyn, NY 11249",
+                    "77 Kent Avenue Apt 4B Brooklyn, NY 11249",
+                    "77 Kent Avenue Apt 9Z Brooklyn, NY 11249"],
+        "HOUSE": ["77", "77", "77"], "STREET": ["Kent", "Kent", "Kent"],
+        "STRTYPE": ["Ave", "Ave", "Ave"], "PREDIR": ["", "", ""],
+        "CITY": ["Brooklyn"] * 3, "STATE": ["NY"] * 3,
+        "ZIP_CODE": ["11249"] * 3, "APTNBR": ["", "4B", "9Z"]}))
+    out = match_queries(
+        _queries_ds(ray_session, ["77 Kent Avenue Apt 4B Brooklyn NY 11249"]),
+        recs, buckets=2).to_pandas()
+    assert out.pid.tolist() == ["right_unit"]
+    assert bool(out.unit_exact.iloc[0])

@@ -33,8 +33,10 @@ def test_parse_components_canonical():
     # primary path keeps house ranges whole (usaddress semantics)
     assert got["85-101 North 3rd Street Brooklyn, NY 11249"] == (
         "", "85-101", "North 3rd", "st", "Brooklyn", "NY", "11249")
+    # known-city peel: "Brooklyn" moves from street to city (usaddress
+    # PlaceName semantics; CITY_MAPPING values are lowercase)
     assert got["3Q 60 Broadway Brooklyn, NY 11249"] == (
-        "3Q", "60", "Broadway Brooklyn", "", "Brooklyn", "NY", "11249")
+        "3Q", "60", "Broadway", "", "Brooklyn", "NY", "11249")
     # plain house numbers are NOT units (primary-path gate, U:416-424)
     assert got["490 Court Street New York, NY 10007"] == (
         "", "490", "Court", "st", "Brooklyn", "NY", "10007")
