@@ -53,7 +53,19 @@ def run_linkage(pages_ds, cfg: PipelineConfig | None = None,
     def build_edges(extracted):
         keys = keys_stage(extracted, cfg)
         pairs = pairs_stage(keys, cfg, buckets=buckets)
-        return score_stage(pairs, cfg)
+        edges = score_stage(pairs, cfg)
+        if checkpoint_root:
+            import numpy as np
+            import pandas as pd
+
+            def add_part(df: pd.DataFrame) -> pd.DataFrame:
+                df = df.copy()
+                df["part"] = (df["left_id"].to_numpy(dtype="uint64")
+                              % np.uint64(num_partitions)).astype("int64")
+                return df
+
+            edges = edges.map_batches(add_part, batch_format="pandas")
+        return edges
 
     def build_clusters(extracted, edges):
         accepted = edges.filter(expr="accepted == True")
@@ -67,7 +79,8 @@ def run_linkage(pages_ds, cfg: PipelineConfig | None = None,
         mgr = CheckpointManager(checkpoint_root, input_fp, cfg.fingerprint())
         extracted, hit["extracted"] = mgr.load_or_compute("extracted", build_extracted)
         edges, hit["edges"] = mgr.load_or_compute(
-            "edges", lambda: build_edges(extracted))
+            "edges", lambda: build_edges(extracted),
+            partition_col="part")  # one dir per left_id hash range
         clusters, hit["clusters"] = mgr.load_or_compute(
             "clusters", lambda: build_clusters(extracted, edges))
     else:

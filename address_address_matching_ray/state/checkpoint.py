@@ -49,11 +49,19 @@ class CheckpointManager:
                 and m.get("config_fingerprint") == self.config_fp
                 and m.get("complete") is True)
 
-    def load_or_compute(self, stage: str, compute, *, num_rows_hint: int | None = None):
+    def load_or_compute(self, stage: str, compute, *,
+                        partition_col: str | None = None,
+                        num_rows_hint: int | None = None):
         """Return a Dataset for ``stage``: read back a valid checkpoint,
         else run ``compute()`` (→ Dataset), persist it atomically, and
         read it back (so downstream consumes the checkpoint, making the
-        write the lineage barrier)."""
+        write the lineage barrier).
+
+        ``partition_col`` lays the stage out as one directory per key
+        range (``<stage>/<col>=<v>/``) — the resumable-output layout:
+        a re-run of a *downstream* stage prunes to the partitions it
+        needs, and partial outputs of a crashed write never become
+        visible (temp dir + atomic rename)."""
         import ray.data as rd
 
         data_path = self._data_path(stage)
@@ -64,7 +72,10 @@ class CheckpointManager:
         ds = compute()
         tmp = data_path + f".tmp-{uuid.uuid4().hex[:8]}"
         os.makedirs(tmp, exist_ok=True)
-        ds.write_parquet(tmp)
+        if partition_col is not None:
+            ds.write_parquet(tmp, partition_cols=[partition_col])
+        else:
+            ds.write_parquet(tmp)
         if os.path.isdir(data_path):
             shutil.rmtree(data_path)
         os.replace(tmp, data_path)
