@@ -35,21 +35,30 @@ def _norm_text(s: pd.Series) -> pd.Series:
     return s.fillna("").str.lower().str.split().str.join(" ")
 
 
-def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id",
+                buckets: int = 64):
     """One representative row (min id) per distinct normalized text.
-    ``groupby(norm_text)`` hash shuffle + vectorized per-group argmin."""
-    def add_norm(df: pd.DataFrame) -> pd.DataFrame:
+
+    Bucketed shuffle (``hash(norm) % B``) with ONE vectorized pandas
+    dedup per bucket — a per-distinct-text ``map_groups`` would pay a
+    Python call per tiny group, the wrong shape at 10^12 rows.
+    """
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["_norm"] = _norm_text(df[text_col])
+        h = pd.util.hash_array(df["_norm"].to_numpy(dtype=object))
+        df["_bucket"] = (h % np.uint64(buckets)).astype("int64")
         return df
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        keep = g.sort_values(id_col, kind="mergesort").iloc[:1]
-        return keep.assign(n_dups=len(g))
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([("_norm"), (id_col)], kind="mergesort")
+        counts = g.groupby("_norm", sort=False)[id_col].transform("size")
+        g = g.assign(n_dups=counts.astype("int64"))
+        g = g.drop_duplicates("_norm", keep="first")
+        return g.drop(columns=["_norm", "_bucket"]).reset_index(drop=True)
 
-    out = (docs_ds.map_batches(add_norm, batch_format="pandas")
-           .groupby("_norm").map_groups(keep_first, batch_format="pandas"))
-    return out.drop_columns(["_norm"])
+    return (docs_ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("_bucket").map_groups(dedup_bucket, batch_format="pandas"))
 
 
 class _NearDupKeyer:

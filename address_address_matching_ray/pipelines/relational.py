@@ -149,21 +149,32 @@ def distinct_event_types(sf_dir: str):
         lambda t: t.rename_columns(["event_type", "n"]), batch_format="pyarrow")
 
 
-def user_sessions(sf_dir: str, gap_minutes: int = 30):
-    """Sessionization (stream-shaped op): per-user ts-sorted gap split
-    inside ``groupby(user).map_groups`` — the ordering contract is
-    per-group sort, not global order (SURVEY §2.10)."""
+def user_sessions(sf_dir: str, gap_minutes: int = 30, buckets: int = 64):
+    """Sessionization (stream-shaped op): gap-split per user, bucketed —
+    one vectorized task handles all users of a hash bucket (per-user
+    ``map_groups`` would pay a Python call per user).  Ordering contract:
+    sort within (user) inside the bucket, never globally (SURVEY §2.10)."""
     ds = read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        gaps = g["ts"].diff().dt.total_seconds().fillna(1e18)
-        sid = (gaps > gap_minutes * 60).cumsum()
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = (df["user_id"].to_numpy() % buckets).astype("int64")
+        return df
+
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gaps = g["ts"].diff().dt.total_seconds()
+        brk = new_user | (gaps > gap_minutes * 60)
+        sid = brk.cumsum()
         out = g.groupby(sid).agg(
             user_id=("user_id", "first"),
             session_start=("ts", "min"), session_end=("ts", "max"),
             n_events=("event_id", "count"))
         return out.reset_index(drop=True)
 
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    out = (ds.map_batches(add_bucket, batch_format="pandas")
+           .groupby("_b").map_groups(
+               lambda g: sessions_bucket(g.drop(columns=["_b"])),
+               batch_format="pandas"))
     return out.sort(["user_id", "session_start"])

@@ -122,20 +122,87 @@ def _bucket_of(h: np.ndarray, buckets: int) -> np.ndarray:
     return (h % np.uint64(buckets)).astype("int64")
 
 
+def _find_hot_keys(keys_ds, threshold: int, buckets: int = 64) -> set:
+    """Pass 0: keys whose row count exceeds ``threshold``.
+
+    Shape matters: a ``groupby(block_key).sum`` would create millions of
+    single-row groups (Python-per-group in the aggregate finalize — it
+    measured 570 s on 12M keys).  Instead: project to the bare key
+    column, per-batch partial counts (combiner), bucket by
+    ``hash(key) % B``, ONE vectorized value_counts per bucket.
+    """
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["block_key"].value_counts()
+        out = pd.DataFrame({"block_key": vc.index.astype(str),
+                            "c": vc.to_numpy().astype("int64")})
+        h = pd.util.hash_array(out["block_key"].to_numpy(dtype=object))
+        out["_b"] = (h % np.uint64(buckets)).astype("int64")
+        return out
+
+    def hot_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sums = g.groupby("block_key", sort=False)["c"].sum()
+        hot = sums[sums > threshold]
+        return pd.DataFrame({"block_key": hot.index.astype(str),
+                             "n": hot.to_numpy()})
+
+    hot_pdf = (keys_ds.select_columns(["block_key"])
+               .map_batches(partial, batch_format="pandas")
+               .groupby("_b").map_groups(
+                   lambda g: hot_in_bucket(g.drop(columns=["_b"])),
+                   batch_format="pandas")
+               .to_pandas())
+    return set(hot_pdf["block_key"]) if len(hot_pdf) else set()
+
+
 def pairs_stage(keys_ds, cfg: PipelineConfig | None = None,
-                buckets: int = 64):
+                buckets: int = 64, salt_hot: bool = True):
     """keys → deduped candidate pairs.
 
+    Shuffle #0 (optional, combiner-pre-aggregated): count keys → hot set.
     Shuffle #1: ``groupby(key_bucket)`` (key = hash(block_key) % B).
     Shuffle #2: ``groupby(pair_bucket)`` for cross-key dedup — smaller
     input (pairs already deduped per key-bucket).
+
+    Skew: keys hotter than ``8 × cfg.max_block_size`` are SALTED —
+    ``key#s{doc_id % salt_buckets}`` spreads one mega-block's ingestion
+    across tasks (window capping alone bounds compute but still lands
+    the whole block on one reducer).  Cross-salt connectivity for
+    genuinely-duplicate content is kept by a ``key#bridge`` block
+    holding a deterministic ~1/salt sample of the hot key's members
+    (SURVEY §4.2: score cross-salt pairs against a capped sample).
     """
     cfg = cfg or PipelineConfig()
 
+    hot: set = set()
+    if salt_hot:
+        # pass 0 consumes keys lazily: recomputing the (cheap, stateless)
+        # key derivation from the materialized/checkpointed upstream is
+        # cheaper than pinning the full key table in the object store
+        hot = _find_hot_keys(keys_ds, threshold=8 * cfg.max_block_size,
+                             buckets=buckets)
+
+    import ray
+
+    hot_ref = ray.put(hot)
+    salt_n = max(2, cfg.salt_buckets)
+
     def add_key_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        hotset = ray.get(hot_ref)
+        if hotset:
+            is_hot = df["block_key"].isin(hotset).to_numpy()
+            if is_hot.any():
+                ids = df["doc_id"].to_numpy(dtype="uint64")
+                bridge = df[is_hot & (((ids // salt_n) % salt_n) == 0)].copy()
+                bridge["block_key"] = bridge["block_key"] + "#bridge"
+                bk = df["block_key"].to_numpy(dtype=object)
+                salts = (ids % np.uint64(salt_n)).astype("int64")
+                bk[is_hot] = [f"{k}#s{s}" for k, s in
+                              zip(bk[is_hot], salts[is_hot])]
+                df["block_key"] = bk
+                df = pd.concat([df, bridge], ignore_index=True)
         h = pd.util.hash_array(df["block_key"].to_numpy(dtype=object),
                                categorize=False)
-        df = df.copy()
         df["key_bucket"] = _bucket_of(h, buckets)
         return df
 

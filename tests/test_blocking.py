@@ -116,3 +116,35 @@ def test_pair_indices_window_bounds():
     assert len(li) <= 40 + 20
     assert dropped == 20 * 19 // 2 - len(li)
     assert (li < ri).all()
+
+
+def test_hot_key_salting(ray_session):
+    """A mega-block is split into salt sub-blocks + a bridge block; the
+    union of emitted pairs still connects the whole block."""
+    import ray.data as rd
+    from address_address_matching_ray.stages.pairs import pairs_stage
+
+    cfg = PipelineConfig(max_block_size=4, max_pairs_per_block=40,
+                         salt_buckets=3)
+    rows = _key_rows("mega", list(range(120)))
+    out = pairs_stage(rd.from_pandas(rows), cfg, buckets=4,
+                      salt_hot=True).to_pandas()
+    # salted sub-blocks + bridge present
+    assert set(out.block_key) >= {"mega#s0", "mega#s1", "mega#s2", "mega#bridge"}
+    # connectivity: union-find over the emitted pairs joins all 120 ids
+    parent = {i: i for i in range(120)}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for l, r in zip(out.left_id, out.right_id):
+        a, b = find(int(l)), find(int(r))
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    assert len({find(i) for i in range(120)}) == 1
+
+    # salting off → single block, window+star capped
+    out2 = pairs_stage(rd.from_pandas(rows), cfg, buckets=4,
+                       salt_hot=False).to_pandas()
+    assert set(out2.block_key) == {"mega"}
