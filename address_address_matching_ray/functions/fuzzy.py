@@ -274,6 +274,29 @@ def batch_partial_ratio(a_strs, b_strs) -> np.ndarray:
     return out
 
 
+def apply_unique_pairs(fn, a_strs, b_strs) -> np.ndarray:
+    """Run a batched pair-metric only on the DISTINCT (a, b) string
+    pairs of a batch and scatter the results back.  Candidate batches
+    repeat the same component strings heavily (each doc appears in many
+    pairs; streets/cities repeat across docs), so this typically cuts
+    the DP work several-fold."""
+    import pandas as pd
+
+    A = np.asarray(a_strs, dtype=object)
+    B = np.asarray(b_strs, dtype=object)
+    ca, _ = pd.factorize(A)
+    cb, ub = pd.factorize(B)
+    codes = ca.astype(np.int64) * (len(ub) + 1) + cb
+    order = np.argsort(codes, kind="stable")
+    sorted_codes = codes[order]
+    uniq_mask = np.concatenate([[True], sorted_codes[1:] != sorted_codes[:-1]])
+    first = order[uniq_mask]                      # representative row per pair
+    inv = np.empty(len(codes), dtype=np.int64)
+    inv[order] = np.cumsum(uniq_mask) - 1
+    vals = np.asarray(fn([A[i] for i in first], [B[i] for i in first]))
+    return vals[inv]
+
+
 def batch_jaccard(a_strs, b_strs) -> np.ndarray:
     """Token-set Jaccard per pair (strings pre-normalized, ws-tokenized)."""
     return np.fromiter((jaccard(a.split(), b.split()) for a, b in zip(a_strs, b_strs)),

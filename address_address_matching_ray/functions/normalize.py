@@ -103,8 +103,21 @@ def normalize_series(s: pd.Series) -> pd.Series:
 
 
 def normalize_array(arr) -> np.ndarray:
-    """``normalize`` over any array-like → numpy object array."""
-    return normalize_series(pd.Series(arr, dtype="object")).to_numpy()
+    """``normalize`` over any array-like → numpy object array.
+
+    Normalizes each DISTINCT string once (pair batches repeat the same
+    component strings heavily) and scatters results back.
+    """
+    a = np.asarray(arr, dtype=object)
+    if len(a) == 0:
+        return a
+    codes, uniques = pd.factorize(a)
+    norm_u = normalize_series(pd.Series(uniques, dtype="object")).to_numpy()
+    out = norm_u[codes]
+    if (codes < 0).any():                       # NaN/None slots
+        out = out.copy()
+        out[codes < 0] = ""
+    return out
 
 
 def normalize_unit(unit: str) -> str:

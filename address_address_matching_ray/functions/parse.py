@@ -293,7 +293,9 @@ def parse_location(location_part: str, default_city: str = "Brooklyn",
 # fallback would swallow every 3-digit house as a unit — U:482 pattern 1
 # — which the reference only hits when usaddress is absent).
 _UNIT_FIRST_RE = re.compile(r"^([0-9]*[A-Za-z][A-Za-z0-9]{0,2})\s+\d")
-_EXPLICIT_UNIT_RE = re.compile(r"\b(apt|suite|unit|#)\s*([A-Z0-9]{1,3})\b",
+# "#" carries no word boundary after a space, so it gets its own branch
+# (the faithful U:482 pattern 2 misses "St #7F"; usaddress would not)
+_EXPLICIT_UNIT_RE = re.compile(r"(?:\b(apt|suite|unit)\s*|#\s*)([A-Z0-9]{1,3})\b",
                                re.IGNORECASE)
 _HOUSE_RANGE_FIRST = [re.compile(p) for p in (
     r"^(\d+-\d+)",            # ranges whole, like usaddress ("85-101")

@@ -101,12 +101,22 @@ def component_scores(q: dict[str, np.ndarray], r: dict[str, np.ndarray]) -> dict
         st = np.full(len(idx), 100.0)
         nz = np.nonzero(~exact)[0]
         if len(nz):
-            st[nz] = fuzzy.batch_token_sort_ratio(
+            st[nz] = fuzzy.apply_unique_pairs(
+                fuzzy.batch_token_sort_ratio,
                 [q_clean[i].upper() for i in nz], [r_sub[i] for i in nz])
         scores["street"][idx] = st
-        # Soundex similarity (O:642-644)
+        # Soundex similarity (O:642-644) — memoized per distinct string
+        sx: dict[str, str] = {}
+
+        def _sx(s_: str) -> str:
+            v = sx.get(s_)
+            if v is None:
+                v = soundex(s_)
+                sx[s_] = v
+            return v
+
         scores["street_soundex"][idx] = [
-            100.0 if soundex(a) == soundex(b) else 0.0
+            100.0 if _sx(a) == _sx(b) else 0.0
             for a, b in zip(q_clean, r_sub)]
         # Unit scoring incl. units embedded in the record street (O:647-656)
         r_street_field = r_sname[idx]
@@ -119,7 +129,8 @@ def component_scores(q: dict[str, np.ndarray], r: dict[str, np.ndarray]) -> dict
         both = [bool(a) and bool(b) for a, b in zip(uq, ur)]
         bidx = np.nonzero(both)[0]
         if len(bidx):
-            vals = fuzzy.batch_ratio([uq[i] for i in bidx], [ur[i] for i in bidx])
+            vals = fuzzy.apply_unique_pairs(
+                fuzzy.batch_ratio, [uq[i] for i in bidx], [ur[i] for i in bidx])
             scores["unit"][idx[bidx]] = vals
 
     # House (O:659-673): exact → 100; fuzzy with −20 penalty below 90
@@ -135,7 +146,8 @@ def component_scores(q: dict[str, np.ndarray], r: dict[str, np.ndarray]) -> dict
         hv = np.full(len(hidx), 100.0)
         nz = np.nonzero(~eq)[0]
         if len(nz):
-            rat = fuzzy.batch_ratio([a[i] for i in nz], [b[i] for i in nz])
+            rat = fuzzy.apply_unique_pairs(
+                fuzzy.batch_ratio, [a[i] for i in nz], [b[i] for i in nz])
             hv[nz] = np.where(rat < 90, np.maximum(0.0, rat - 20.0), rat)
         scores["house"][hidx] = hv
 
@@ -144,7 +156,8 @@ def component_scores(q: dict[str, np.ndarray], r: dict[str, np.ndarray]) -> dict
     r_city = _as_str_array(r["city"])
     cidx = np.nonzero([bool(a) and bool(b) for a, b in zip(q_city, r_city)])[0]
     if len(cidx):
-        scores["city"][cidx] = fuzzy.batch_partial_ratio(
+        scores["city"][cidx] = fuzzy.apply_unique_pairs(
+            fuzzy.batch_partial_ratio,
             [q_city[i].lower() for i in cidx], [str(r_city[i]).lower() for i in cidx])
 
     # Zip (O:678-679)
@@ -152,7 +165,8 @@ def component_scores(q: dict[str, np.ndarray], r: dict[str, np.ndarray]) -> dict
     r_zip = _as_str_array(r["zip"])
     zidx = np.nonzero([bool(a) and bool(b) for a, b in zip(q_zip, r_zip)])[0]
     if len(zidx):
-        scores["zip"][zidx] = fuzzy.batch_ratio(
+        scores["zip"][zidx] = fuzzy.apply_unique_pairs(
+            fuzzy.batch_ratio,
             [q_zip[i] for i in zidx], [str(r_zip[i]) for i in zidx])
 
     # State (O:681-682)
@@ -160,7 +174,8 @@ def component_scores(q: dict[str, np.ndarray], r: dict[str, np.ndarray]) -> dict
     r_state = _as_str_array(r["state"])
     sidx = np.nonzero([bool(a) and bool(b) for a, b in zip(q_state, r_state)])[0]
     if len(sidx):
-        scores["state"][sidx] = fuzzy.batch_ratio(
+        scores["state"][sidx] = fuzzy.apply_unique_pairs(
+            fuzzy.batch_ratio,
             [q_state[i].upper() for i in sidx], [str(r_state[i]).upper() for i in sidx])
 
     return scores

@@ -47,6 +47,11 @@ def run_linkage(pages_ds, cfg: PipelineConfig | None = None,
     cfg = cfg or PipelineConfig()
     hit = {}
 
+    import ray.data as rd
+
+    ctx = rd.DataContext.get_current()
+    ctx.target_max_block_size = cfg.target_max_block_size_mb * 1024 * 1024
+
     def build_extracted():
         return extract_stage(pages_ds)
 

@@ -98,8 +98,18 @@ def _entity_address(cid: int, seed: int) -> str:
         if case_idx < len(CANONICAL_CASES):
             return CANONICAL_CASES[case_idx]
     h = _h(seed, 202, cid)
-    street_idx = h % len(STREETS)
-    street = STREETS[street_idx]
+    # street pool: named streets + generated numbered streets, so the
+    # entity address space scales with data size (a small fixed space
+    # makes distinct entities collide on full addresses at 10^6+ rows —
+    # a generator artifact, not a real-crawl property)
+    n_numbered = 180
+    street_idx = h % (len(STREETS) + n_numbered)
+    if street_idx < len(STREETS):
+        street = STREETS[street_idx]
+    else:
+        k = street_idx - len(STREETS) + 12
+        sfx = "th" if 10 <= k % 100 <= 20 else {1: "st", 2: "nd", 3: "rd"}.get(k % 10, "th")
+        street = f"East {k}{sfx} Street"
     city_idx = (h >> 8) % len(CITIES)
     city, state, zips = CITIES[city_idx]
     # zip is a function of (street, city): real streets live in one zip,

@@ -159,18 +159,29 @@ def attach_singletons(extracted_ds, labels_ds, num_partitions: int = 16,
         import ray
 
         lab = labels_ds.to_pandas()
-        mapping = (dict(zip(lab["doc_id"].astype("uint64"),
-                            lab["cluster_id"].astype("uint64")))
-                   if len(lab) and "doc_id" in lab.columns else {})
-        ref = ray.put(mapping)
+        if len(lab) and "doc_id" in lab.columns:
+            lab = lab.sort_values("doc_id")
+            keys_arr = lab["doc_id"].to_numpy(dtype="uint64")
+            vals_arr = lab["cluster_id"].to_numpy(dtype="uint64")
+        else:
+            keys_arr = np.array([], dtype="uint64")
+            vals_arr = np.array([], dtype="uint64")
+        # numpy arrays broadcast zero-copy from the object store (a dict
+        # would be re-deserialized in every task); lookup = searchsorted
+        ref = ray.put((keys_arr, vals_arr))
 
         def fill_map(df: pd.DataFrame) -> pd.DataFrame:
-            m = ray.get(ref)
-            doc = df["doc_id"].astype("uint64")
-            return pd.DataFrame({
-                "doc_id": doc,
-                "cluster_id": doc.map(m).fillna(doc).astype("uint64"),
-            })
+            k, v = ray.get(ref)
+            doc = df["doc_id"].to_numpy(dtype="uint64")
+            if len(k):
+                pos = np.searchsorted(k, doc)
+                pos = np.minimum(pos, len(k) - 1)
+                hit = k[pos] == doc
+                cid = np.where(hit, v[pos], doc)
+            else:
+                cid = doc
+            return pd.DataFrame({"doc_id": doc,
+                                 "cluster_id": cid.astype("uint64")})
 
         return docs.map_batches(fill_map, batch_format="pandas")
 

@@ -31,8 +31,10 @@ _COMMENT_RE = re.compile(r"(?s)<!--.*?-->")
 _TAG_RE = re.compile(r"(?s)<[^>]+>")
 _WS_RE = re.compile(r"\s+")
 
-# Address window: up to 8 word-ish tokens ending in a 5-digit zip.
-_ADDR_WINDOW_RE = re.compile(r"((?:[A-Za-z0-9#\-',.]+\s+){0,8}\d{5}(?:-\d{4})?)")
+# Address window: up to 10 word-ish tokens ending in a 5-digit zip
+# (house + directional + numbered street + type + unit pair + 2-word
+# city + state needs 9).
+_ADDR_WINDOW_RE = re.compile(r"((?:[A-Za-z0-9#\-',.]+\s+){0,10}\d{5}(?:-\d{4})?)")
 # Fallback: house number + words + street type, no zip.
 _ADDR_TYPE_RE = re.compile(
     r"\b(\d+[\w-]*\s+(?:[A-Za-z0-9#']+\s+){0,5}"
@@ -44,7 +46,9 @@ _LEAD_TOKEN_OK_RE = re.compile(r"^(?:\d|[A-Za-z0-9]{1,3}$|#)")
 
 def extract_text(raw: bytes | str) -> str:
     """html → visible text, deterministically: drop script/style/comment
-    blocks, strip tags, unescape entities, collapse whitespace."""
+    blocks, strip tags, unescape entities, collapse whitespace.
+    Scalar spec; the stage uses the vectorized ``extract_text_series``
+    (asserted equal in tests)."""
     if raw is None:
         return ""
     s = raw.decode("utf-8", "replace") if isinstance(raw, (bytes, bytearray)) else str(raw)
@@ -53,6 +57,25 @@ def extract_text(raw: bytes | str) -> str:
     s = _TAG_RE.sub(" ", s)
     s = html_mod.unescape(s)
     return _WS_RE.sub(" ", s).strip()
+
+
+def extract_text_series(raws: list) -> list[str]:
+    """Vectorized ``extract_text`` over a column: the regex chain runs
+    as whole-column pandas str ops; entity unescape (Python-level) runs
+    only on rows that contain '&'."""
+    decoded = [
+        "" if r is None else
+        (r.decode("utf-8", "replace") if isinstance(r, (bytes, bytearray)) else str(r))
+        for r in raws]
+    s = pd.Series(decoded, dtype="object")
+    s = s.str.replace(_SCRIPT_RE, " ", regex=True)
+    s = s.str.replace(_COMMENT_RE, " ", regex=True)
+    s = s.str.replace(_TAG_RE, " ", regex=True)
+    has_amp = s.str.contains("&", regex=False, na=False)
+    if has_amp.any():
+        s.loc[has_amp] = s.loc[has_amp].map(html_mod.unescape)
+    s = s.str.replace(_WS_RE, " ", regex=True).str.strip()
+    return s.tolist()
 
 
 _ALPHA_TOKEN_RE = re.compile(r"[A-Za-z]{2,}")
@@ -107,7 +130,7 @@ def extract_parse(batch: pa.Table, cfg=None) -> pa.Table:
         doc_id = hash_url(batch["url"])
 
     htmls = batch["html"].to_pylist()
-    extracted = [extract_text(h) for h in htmls]
+    extracted = extract_text_series(htmls)
     addrs = [extract_address(t) for t in extracted]
     parsed = [parse_components(a) for a in addrs]
 

@@ -54,8 +54,8 @@ class PairScorer:
         similarity = np.full(n, 100.0)
         nz = np.nonzero(~eq)[0]
         if len(nz):
-            similarity[nz] = fuzzy.batch_ratio(
-                [l_na[i] for i in nz], [r_na[i] for i in nz])
+            similarity[nz] = fuzzy.apply_unique_pairs(
+                fuzzy.batch_ratio, [l_na[i] for i in nz], [r_na[i] for i in nz])
 
         exact = scoring.exactness(similarity, confidence, comp)
         tier = scoring.assign_tier(confidence)

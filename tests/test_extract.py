@@ -71,3 +71,11 @@ def test_truth_batch_shape():
     tr = truth_batch(np.arange(0, 100))
     assert tr.num_rows == 100
     assert tr["cluster_id"].to_pylist()[:5] == [0] * 5  # hot cluster 0
+
+
+def test_extract_text_series_matches_scalar():
+    from address_address_matching_ray.stages.extract import extract_text_series
+
+    t = pages_batch(np.arange(100, 160), seed=42)
+    raws = t["html"].to_pylist() + [None, b"", "plain", b"<p>a &amp; b</p>"]
+    assert extract_text_series(raws) == [extract_text(r) for r in raws]
