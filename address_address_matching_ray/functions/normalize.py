@@ -173,6 +173,15 @@ def soundex(name: str) -> str:
     return out[:4].ljust(4, "0")
 
 
+def phonetic_code(name: str) -> str:
+    """Blocking-grade phonetic code: soundex of the letters + the
+    digits verbatim.  Soundex ignores digits entirely, so numbered
+    streets ("East 89th") would all collapse to one degenerate block
+    ("E000") — digits carry exact signal and stay."""
+    digits = "".join(ch for ch in name if ch.isdigit())
+    return f"{soundex(name)}{digits}"
+
+
 # ──────────────────────────────────────────────────────────────
 # Tokenization / keywords — ultimate_address_matcher.py:740-758
 # ──────────────────────────────────────────────────────────────

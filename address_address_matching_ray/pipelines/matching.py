@@ -30,7 +30,7 @@ import pyarrow as pa
 from address_address_matching_ray.config import PipelineConfig
 from address_address_matching_ray.functions import scoring
 from address_address_matching_ray.functions.normalize import (
-    normalize, normalize_array, soundex,
+    normalize, normalize_array, phonetic_code,
 )
 from address_address_matching_ray.functions.parse import (
     generate_variants, parse_address, parse_components,
@@ -73,7 +73,7 @@ def _query_keys(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
                 for k in (f"h:{c.house_number}|{sn}|{c.zip_code}",
                           f"h2:{c.house_number}|{sn}",
                           f"f:{c.house_number}|{first}|{c.zip_code}",
-                          f"s:{c.house_number}|{soundex(sn)}|{c.state.upper()}"):
+                          f"s:{c.house_number}|{phonetic_code(sn)}|{c.state.upper()}"):
                     if k not in seen_comp:
                         seen_comp.add(k)
                         keys.append(k)
@@ -106,7 +106,7 @@ def _record_keys(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
             keys.append(f"h:{house}|{sn}|{df['ZIP_CODE'].iloc[i]}")
             keys.append(f"h2:{house}|{sn}")
             keys.append(f"f:{house}|{first}|{df['ZIP_CODE'].iloc[i]}")
-            keys.append(f"s:{house}|{soundex(sn)}|{str(df['STATE'].iloc[i]).upper()}")
+            keys.append(f"s:{house}|{phonetic_code(sn)}|{str(df['STATE'].iloc[i]).upper()}")
         for k in keys:
             rows.append((i, k))
     idx = np.array([r[0] for r in rows], dtype=np.int64)

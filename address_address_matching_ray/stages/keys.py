@@ -36,7 +36,7 @@ import pyarrow as pa
 from address_address_matching_ray.config import PipelineConfig
 from address_address_matching_ray.functions.minhash import MinHasher, shingles
 from address_address_matching_ray.functions.normalize import (
-    normalize_array, soundex,
+    normalize_array, phonetic_code,
 )
 
 _SCHEME_RE = re.compile(r"^[a-z][a-z0-9+.-]*://", re.I)
@@ -119,7 +119,7 @@ class KeyDeriver:
             state = payload["state"][i]
             if house and sname:
                 emit(i, f"h:{house}|{sname}|{zipc}", "composite")
-                emit(i, f"s:{house}|{soundex(sname)}|{state.upper()}", "phonetic")
+                emit(i, f"s:{house}|{phonetic_code(sname)}|{state.upper()}", "phonetic")
             if toks[i]:
                 for bk in band_keys[i]:
                     emit(i, bk, "lsh_band")
