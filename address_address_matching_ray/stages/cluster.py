@@ -100,6 +100,16 @@ def connected_components(edges_ds, num_partitions: int = 16,
         labels = _project(
             cand.union(labels).groupby("node").min("cluster_id"),
             {"node": "node", "min(cluster_id)": "cluster_id"}).materialize()
+        # pointer jump: label(n) ← label(label(n)) — collapses chains
+        # exponentially (O(log diameter) rounds total instead of
+        # O(diameter)); every label value is itself a labeled node
+        # (the min member), so the self-join is total.
+        jump = labels.join(labels, join_type="inner",
+                           num_partitions=num_partitions,
+                           on=("cluster_id",), right_on=("node",),
+                           left_suffix="", right_suffix="_r")
+        labels = _project(jump, {"node": "node",
+                                 "cluster_id_r": "cluster_id"}).materialize()
         cur_sum = labels.sum("cluster_id")
         if cur_sum == prev_sum:
             break

@@ -148,3 +148,21 @@ def test_self_match_roundtrip(linkage_run):
     # hot cluster 0 (docs 0..99) must be one got-cluster
     hot = clusters[clusters.doc_id < 100]
     assert hot.cluster_id.nunique() == 1
+
+
+def test_distributed_cc_long_chain(ray_session):
+    """The distributed path must converge on a path graph in
+    O(log diameter) rounds (pointer jumping), not O(diameter)."""
+    import pandas as pd
+    import ray.data as rd
+    from address_address_matching_ray.stages.cluster import connected_components
+
+    n = 400
+    edges = rd.from_pandas(pd.DataFrame({
+        "left_id": pd.array(range(n - 1), dtype="uint64"),
+        "right_id": pd.array(range(1, n), dtype="uint64")}))
+    labels = connected_components(edges, num_partitions=2,
+                                  max_iters=12, driver_threshold=0)
+    df = labels.to_pandas()
+    assert len(df) == n
+    assert (df.cluster_id == 0).all()
