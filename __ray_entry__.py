@@ -10,6 +10,11 @@ rows-only checks; the pytest suite carries their correctness gates).
 
 Ray is initialised by the driver BEFORE this module is imported — no
 ``ray.init``/``ray.shutdown`` anywhere in the library.
+
+NOTE: Ray worker processes must be able to import
+``address_address_matching_ray`` — run with the repo root as cwd (the
+driver does) or on PYTHONPATH; the driver-side sys.path is not
+propagated to workers.
 """
 
 from __future__ import annotations

@@ -66,17 +66,30 @@ def _query_keys(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
         # component keys from the U-parser over the query AND its
         # variants (M15 — the variant generator IS the key fan-out)
         for v in [q] + generate_variants(q, cfg.max_variants)[:cfg.variants_per_tier]:
-            c = parse_components(v)
-            if c.house_number and c.street_name:
-                sn = normalize(c.street_name)
+            cv = parse_components(v)
+            if cv.house_number and cv.street_name:
+                sn = normalize(cv.street_name)
                 first = sn.split()[0] if sn else ""
-                for k in (f"h:{c.house_number}|{sn}|{c.zip_code}",
-                          f"h2:{c.house_number}|{sn}",
-                          f"f:{c.house_number}|{first}|{c.zip_code}",
-                          f"s:{c.house_number}|{phonetic_code(sn)}|{c.state.upper()}"):
+                for k in (f"h:{cv.house_number}|{sn}|{cv.zip_code}",
+                          f"h2:{cv.house_number}|{sn}",
+                          f"f:{cv.house_number}|{first}|{cv.zip_code}",
+                          f"s:{cv.house_number}|{phonetic_code(sn)}|{cv.state.upper()}"):
                     if k not in seen_comp:
                         seen_comp.add(k)
                         keys.append(k)
+        if not (c.house_number and c.street_name):
+            # degraded query (semantic/phonetic/keyword tiers, U:894-905):
+            # retrieve by street-ish keywords scoped to zip/state
+            from address_address_matching_ray.functions.normalize import (
+                extract_keywords,
+            )
+
+            scope = c.zip_code or c.state.upper()
+            for kw in extract_keywords(normalize(q))[:3]:
+                k = f"k:{kw}|{scope}"
+                if k not in seen_comp:
+                    seen_comp.add(k)
+                    keys.append(k)
         for k in keys:
             rows.append((qid, k, *payload))
     cols = list(zip(*rows)) if rows else [[]] * (2 + len(Q_PAYLOAD))
@@ -107,6 +120,11 @@ def _record_keys(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
             keys.append(f"h2:{house}|{sn}")
             keys.append(f"f:{house}|{first}|{df['ZIP_CODE'].iloc[i]}")
             keys.append(f"s:{house}|{phonetic_code(sn)}|{str(df['STATE'].iloc[i]).upper()}")
+        if sn:
+            # keyword-tier retrieval targets (degraded queries)
+            first = sn.split()[0]
+            keys.append(f"k:{first}|{df['ZIP_CODE'].iloc[i]}")
+            keys.append(f"k:{first}|{str(df['STATE'].iloc[i]).upper()}")
         for k in keys:
             rows.append((i, k))
     idx = np.array([r[0] for r in rows], dtype=np.int64)

@@ -108,3 +108,17 @@ def test_unit_priority(ray_session):
         recs, buckets=2).to_pandas()
     assert out.pid.tolist() == ["right_unit"]
     assert bool(out.unit_exact.iloc[0])
+
+
+def test_degraded_query_keyword_tier(ray_session, records_ds):
+    """A query with no house number still retrieves via keyword keys
+    (the reference's semantic/phonetic/keyword tiers, U:894-905)."""
+    from address_address_matching_ray.pipelines.matching import match_queries
+
+    out = match_queries(
+        _queries_ds(ray_session, ["Berry Street Brooklyn, NY 11211"]),
+        records_ds, buckets=4).to_pandas()
+    assert len(out) == 1
+    assert out.pid.iloc[0] is not None
+    # street matches a Berry record; confidence reflects the formulas
+    assert "Berry" in out.ADDRESS.iloc[0]
