@@ -76,8 +76,12 @@ def _q_linkage_edges(sf_dir: str):
     from address_address_matching_ray.pipelines.linkage import run_linkage
 
     res = run_linkage(_pages(sf_dir), buckets=16, num_partitions=4)
-    return res.edges.filter(expr="accepted == True").select_columns(
+    edges = res.edges.filter(expr="accepted == True").select_columns(
         ["left_id", "right_id", "tier", "confidence", "similarity", "exact"])
+    # edges may hold one row per (pair, blocking key); unique pairs here
+    return (edges.to_pandas()
+            .drop_duplicates(["left_id", "right_id"])
+            .sort_values(["left_id", "right_id"]).reset_index(drop=True))
 
 
 def _q_extracted(sf_dir: str):

@@ -57,7 +57,13 @@ def run_linkage(pages_ds, cfg: PipelineConfig | None = None,
 
     def build_edges(extracted):
         keys = keys_stage(extracted, cfg)
-        pairs = pairs_stage(keys, cfg, buckets=buckets)
+        # cross-key pair dedup skipped: duplicate scoring (memoized) is
+        # ~35% cheaper than shuffling the pair table, and clustering is
+        # idempotent to duplicate edges.  ``edges`` may therefore hold
+        # >1 row per (left_id, right_id) — consumers needing unique
+        # pairs (exports, per-pair metrics) drop duplicates.
+        pairs = pairs_stage(keys, cfg, buckets=buckets,
+                            dedup_cross_key=False)
         edges = score_stage(pairs, cfg)
         if checkpoint_root:
             import numpy as np

@@ -155,7 +155,8 @@ def _find_hot_keys(keys_ds, threshold: int, buckets: int = 64) -> set:
 
 
 def pairs_stage(keys_ds, cfg: PipelineConfig | None = None,
-                buckets: int = 64, salt_hot: bool = True):
+                buckets: int = 64, salt_hot: bool = True,
+                dedup_cross_key: bool = True):
     """keys → deduped candidate pairs.
 
     Shuffle #0 (optional, combiner-pre-aggregated): count keys → hot set.
@@ -210,6 +211,14 @@ def pairs_stage(keys_ds, cfg: PipelineConfig | None = None,
     pairs = bucketed.groupby("key_bucket").map_groups(
         lambda g: make_pairs_bucket(g.drop(columns=["key_bucket"]), cfg),
         batch_format="pandas")
+
+    if not dedup_cross_key:
+        # skip shuffle #2: a pair co-blocked under keys in different
+        # buckets gets scored more than once (dup factor ~1.2-2x) —
+        # cheaper than shuffling the pair table now that scoring is
+        # memoized; clustering is idempotent to duplicate edges.
+        # Downstream edge consumers must drop_duplicates themselves.
+        return pairs
 
     def add_pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
