@@ -43,8 +43,12 @@ class MinHasher:
     def __init__(self, num_perm: int = 64, seed: int = 42):
         rng = np.random.RandomState(seed)
         self.num_perm = num_perm
-        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        # a, b < 2^31 and inputs < 2^32 keep a*x + b < 2^63: the product
+        # never wraps uint64 before the Mersenne reduction, so this IS
+        # the universal hash family (a*x + b) mod (2^61 - 1) it claims
+        # (drawing a, b up to 2^61 made a*x wrap mod 2^64 first).
+        self.a = rng.randint(1, 1 << 31, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, 1 << 31, size=num_perm, dtype=np.uint64)
 
     def signature(self, token_hashes: np.ndarray) -> np.ndarray:
         """(num_perm,) uint32 signature of one document's token hashes."""
@@ -77,23 +81,45 @@ class MinHasher:
         return out
 
 
-def lsh_band_keys(signatures: np.ndarray, bands: int) -> list[list[str]]:
-    """Split each (num_perm,) signature into ``bands`` row-groups; each
-    band hashes to a blocking key ``"b{i}:{digest}"``.  Docs sharing any
-    band key become candidates (classic LSH banding)."""
+def lsh_band_digests(signatures: np.ndarray, bands: int) -> np.ndarray:
+    """(n, num_perm) signatures → (n, bands) uint64 band digests
+    (rows of each band xor-multiply-mixed, fully vectorized)."""
     n, num_perm = signatures.shape
     rows = num_perm // bands
-    keys: list[list[str]] = [[] for _ in range(n)]
     sig = signatures.reshape(n, bands, rows)
-    # mix rows within a band to one 64-bit digest, vectorized
     mult = np.uint64(0x9E3779B97F4A7C15)
     digest = np.zeros((n, bands), dtype=np.uint64)
     with np.errstate(over="ignore"):
         for r in range(rows):
             digest = (digest ^ sig[:, :, r]) * mult
-    for i in range(n):
-        keys[i] = [f"b{j}:{digest[i, j]:016x}" for j in range(bands)]
-    return keys
+    return digest
+
+
+def hex16(a: np.ndarray) -> np.ndarray:
+    """uint64 array → '%016x' strings WITHOUT a per-element format call:
+    big-endian byte view → one hex() of the whole buffer → fixed-width
+    S16 reinterpret → object array."""
+    if len(a) == 0:
+        return np.array([], dtype=object)
+    hx = np.ascontiguousarray(a, dtype=">u8").tobytes().hex()
+    return np.frombuffer(hx.encode("ascii"), dtype="S16").astype("U16").astype(object)
+
+
+def band_key_strings(digest: np.ndarray) -> np.ndarray:
+    """(n, bands) digests → flat (n*bands,) object array of
+    ``"b{band}:{digest:016x}"`` keys (row-major), vectorized."""
+    n, bands = digest.shape
+    prefixes = np.array([f"b{j}:" for j in range(bands)], dtype=object)
+    return np.tile(prefixes, n) + hex16(digest.ravel())
+
+
+def lsh_band_keys(signatures: np.ndarray, bands: int) -> list[list[str]]:
+    """Split each (num_perm,) signature into ``bands`` row-groups; each
+    band hashes to a blocking key ``"b{i}:{digest}"``.  Docs sharing any
+    band key become candidates (classic LSH banding)."""
+    n = signatures.shape[0]
+    flat = band_key_strings(lsh_band_digests(signatures, bands))
+    return [list(flat[i * bands:(i + 1) * bands]) for i in range(n)]
 
 
 class SimHasher:

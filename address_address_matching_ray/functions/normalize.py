@@ -182,6 +182,22 @@ def phonetic_code(name: str) -> str:
     return f"{soundex(name)}{digits}"
 
 
+def phonetic_code_array(arr) -> np.ndarray:
+    """``phonetic_code`` over an array — computed once per DISTINCT
+    value (street names repeat heavily) and scattered back."""
+    a = np.asarray(arr, dtype=object)
+    if len(a) == 0:
+        return a
+    codes, uniq = pd.factorize(a)
+    vals = np.array([phonetic_code(u) if isinstance(u, str) else ""
+                     for u in uniq], dtype=object)
+    out = vals[codes]
+    if (codes < 0).any():
+        out = out.copy()
+        out[codes < 0] = phonetic_code("")
+    return out
+
+
 # ──────────────────────────────────────────────────────────────
 # Tokenization / keywords — ultimate_address_matcher.py:740-758
 # ──────────────────────────────────────────────────────────────

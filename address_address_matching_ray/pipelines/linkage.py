@@ -38,14 +38,29 @@ def run_linkage(pages_ds, cfg: PipelineConfig | None = None,
                 checkpoint_root: str | None = None,
                 input_fp: str = "", buckets: int = 64,
                 num_partitions: int = 16,
-                cc_driver_threshold: int = 20_000_000):
+                cc_driver_threshold: int = 20_000_000,
+                approx_rows: int | None = None,
+                auto_spill_rows: int = 20_000_000):
     """pages Dataset → (extracted, edges, clusters) Datasets.
 
     With ``checkpoint_root`` set, ``extracted``/``edges``/``clusters``
     are checkpointed with lineage and reused on re-runs.
+
+    Without it, reused intermediates are pinned in the object store —
+    the right call for small/medium runs, a spill storm at 10^9+ rows.
+    Callers that know the input is big pass ``approx_rows``; above
+    ``auto_spill_rows`` the pipeline routes through a throwaway
+    checkpoint directory (parquet spill-through) instead of pinning.
     """
     cfg = cfg or PipelineConfig()
     hit = {}
+
+    if (checkpoint_root is None and approx_rows is not None
+            and approx_rows > auto_spill_rows):
+        import tempfile
+
+        checkpoint_root = tempfile.mkdtemp(prefix="linkage_spill_")
+        input_fp = input_fp or f"auto_spill_{approx_rows}"
 
     import ray.data as rd
 
@@ -55,15 +70,29 @@ def run_linkage(pages_ds, cfg: PipelineConfig | None = None,
     def build_extracted():
         return extract_stage(pages_ds)
 
-    def build_edges(extracted):
+    def build_edges(extracted, pin_keys: bool = False):
         keys = keys_stage(extracted, cfg)
+        keys_size = None
+        if pin_keys:
+            # two consumers (hot-key count + pair generation): pinning
+            # the key table saves one full re-derivation.  Only in the
+            # no-checkpoint (small/medium) path — the checkpointed path
+            # computes edges once and re-derivation is the scale-safe
+            # shape for the object store.
+            keys = keys.materialize()
+            keys_size = keys.size_bytes()
+        elif approx_rows is not None:
+            # rough shuffle-partition sizing hint: ~8 key rows/doc at
+            # ~135 B/row (measured on the synthetic corpus)
+            keys_size = approx_rows * 8 * 135
         # cross-key pair dedup skipped: duplicate scoring (memoized) is
         # ~35% cheaper than shuffling the pair table, and clustering is
         # idempotent to duplicate edges.  ``edges`` may therefore hold
         # >1 row per (left_id, right_id) — consumers needing unique
         # pairs (exports, per-pair metrics) drop duplicates.
         pairs = pairs_stage(keys, cfg, buckets=buckets,
-                            dedup_cross_key=False)
+                            dedup_cross_key=False,
+                            keys_size_bytes=keys_size)
         edges = score_stage(pairs, cfg)
         if checkpoint_root:
             import numpy as np
@@ -102,7 +131,7 @@ def run_linkage(pages_ds, cfg: PipelineConfig | None = None,
         # iteration.  ``extracted`` has already dropped ``html``, so
         # both are slim relative to the input.
         extracted = build_extracted().materialize()
-        edges = build_edges(extracted).materialize()
+        edges = build_edges(extracted, pin_keys=True).materialize()
         clusters = build_clusters(extracted, edges)
 
     return LinkageResult(extracted=extracted, edges=edges, clusters=clusters,

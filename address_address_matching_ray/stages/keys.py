@@ -34,13 +34,20 @@ import pandas as pd
 import pyarrow as pa
 
 from address_address_matching_ray.config import PipelineConfig
-from address_address_matching_ray.functions.minhash import MinHasher, shingles
+from address_address_matching_ray.functions.minhash import (
+    MinHasher, band_key_strings, lsh_band_digests, shingles,
+)
 from address_address_matching_ray.functions.normalize import (
-    normalize_array, phonetic_code,
+    normalize_array, phonetic_code_array,
 )
 
 _SCHEME_RE = re.compile(r"^[a-z][a-z0-9+.-]*://", re.I)
 _TRACKING_PARAM_RE = re.compile(r"^(utm_[a-z]+|ref|fbclid|gclid|mc_cid|mc_eid)$", re.I)
+# same param names as _TRACKING_PARAM_RE, anchored for in-place removal
+# from a full query string (vectorized path)
+_TRACK_Q_RE = re.compile(
+    r"(?:^|&)(?:utm_[a-z]+|ref|fbclid|gclid|mc_cid|mc_eid)(?:=[^&]*)?(?=&|$)",
+    re.I)
 
 PAYLOAD_COLS = ("norm_addr", "house", "street_name", "street_type",
                 "unit", "city", "state", "zip")
@@ -75,6 +82,35 @@ def canonical_url(url: str) -> str:
     return f"{host}{path}"
 
 
+def canonical_url_series(urls: pd.Series) -> pd.Series:
+    """Vectorized ``canonical_url`` (whole-column pandas str ops).
+
+    The scalar function is the spec; this path is asserted equal to it
+    in tests.  Rows whose surviving query string still holds ≥2 params
+    (needs the sort) fall back to the scalar — rare on web URLs, where
+    most decorations are tracking params that get dropped entirely.
+    """
+    s = urls.fillna("").astype(str).str.strip()
+    s = s.str.replace(_SCHEME_RE, "", regex=True)
+    s = s.str.split("#", n=1).str[0]
+    part = s.str.partition("?")
+    base, query = part[0], part[2]
+    hp = base.str.partition("/")
+    host = hp[0].str.lower().str.replace(r"^www\.", "", regex=True)
+    # "/"+path, then strip trailing slashes but never the lone "/"
+    path = ("/" + hp[2]).str.replace(r"(?<=.)/+$", "", regex=True)
+    # drop tracking params in place; collapse separators like the
+    # scalar's empty-part filter
+    q = query.str.replace(_TRACK_Q_RE, "", regex=True)
+    q = q.str.replace(r"&&+", "&", regex=True).str.strip("&")
+    out = host + path + np.where(q != "", "?", "") + q
+    out[s == ""] = ""
+    multi = q.str.contains("&", regex=False)
+    if multi.any():                      # needs param sorting → spec path
+        out[multi] = urls[multi].map(canonical_url)
+    return out
+
+
 class KeyDeriver:
     """Actor-pool stage: extracted → keys (one row per (doc, key))."""
 
@@ -88,43 +124,52 @@ class KeyDeriver:
         doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
         payload = {c: batch[c].to_pandas().fillna("").to_numpy(dtype=object)
                    for c in PAYLOAD_COLS}
-        urls = batch["url"].to_pandas().fillna("").to_numpy(dtype=object)
+        urls = batch["url"].to_pandas().fillna("")
         texts = batch["extracted_text"].to_pandas().fillna("").to_numpy(dtype=object)
 
         street_norm = normalize_array(payload["street_name"])
 
-        out_row: list[int] = []
-        out_key: list[str] = []
-        out_kind: list[str] = []
+        # fully vectorized key construction: each key family is one
+        # masked column concat (object-array "+"), no per-row Python
+        cu = canonical_url_series(urls).to_numpy(dtype=object)
+        idx_u = np.flatnonzero(cu != "")
 
-        def emit(i: int, key: str, kind: str) -> None:
-            out_row.append(i)
-            out_key.append(key)
-            out_kind.append(kind)
+        na = payload["norm_addr"]
+        idx_e = np.flatnonzero(na != "")
+
+        house, zipc = payload["house"], payload["zip"]
+        idx_h = np.flatnonzero((house != "") & (street_norm != ""))
+        h_keys = s_keys = np.array([], dtype=object)
+        if len(idx_h):
+            state_u = pd.Series(payload["state"][idx_h]).str.upper() \
+                        .to_numpy(dtype=object)
+            h_keys = ("h:" + house[idx_h] + "|" + street_norm[idx_h]
+                      + "|" + zipc[idx_h])
+            s_keys = ("s:" + house[idx_h] + "|"
+                      + phonetic_code_array(street_norm[idx_h])
+                      + "|" + state_u)
 
         # LSH bands over extracted-text token shingles (batched)
         toks = [shingles(t.lower().split(), cfg.shingle_size) for t in texts]
         sigs = self.minhasher.batch_signatures(toks)
-        from address_address_matching_ray.functions.minhash import lsh_band_keys
-        band_keys = lsh_band_keys(sigs, cfg.lsh_bands)
+        digests = lsh_band_digests(sigs, cfg.lsh_bands)      # (n, bands)
+        bkeys_flat = band_key_strings(digests)               # (n*bands,)
+        has_toks = np.fromiter((len(t) > 0 for t in toks), dtype=bool, count=n)
+        band_mask = np.repeat(has_toks, cfg.lsh_bands)
+        band_rows = np.repeat(np.arange(n, dtype=np.int64), cfg.lsh_bands)[band_mask]
 
-        for i in range(n):
-            cu = canonical_url(urls[i])
-            if cu:
-                emit(i, f"u:{cu}", "url_canon")
-            na = payload["norm_addr"][i]
-            if na:
-                emit(i, f"e:{na}", "exact")
-            house, sname, zipc = payload["house"][i], street_norm[i], payload["zip"][i]
-            state = payload["state"][i]
-            if house and sname:
-                emit(i, f"h:{house}|{sname}|{zipc}", "composite")
-                emit(i, f"s:{house}|{phonetic_code(sname)}|{state.upper()}", "phonetic")
-            if toks[i]:
-                for bk in band_keys[i]:
-                    emit(i, bk, "lsh_band")
+        row_of = np.concatenate([idx_u, idx_e, idx_h, idx_h, band_rows])
+        out_key = np.concatenate([
+            "u:" + cu[idx_u] if len(idx_u) else np.array([], dtype=object),
+            "e:" + na[idx_e] if len(idx_e) else np.array([], dtype=object),
+            h_keys, s_keys, bkeys_flat[band_mask]])
+        out_kind = np.concatenate([
+            np.full(len(idx_u), "url_canon", dtype=object),
+            np.full(len(idx_e), "exact", dtype=object),
+            np.full(len(idx_h), "composite", dtype=object),
+            np.full(len(idx_h), "phonetic", dtype=object),
+            np.full(len(band_rows), "lsh_band", dtype=object)])
 
-        row_of = np.asarray(out_row, dtype=np.int64)
         cols = {"doc_id": pa.array(doc_id[row_of], pa.uint64()),
                 "block_key": pa.array(out_key, pa.string()),
                 "key_kind": pa.array(out_kind, pa.string())}

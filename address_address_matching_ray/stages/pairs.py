@@ -30,9 +30,31 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from address_address_matching_ray.config import PipelineConfig
 from address_address_matching_ray.stages.keys import PAYLOAD_COLS
+
+
+def shuffle_partitions(size_bytes: int | None = None,
+                       target_bytes: int = 256 * 2**20,
+                       max_parts: int = 8192) -> int:
+    """Partition count for a wide shuffle: ≥ 2×cluster CPUs (keep every
+    core busy), ≥ size/target (bound per-partition bytes), ≤ max_parts.
+
+    Matters because Ray's sort shuffle creates in×out block fragments:
+    a 1-GB table arriving in 256 small blocks made 65k tiny shuffle
+    objects whose scheduling overhead dominated (45 s for ~15 s of
+    work); coalescing to 2×CPU blocks first cut the stage to 6 s.
+    """
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 16)) if ray.is_initialized() else 16
+    parts = 2 * cpus
+    if size_bytes:
+        parts = max(parts, -(-size_bytes // target_bytes))
+    return min(parts, max_parts)
 
 
 def _pair_indices(n: int, cfg: PipelineConfig) -> tuple[np.ndarray, np.ndarray, int]:
@@ -56,9 +78,50 @@ def _pair_indices(n: int, cfg: PipelineConfig) -> tuple[np.ndarray, np.ndarray, 
     return li, ri, total - len(li)
 
 
+def pairs_for_groups(starts: np.ndarray, sizes: np.ndarray, cfg: PipelineConfig
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                np.ndarray, np.ndarray]:
+    """Vectorized (gl, gr, group_start, specificity, dropped) pair-index
+    generation for MANY blocks at once.
+
+    Blocks under the caps are cross-paired in bulk, grouped by block
+    SIZE — one ``triu_indices`` per DISTINCT size, broadcast over every
+    block of that size.  A per-tiny-block Python loop (the previous
+    shape) was the measured linkage hot spot at 1M docs: millions of
+    2-5-member blocks each paying a Python iteration + several tiny
+    numpy allocations.  Oversized blocks (rare) still take the
+    windowed+star path individually.
+    """
+    total = sizes * (sizes - 1) // 2
+    normal = (sizes <= cfg.max_block_size) & (total <= cfg.max_pairs_per_block)
+    GL, GR, OWN, SP, DP = [], [], [], [], []
+    st_n, sz_n = starts[normal], sizes[normal]
+    for n in np.unique(sz_n):
+        li, ri = np.triu_indices(int(n), k=1)
+        s = st_n[sz_n == n]                      # all blocks of this size
+        npair = len(li)
+        GL.append((s[:, None] + li[None, :]).ravel())
+        GR.append((s[:, None] + ri[None, :]).ravel())
+        OWN.append(np.repeat(s, npair))
+        SP.append(np.full(len(s) * npair, min(100.0 / int(n), 20.0)))
+        DP.append(np.zeros(len(s) * npair, dtype="uint64"))
+    for s, n in zip(starts[~normal], sizes[~normal]):
+        li, ri, dropped = _pair_indices(int(n), cfg)
+        GL.append(s + li)
+        GR.append(s + ri)
+        OWN.append(np.full(len(li), s))
+        SP.append(np.full(len(li), min(100.0 / int(n), 20.0)))
+        DP.append(np.full(len(li), dropped, dtype="uint64"))
+    if not GL:
+        z = np.array([], dtype=np.int64)
+        return z, z, z, np.array([], dtype=np.float64), np.array([], dtype="uint64")
+    return (np.concatenate(GL), np.concatenate(GR), np.concatenate(OWN),
+            np.concatenate(SP), np.concatenate(DP))
+
+
 def make_pairs_bucket(df: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
-    """One bucket of key rows → canonical candidate pairs (vectorized;
-    the python loop runs only over distinct multi-member blocks)."""
+    """One bucket of key rows → canonical candidate pairs (fully
+    vectorized via ``pairs_for_groups``)."""
     if not len(df):
         return _empty_pairs()
     df = (df.sort_values(["block_key", "doc_id"], kind="mergesort")
@@ -66,29 +129,20 @@ def make_pairs_bucket(df: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
     keys_arr = df["block_key"].to_numpy(dtype=object)
     starts = np.flatnonzero(np.concatenate([[True], keys_arr[1:] != keys_arr[:-1]]))
     ends = np.concatenate([starts[1:], [len(df)]])
+    sizes = ends - starts
+    multi = sizes >= 2
+    if not multi.any():
+        return _empty_pairs()
+    gl, gr, own, sp, dp = pairs_for_groups(starts[multi], sizes[multi], cfg)
+    if not len(gl):
+        return _empty_pairs()
     ids = df["doc_id"].to_numpy(dtype="uint64")
     kinds = df["key_kind"].to_numpy(dtype=object)
-
-    GL, GR, BK, KK, SP, DP = [], [], [], [], [], []
-    for s, e in zip(starts, ends):
-        n = int(e - s)
-        if n < 2:
-            continue
-        li, ri, dropped = _pair_indices(n, cfg)
-        GL.append(s + li)
-        GR.append(s + ri)
-        BK.append(np.full(len(li), keys_arr[s], dtype=object))
-        KK.append(np.full(len(li), kinds[s], dtype=object))
-        SP.append(np.full(len(li), min(100.0 / n, 20.0)))
-        DP.append(np.full(len(li), dropped, dtype="uint64"))
-    if not GL:
-        return _empty_pairs()
-    gl, gr = np.concatenate(GL), np.concatenate(GR)
     # members are doc_id-sorted within a block → left < right already
     cols = {
         "left_id": ids[gl], "right_id": ids[gr],
-        "block_key": np.concatenate(BK), "key_kind": np.concatenate(KK),
-        "specificity": np.concatenate(SP), "dropped_pairs": np.concatenate(DP),
+        "block_key": keys_arr[own], "key_kind": kinds[own],
+        "specificity": sp, "dropped_pairs": dp,
     }
     for c in PAYLOAD_COLS:
         vals = df[c].to_numpy(dtype=object)
@@ -122,6 +176,17 @@ def _bucket_of(h: np.ndarray, buckets: int) -> np.ndarray:
     return (h % np.uint64(buckets)).astype("int64")
 
 
+def _hash_strings(arr) -> np.ndarray:
+    """Deterministic uint64 hash of an Arrow string array WITHOUT
+    per-element Python-object materialization (polars xxhash runs over
+    the Arrow buffers directly).  Used only for partition/bucket
+    placement — never for values — so cross-version stability is not
+    load-bearing."""
+    import polars as pl
+
+    return pl.from_arrow(arr).hash(seed=0).to_numpy().astype(np.uint64)
+
+
 def _find_hot_keys(keys_ds, threshold: int, buckets: int = 64) -> set:
     """Pass 0: keys whose row count exceeds ``threshold``.
 
@@ -131,13 +196,18 @@ def _find_hot_keys(keys_ds, threshold: int, buckets: int = 64) -> set:
     column, per-batch partial counts (combiner), bucket by
     ``hash(key) % B``, ONE vectorized value_counts per bucket.
     """
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        vc = df["block_key"].value_counts()
-        out = pd.DataFrame({"block_key": vc.index.astype(str),
-                            "c": vc.to_numpy().astype("int64")})
-        h = pd.util.hash_array(out["block_key"].to_numpy(dtype=object))
-        out["_b"] = (h % np.uint64(buckets)).astype("int64")
-        return out
+    def partial(t: pa.Table) -> pa.Table:
+        # Arrow-native per-batch combiner: value_counts + bucket id,
+        # no pandas/object conversion (the shuffle then moves compact
+        # Arrow string buffers, not pickled object arrays)
+        vc = pc.value_counts(t["block_key"].combine_chunks())
+        keys = vc.field("values")
+        h = _hash_strings(keys)
+        return pa.table({
+            "block_key": keys,
+            "c": pc.cast(vc.field("counts"), pa.int64()),
+            "_b": pa.array((h % np.uint64(buckets)).astype("int64")),
+        })
 
     def hot_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         sums = g.groupby("block_key", sort=False)["c"].sum()
@@ -146,7 +216,8 @@ def _find_hot_keys(keys_ds, threshold: int, buckets: int = 64) -> set:
                              "n": hot.to_numpy()})
 
     hot_pdf = (keys_ds.select_columns(["block_key"])
-               .map_batches(partial, batch_format="pandas")
+               .map_batches(partial, batch_format="pyarrow")
+               .repartition(shuffle_partitions())
                .groupby("_b").map_groups(
                    lambda g: hot_in_bucket(g.drop(columns=["_b"])),
                    batch_format="pandas")
@@ -156,7 +227,8 @@ def _find_hot_keys(keys_ds, threshold: int, buckets: int = 64) -> set:
 
 def pairs_stage(keys_ds, cfg: PipelineConfig | None = None,
                 buckets: int = 64, salt_hot: bool = True,
-                dedup_cross_key: bool = True):
+                dedup_cross_key: bool = True,
+                keys_size_bytes: int | None = None):
     """keys → deduped candidate pairs.
 
     Shuffle #0 (optional, combiner-pre-aggregated): count keys → hot set.
@@ -187,27 +259,42 @@ def pairs_stage(keys_ds, cfg: PipelineConfig | None = None,
     hot_ref = ray.put(hot)
     salt_n = max(2, cfg.salt_buckets)
 
-    def add_key_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
+    def add_key_bucket(t: pa.Table) -> pa.Table:
+        # Arrow in/out: blocks stay compact string buffers through the
+        # groupby shuffle (pandas object blocks pickled to 5× the bytes
+        # and dominated the exchange)
         hotset = ray.get(hot_ref)
         if hotset:
-            is_hot = df["block_key"].isin(hotset).to_numpy()
+            is_hot = pc.is_in(
+                t["block_key"],
+                value_set=pa.array(sorted(hotset), pa.string()),
+            ).to_numpy(zero_copy_only=False)
             if is_hot.any():
-                ids = df["doc_id"].to_numpy(dtype="uint64")
-                bridge = df[is_hot & (((ids // salt_n) % salt_n) == 0)].copy()
-                bridge["block_key"] = bridge["block_key"] + "#bridge"
-                bk = df["block_key"].to_numpy(dtype=object)
+                ids = t["doc_id"].to_numpy(zero_copy_only=False)
+                # bridge block: a deterministic ~1/salt sample of the hot
+                # key's members keeps cross-salt connectivity
+                bridge_mask = is_hot & (((ids // salt_n) % salt_n) == 0)
+                bridge = t.filter(pa.array(bridge_mask))
+                bridge = bridge.set_column(
+                    bridge.column_names.index("block_key"), "block_key",
+                    pc.binary_join_element_wise(
+                        bridge["block_key"],
+                        pa.array(["#bridge"] * bridge.num_rows), ""))
+                bk = t["block_key"].to_numpy(zero_copy_only=False).copy()
                 salts = (ids % np.uint64(salt_n)).astype("int64")
-                bk[is_hot] = [f"{k}#s{s}" for k, s in
-                              zip(bk[is_hot], salts[is_hot])]
-                df["block_key"] = bk
-                df = pd.concat([df, bridge], ignore_index=True)
-        h = pd.util.hash_array(df["block_key"].to_numpy(dtype=object),
-                               categorize=False)
-        df["key_bucket"] = _bucket_of(h, buckets)
-        return df
+                hot_idx = np.flatnonzero(is_hot)
+                bk[hot_idx] = (bk[hot_idx] + "#s"
+                               + salts[hot_idx].astype(str).astype(object))
+                t = t.set_column(t.column_names.index("block_key"),
+                                 "block_key", pa.array(bk, pa.string()))
+                t = pa.concat_tables([t, bridge])
+        h = _hash_strings(t["block_key"])
+        return t.append_column("key_bucket",
+                               pa.array(_bucket_of(h, buckets)))
 
-    bucketed = keys_ds.map_batches(add_key_bucket, batch_format="pandas")
+    nparts = shuffle_partitions(keys_size_bytes)
+    bucketed = (keys_ds.map_batches(add_key_bucket, batch_format="pyarrow")
+                .repartition(nparts))
     pairs = bucketed.groupby("key_bucket").map_groups(
         lambda g: make_pairs_bucket(g.drop(columns=["key_bucket"]), cfg),
         batch_format="pandas")
@@ -220,14 +307,15 @@ def pairs_stage(keys_ds, cfg: PipelineConfig | None = None,
         # Downstream edge consumers must drop_duplicates themselves.
         return pairs
 
-    def add_pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        h = (df["left_id"].to_numpy(dtype="uint64") * np.uint64(0x9E3779B97F4A7C15)
-             ^ df["right_id"].to_numpy(dtype="uint64"))
-        df["pair_bucket"] = _bucket_of(h, buckets)
-        return df
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            h = (t["left_id"].to_numpy(zero_copy_only=False).astype("uint64")
+                 * np.uint64(0x9E3779B97F4A7C15)
+                 ^ t["right_id"].to_numpy(zero_copy_only=False).astype("uint64"))
+        return t.append_column("pair_bucket", pa.array(_bucket_of(h, buckets)))
 
-    rebucketed = pairs.map_batches(add_pair_bucket, batch_format="pandas")
+    rebucketed = (pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
+                  .repartition(shuffle_partitions(keys_size_bytes)))
     return rebucketed.groupby("pair_bucket").map_groups(
         lambda g: _dedup_pairs_bucket(g.drop(columns=["pair_bucket"])),
         batch_format="pandas")
