@@ -132,14 +132,24 @@ def _driver_union_find(edges_ds):
     nodes, inv = np.unique(np.concatenate([left, right]), return_inverse=True)
     li, ri = inv[: len(left)], inv[len(left):]
     m = len(nodes)
+    # sorted adjacency (with self-loops so every node owns a segment):
+    # the hook step becomes one gather + one ``minimum.reduceat`` —
+    # buffered C kernels, ~10× the throughput of unbuffered
+    # ``np.minimum.at`` on the same edges
+    self_ix = np.arange(m, dtype=np.int64)
+    src = np.concatenate([li, ri, self_ix])
+    dst = np.concatenate([ri, li, self_ix])
+    order = np.argsort(src, kind="stable")
+    dst_s = dst[order]
+    src_s = src[order]
+    seg_starts = np.flatnonzero(
+        np.concatenate([[True], src_s[1:] != src_s[:-1]]))
     label = np.arange(m, dtype=np.int64)
     while True:
         prev = label
-        # hook: both endpoints take the pair's minimum current label
-        mn = np.minimum(label[li], label[ri])
-        label = label.copy()
-        np.minimum.at(label, li, mn)
-        np.minimum.at(label, ri, mn)
+        # hook: label(n) ← min(label(n), min over neighbors' labels);
+        # reduceat output is node-ordered because src covers 0..m-1
+        label = np.minimum.reduceat(label[dst_s], seg_starts)
         # compress: pointer jumping until stable
         while True:
             nl = label[label]

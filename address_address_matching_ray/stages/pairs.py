@@ -119,48 +119,96 @@ def pairs_for_groups(starts: np.ndarray, sizes: np.ndarray, cfg: PipelineConfig
             np.concatenate(SP), np.concatenate(DP))
 
 
-def make_pairs_bucket(df: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
-    """One bucket of key rows → canonical candidate pairs (fully
-    vectorized via ``pairs_for_groups``)."""
-    if not len(df):
-        return _empty_pairs()
-    df = (df.sort_values(["block_key", "doc_id"], kind="mergesort")
-            .drop_duplicates(["block_key", "doc_id"]).reset_index(drop=True))
-    keys_arr = df["block_key"].to_numpy(dtype=object)
-    starts = np.flatnonzero(np.concatenate([[True], keys_arr[1:] != keys_arr[:-1]]))
-    ends = np.concatenate([starts[1:], [len(df)]])
+def make_pairs_bucket_arrow(t: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    """One bucket of key rows → canonical candidate pairs, entirely in
+    Arrow: C++ sort, boundary masks on numpy views, pair payload built
+    with ``pc.take`` gathers — no Python-object string materialization
+    (a pandas group conversion built ~1.4M PyUnicode objects per 60k-row
+    bucket and dominated the stage)."""
+    if t.num_rows == 0:
+        return _empty_pairs_arrow()
+    t = t.sort_by([("block_key", "ascending"), ("doc_id", "ascending")])
+    n = t.num_rows
+    bk = t["block_key"].combine_chunks()
+    doc = t["doc_id"].to_numpy(zero_copy_only=False)
+    if n > 1:
+        new_bk = pc.not_equal(bk.slice(1), bk.slice(0, n - 1)) \
+                   .to_numpy(zero_copy_only=False)
+        dup = (~new_bk) & (doc[1:] == doc[:-1])
+        if dup.any():                      # same doc under same key twice
+            t = t.filter(pa.array(np.concatenate([[True], ~dup])))
+            n = t.num_rows
+            bk = t["block_key"].combine_chunks()
+            doc = t["doc_id"].to_numpy(zero_copy_only=False)
+            new_bk = pc.not_equal(bk.slice(1), bk.slice(0, n - 1)) \
+                       .to_numpy(zero_copy_only=False)
+    else:
+        new_bk = np.array([], dtype=bool)
+    starts = np.flatnonzero(np.concatenate([[True], new_bk]))
+    ends = np.concatenate([starts[1:], [n]])
     sizes = ends - starts
     multi = sizes >= 2
     if not multi.any():
-        return _empty_pairs()
+        return _empty_pairs_arrow()
     gl, gr, own, sp, dp = pairs_for_groups(starts[multi], sizes[multi], cfg)
     if not len(gl):
-        return _empty_pairs()
-    ids = df["doc_id"].to_numpy(dtype="uint64")
-    kinds = df["key_kind"].to_numpy(dtype=object)
+        return _empty_pairs_arrow()
+    gl_a, gr_a, own_a = pa.array(gl), pa.array(gr), pa.array(own)
     # members are doc_id-sorted within a block → left < right already
     cols = {
-        "left_id": ids[gl], "right_id": ids[gr],
-        "block_key": keys_arr[own], "key_kind": kinds[own],
-        "specificity": sp, "dropped_pairs": dp,
+        "left_id": pa.array(doc[gl], pa.uint64()),
+        "right_id": pa.array(doc[gr], pa.uint64()),
+        "block_key": pc.take(bk, own_a),
+        "key_kind": pc.take(t["key_kind"], own_a),
+        "specificity": pa.array(sp, pa.float64()),
+        "dropped_pairs": pa.array(dp, pa.uint64()),
     }
     for c in PAYLOAD_COLS:
-        vals = df[c].to_numpy(dtype=object)
-        cols[f"l_{c}"] = vals[gl]
-        cols[f"r_{c}"] = vals[gr]
-    out = pd.DataFrame(cols)
-    return _dedup_pairs_bucket(out)
+        col = t[c]
+        cols[f"l_{c}"] = pc.take(col, gl_a)
+        cols[f"r_{c}"] = pc.take(col, gr_a)
+    return _dedup_pairs_bucket_arrow(pa.table(cols))
+
+
+def _dedup_pairs_bucket_arrow(t: pa.Table) -> pa.Table:
+    """Cross-key pair dedup within a bucket, keeping max specificity
+    (ties → lexicographically first block_key) — Arrow sort + boundary
+    mask."""
+    if t.num_rows == 0:
+        return t
+    t = t.sort_by([("left_id", "ascending"), ("right_id", "ascending"),
+                   ("specificity", "descending"), ("block_key", "ascending")])
+    l = t["left_id"].to_numpy(zero_copy_only=False)
+    r = t["right_id"].to_numpy(zero_copy_only=False)
+    keep = np.concatenate([[True], (l[1:] != l[:-1]) | (r[1:] != r[:-1])])
+    return t.filter(pa.array(keep)) if not keep.all() else t
+
+
+def make_pairs_bucket(df: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
+    """pandas-compat wrapper over ``make_pairs_bucket_arrow`` (tests /
+    ad-hoc use; the pipeline calls the Arrow version directly)."""
+    out = make_pairs_bucket_arrow(
+        pa.Table.from_pandas(df, preserve_index=False), cfg)
+    return out.to_pandas()
+
+
+def _pairs_schema() -> pa.Schema:
+    fields = [("left_id", pa.uint64()), ("right_id", pa.uint64()),
+              ("block_key", pa.string()), ("key_kind", pa.string()),
+              ("specificity", pa.float64()), ("dropped_pairs", pa.uint64())]
+    fields += [(f"l_{c}", pa.string()) for c in PAYLOAD_COLS]
+    fields += [(f"r_{c}", pa.string()) for c in PAYLOAD_COLS]
+    return pa.schema(fields)
+
+
+def _empty_pairs_arrow() -> pa.Table:
+    """Typed empty table — schema-stable empty blocks (untyped empties
+    triggered 'RefBundle with a different schema' executor warnings)."""
+    return _pairs_schema().empty_table()
 
 
 def _empty_pairs() -> pd.DataFrame:
-    cols = (["left_id", "right_id", "block_key", "key_kind", "specificity",
-             "dropped_pairs"]
-            + [f"l_{c}" for c in PAYLOAD_COLS] + [f"r_{c}" for c in PAYLOAD_COLS])
-    df = pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
-    for c in ("left_id", "right_id", "dropped_pairs"):
-        df[c] = df[c].astype("uint64")
-    df["specificity"] = df["specificity"].astype("float64")
-    return df
+    return _empty_pairs_arrow().to_pandas()
 
 
 def _dedup_pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -296,8 +344,8 @@ def pairs_stage(keys_ds, cfg: PipelineConfig | None = None,
     bucketed = (keys_ds.map_batches(add_key_bucket, batch_format="pyarrow")
                 .repartition(nparts))
     pairs = bucketed.groupby("key_bucket").map_groups(
-        lambda g: make_pairs_bucket(g.drop(columns=["key_bucket"]), cfg),
-        batch_format="pandas")
+        lambda g: make_pairs_bucket_arrow(g.drop(["key_bucket"]), cfg),
+        batch_format="pyarrow")
 
     if not dedup_cross_key:
         # skip shuffle #2: a pair co-blocked under keys in different
@@ -317,5 +365,5 @@ def pairs_stage(keys_ds, cfg: PipelineConfig | None = None,
     rebucketed = (pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
                   .repartition(shuffle_partitions(keys_size_bytes)))
     return rebucketed.groupby("pair_bucket").map_groups(
-        lambda g: _dedup_pairs_bucket(g.drop(columns=["pair_bucket"])),
-        batch_format="pandas")
+        lambda g: _dedup_pairs_bucket_arrow(g.drop(["pair_bucket"])),
+        batch_format="pyarrow")
