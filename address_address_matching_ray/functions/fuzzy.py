@@ -146,15 +146,23 @@ def jaro_winkler(a: str, b: str, prefix_weight: float = 0.1) -> float:
 # ──────────────────────────────────────────────────────────────
 
 def _encode(strings, max_len: int) -> tuple[np.ndarray, np.ndarray]:
-    """→ (codes (N,max_len) int16 padded with -1, lengths (N,))."""
+    """→ (codes (N,max_len) int64 padded with -1, lengths (N,)).
+
+    UTF-32 code points in int64: an earlier int16/utf-16 encoding made
+    any code point ≥ U+8000 (Hangul, most CJK, surrogate halves of
+    emoji) negative, which bypassed the wide-char fallback and crashed
+    the scorer task on the first non-Latin row; utf-32 also keeps
+    astral-plane chars one unit, matching the scalar spec's Python
+    semantics exactly."""
     n = len(strings)
-    codes = np.full((n, max_len), -1, dtype=np.int16)
+    codes = np.full((n, max_len), -1, dtype=np.int64)
     lens = np.empty(n, dtype=np.int64)
     for i, s in enumerate(strings):
         ls = len(s)
         lens[i] = ls
         if ls:
-            codes[i, :ls] = np.frombuffer(s.encode("utf-16-le"), dtype=np.uint16)[:max_len].astype(np.int16)
+            codes[i, :ls] = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32)[:max_len].astype(np.int64)
     return codes, lens
 
 

@@ -320,17 +320,40 @@ def reliability(quality: np.ndarray) -> np.ndarray:
 
 def warning_flags(tier_idx: np.ndarray, similarity: np.ndarray,
                   block_specificity: np.ndarray | None = None) -> list[list[str]]:
-    """U:859-866 warnings, es_score term replaced by block specificity."""
-    spec = block_specificity if block_specificity is not None else np.zeros(len(tier_idx))
+    """U:859-866 warnings, es_score term replaced by block specificity.
+    ``block_specificity=None`` means the pipeline has no retrieval-
+    specificity signal (query-matching path) — that warning is skipped,
+    not emitted for everything."""
     low_tiers = {7, 8, 9}  # phonetic, keyword, desperate
     out = []
+    spec = (block_specificity if block_specificity is not None
+            else [None] * len(tier_idx))
     for t, s, e in zip(tier_idx, similarity, spec):
         w = []
         if int(t) in low_tiers:
             w.append("Low confidence match level")
         if s < 50:
             w.append("Low similarity score")
-        if e < 5:
+        if e is not None and e < 5:
             w.append("Low retrieval specificity")
         out.append(w)
     return out
+
+
+_W1 = "Low confidence match level"
+_W2 = "Low similarity score"
+_W3 = "Low retrieval specificity"
+_WARN_LOOKUP = np.array(
+    ["", _W3, _W2, f"{_W2}; {_W3}", _W1, f"{_W1}; {_W3}",
+     f"{_W1}; {_W2}", f"{_W1}; {_W2}; {_W3}"], dtype=object)
+
+
+def warning_strings(tier_idx: np.ndarray, similarity: np.ndarray,
+                    block_specificity: np.ndarray | None = None) -> np.ndarray:
+    """Vectorized ``warning_flags`` joined to '; '-separated strings
+    (bit-coded lookup, no per-row Python; parity asserted in tests)."""
+    w1 = np.isin(np.asarray(tier_idx), (7, 8, 9)).astype(np.int64)
+    w2 = (np.asarray(similarity) < 50).astype(np.int64)
+    w3 = ((np.asarray(block_specificity) < 5).astype(np.int64)
+          if block_specificity is not None else 0)
+    return _WARN_LOOKUP[w1 * 4 + w2 * 2 + w3]

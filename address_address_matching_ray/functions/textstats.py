@@ -32,20 +32,30 @@ STOPWORDS_EN = _LANG_PROFILES["en"]
 
 def detect_language(texts: pd.Series, min_score: float = 0.05) -> pd.Series:
     """Best-scoring language profile per document; 'und' when no
-    profile reaches ``min_score`` coverage."""
+    profile reaches ``min_score`` coverage.
+
+    Fully columnar: tokenize → explode once → one vectorized ``isin``
+    per profile → per-doc ``bincount`` — no per-row × per-language
+    Python loop (the previous shape was the ``ds.map`` anti-pattern)."""
     langs = list(_LANG_PROFILES)
-    out = np.full(len(texts), "und", dtype=object)
-    toks_list = texts.fillna("").str.lower().str.findall(_WORD_RE)
-    scores = np.zeros((len(texts), len(langs)))
-    for i, toks in enumerate(toks_list):
-        if not toks:
-            continue
-        n = len(toks)
-        for j, lang in enumerate(langs):
-            prof = _LANG_PROFILES[lang]
-            scores[i, j] = sum(1 for t in toks if t in prof) / n
+    n_docs = len(texts)
+    out = np.full(n_docs, "und", dtype=object)
+    if not n_docs:
+        return pd.Series(out, index=texts.index)
+    toks = texts.reset_index(drop=True).fillna("").str.lower() \
+                .str.findall(_WORD_RE)
+    n_tok = toks.str.len().to_numpy(dtype=np.int64)
+    exploded = toks.explode()
+    valid = exploded.notna().to_numpy()
+    doc_pos = exploded.index.to_numpy()[valid]
+    words = pd.Series(exploded.to_numpy()[valid], dtype=object)
+    scores = np.zeros((n_docs, len(langs)))
+    denom = np.maximum(n_tok, 1)
+    for j, lang in enumerate(langs):
+        hit = words.isin(_LANG_PROFILES[lang]).to_numpy()
+        scores[:, j] = np.bincount(doc_pos[hit], minlength=n_docs) / denom
     best = scores.argmax(axis=1)
-    ok = scores.max(axis=1) >= min_score
+    ok = (scores.max(axis=1) >= min_score) & (n_tok > 0)
     out[ok] = np.array(langs, dtype=object)[best[ok]]
     return pd.Series(out, index=texts.index)
 

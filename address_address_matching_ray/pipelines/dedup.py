@@ -28,7 +28,9 @@ from address_address_matching_ray.functions.minhash import (
     simhash_band_keys,
 )
 from address_address_matching_ray.functions.textstats import char_ngrams
-from address_address_matching_ray.stages.cluster import connected_components
+from address_address_matching_ray.stages.cluster import (
+    connected_components, filter_out_ids,
+)
 
 
 def _norm_text(s: pd.Series) -> pd.Series:
@@ -100,9 +102,22 @@ class _NearDupKeyer:
         })
 
 
+class _BandCaps:
+    """Cap spec for degenerate (boilerplate) bands, consumed by
+    ``pairs_for_groups``: oversized bands are WINDOW-paired with star
+    edges to the band minimum (connectivity preserved) and the dropped
+    pair count is emitted per row — not silently skipped."""
+
+    max_block_size = 500
+    max_pairs_per_block = 20_000
+
+
 def _candidate_pairs(keyed_ds, buckets: int = 32):
     """band-keyed rows → unique candidate id pairs (bucketed shuffle,
-    same pattern as stages/pairs.py)."""
+    same pattern as stages/pairs.py; oversized bands windowed with
+    logged drops via ``pairs_for_groups``)."""
+    from address_address_matching_ray.stages.pairs import pairs_for_groups
+
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         h = pd.util.hash_array(df["band_key"].to_numpy(dtype=object))
@@ -115,30 +130,30 @@ def _candidate_pairs(keyed_ds, buckets: int = 32):
         keys = df["band_key"].to_numpy(dtype=object)
         starts = np.flatnonzero(np.concatenate([[True], keys[1:] != keys[:-1]]))
         ends = np.concatenate([starts[1:], [len(df)]])
+        sizes = ends - starts
+        multi = sizes >= 2
+        empty = pd.DataFrame({
+            "left_id": pd.array([], dtype="uint64"),
+            "right_id": pd.array([], dtype="uint64"),
+            "l_text": pd.Series(dtype="object"),
+            "r_text": pd.Series(dtype="object"),
+            "l_sig": pd.array([], dtype="uint64"),
+            "r_sig": pd.array([], dtype="uint64"),
+            "dropped_pairs": pd.array([], dtype="uint64")})
+        if not multi.any():
+            return empty
+        gl, gr, _own, _sp, dp = pairs_for_groups(
+            starts[multi], sizes[multi], _BandCaps)
+        if not len(gl):
+            return empty
         ids = df["doc_id"].to_numpy(dtype="uint64")
         texts = df["norm_text"].to_numpy(dtype=object)
         sigs = df["simhash"].to_numpy(dtype="uint64")
-        GL, GR = [], []
-        for s, e in zip(starts, ends):
-            n = int(e - s)
-            if n < 2 or n > 500:       # degenerate band (boilerplate) guard
-                continue
-            li, ri = np.triu_indices(n, k=1)
-            GL.append(s + li)
-            GR.append(s + ri)
-        if not GL:
-            return pd.DataFrame({
-                "left_id": pd.array([], dtype="uint64"),
-                "right_id": pd.array([], dtype="uint64"),
-                "l_text": pd.Series(dtype="object"),
-                "r_text": pd.Series(dtype="object"),
-                "l_sig": pd.array([], dtype="uint64"),
-                "r_sig": pd.array([], dtype="uint64")})
-        gl, gr = np.concatenate(GL), np.concatenate(GR)
         out = pd.DataFrame({
             "left_id": ids[gl], "right_id": ids[gr],
             "l_text": texts[gl], "r_text": texts[gr],
-            "l_sig": sigs[gl], "r_sig": sigs[gr]})
+            "l_sig": sigs[gl], "r_sig": sigs[gr],
+            "dropped_pairs": dp})
         return out.drop_duplicates(["left_id", "right_id"]).reset_index(drop=True)
 
     return (keyed_ds.map_batches(bucket, batch_format="pandas")
@@ -147,28 +162,24 @@ def _candidate_pairs(keyed_ds, buckets: int = 32):
                 batch_format="pandas"))
 
 
-def _dedup_from_edges(docs_ds, edges_ds, id_col: str = "doc_id"):
-    """edges → components → representative filter via broadcast of the
-    non-representative id set (semi-join with a broadcast key set)."""
-    import ray
-
-    labels = connected_components(edges_ds.materialize()).to_pandas()
-    if "doc_id" in labels.columns:
-        dupes = set(labels.loc[labels.doc_id != labels.cluster_id, "doc_id"].tolist())
-    else:
-        dupes = set()          # no near-dup edges at all
-    dupes_ref = ray.put(dupes)
-
-    def drop_dupes(df: pd.DataFrame) -> pd.DataFrame:
-        d = ray.get(dupes_ref)
-        return df[~df[id_col].isin(d)]
-
-    return docs_ds.map_batches(drop_dupes, batch_format="pandas")
+def _dedup_from_edges(docs_ds, edges_ds, id_col: str = "doc_id",
+                      broadcast_threshold: int = 5_000_000):
+    """edges → components → drop non-representative members via the
+    scale-safe left-anti semi-join (``filter_out_ids``: sorted-array
+    broadcast below threshold, hash anti-join above — NEVER a Python
+    set on the driver; near-dup-heavy crawls make that set O(corpus))."""
+    labels = connected_components(edges_ds.materialize())
+    dupe_ids = labels.filter(expr="doc_id != cluster_id") \
+                     .select_columns(["doc_id"])
+    return filter_out_ids(docs_ds, dupe_ids, id_col=id_col,
+                          ids_col="doc_id",
+                          broadcast_threshold=broadcast_threshold)
 
 
 def minhash_dedup(docs_ds, cfg: PipelineConfig | None = None,
                   text_col: str = "text", id_col: str = "doc_id",
-                  jaccard_threshold: float = 70.0, buckets: int = 32):
+                  jaccard_threshold: float = 70.0, buckets: int = 32,
+                  broadcast_threshold: int = 5_000_000):
     """MinHash-LSH near-dup removal (Broder-style): keep min-id
     representative of every near-dup component."""
     cfg = cfg or PipelineConfig()
@@ -189,12 +200,14 @@ def minhash_dedup(docs_ds, cfg: PipelineConfig | None = None,
         return df.loc[sims >= jaccard_threshold, ["left_id", "right_id"]]
 
     edges = cand.map_batches(verify, batch_format="pandas")
-    return _dedup_from_edges(docs_ds, edges, id_col)
+    return _dedup_from_edges(docs_ds, edges, id_col,
+                             broadcast_threshold=broadcast_threshold)
 
 
 def simhash_dedup(docs_ds, cfg: PipelineConfig | None = None,
                   text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3, buckets: int = 32):
+                  max_hamming: int = 3, buckets: int = 32,
+                  broadcast_threshold: int = 5_000_000):
     """SimHash near-dup removal: band-sliced blocking + Hamming verify."""
     cfg = cfg or PipelineConfig()
     keyed = docs_ds.map_batches(
@@ -212,13 +225,15 @@ def simhash_dedup(docs_ds, cfg: PipelineConfig | None = None,
         return df.loc[d <= max_hamming, ["left_id", "right_id"]]
 
     edges = cand.map_batches(verify, batch_format="pandas")
-    return _dedup_from_edges(docs_ds, edges, id_col)
+    return _dedup_from_edges(docs_ds, edges, id_col,
+                             broadcast_threshold=broadcast_threshold)
 
 
 def ngram_jaccard_dedup(docs_ds, cfg: PipelineConfig | None = None,
                         text_col: str = "text", id_col: str = "doc_id",
                         n: int = 5, threshold: float = 60.0,
-                        buckets: int = 32):
+                        buckets: int = 32,
+                        broadcast_threshold: int = 5_000_000):
     """Character-n-gram Jaccard near-dup removal (LSH candidates,
     n-gram-set verification — robust for short/typo-heavy texts)."""
     cfg = cfg or PipelineConfig()
@@ -239,4 +254,5 @@ def ngram_jaccard_dedup(docs_ds, cfg: PipelineConfig | None = None,
         return df.loc[sims >= threshold, ["left_id", "right_id"]]
 
     edges = cand.map_batches(verify, batch_format="pandas")
-    return _dedup_from_edges(docs_ds, edges, id_col)
+    return _dedup_from_edges(docs_ds, edges, id_col,
+                             broadcast_threshold=broadcast_threshold)

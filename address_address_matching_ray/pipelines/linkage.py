@@ -189,20 +189,72 @@ def resolve_entity_ids(clusters_ds, id_table_ds, num_partitions: int = 8):
                             on=("cluster_id",), right_on=("cluster_id",))
 
 
-def to_export(clusters_ds, edges_ds=None):
+def to_export(clusters_ds, edges_ds=None,
+              broadcast_threshold: int = 5_000_000,
+              num_partitions: int = 16):
     """Downstream projection — ``to_n8n_format`` analog (U:128-135):
-    (doc_id, address_id, success).  Confidence/reliability live on the
-    edges table; here every doc resolves (success ⇔ non-singleton)."""
+    (doc_id, address_id, success) with success ⇔ non-singleton cluster.
+
+    ``cluster_id != doc_id`` alone mislabels the min-id REPRESENTATIVE
+    of every real cluster as unmatched; the representative is successful
+    iff its cluster id also appears on some non-representative row.
+    That id set (≤ non-rep members, ≪ docs) is broadcast sorted below
+    the threshold, joined above it."""
+    import numpy as np
     import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": df["doc_id"],
-            "address_id": df["cluster_id"],
-            "success": df["cluster_id"] != df["doc_id"],
-        })
+    nonrep = clusters_ds.filter(expr="doc_id != cluster_id") \
+                        .select_columns(["cluster_id"])
+    n = nonrep.count()
 
-    return clusters_ds.map_batches(f, batch_format="pandas")
+    if n <= broadcast_threshold:
+        import ray
+
+        multi = np.unique(
+            nonrep.to_pandas()["cluster_id"].to_numpy(dtype="uint64")) \
+            if n else np.array([], dtype="uint64")
+        ref = ray.put(multi)
+
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            k = ray.get(ref)
+            doc = df["doc_id"].to_numpy(dtype="uint64")
+            cid = df["cluster_id"].to_numpy(dtype="uint64")
+            member = cid != doc
+            if len(k):
+                pos = np.minimum(np.searchsorted(k, doc), len(k) - 1)
+                rep_of_multi = k[pos] == doc
+            else:
+                rep_of_multi = np.zeros(len(doc), dtype=bool)
+            return pd.DataFrame({"doc_id": doc, "address_id": cid,
+                                 "success": member | rep_of_multi})
+
+        return clusters_ds.map_batches(f, batch_format="pandas")
+
+    # large path: distinct multi-member cluster ids via a count groupby,
+    # marker join on doc_id (reps carry doc_id == cluster_id)
+    distinct = nonrep.groupby("cluster_id").count()
+
+    def marker(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "_mc": pc.cast(t["cluster_id"], pa.uint64()),
+            "_hit": pa.array(np.ones(t.num_rows, dtype=np.int8))})
+
+    joined = clusters_ds.join(
+        distinct.map_batches(marker, batch_format="pyarrow"),
+        join_type="left_outer", num_partitions=num_partitions,
+        on=("doc_id",), right_on=("_mc",))
+
+    def g(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype("uint64")
+        cid = t["cluster_id"].to_numpy(zero_copy_only=False).astype("uint64")
+        hit = pc.is_valid(t["_hit"]).to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(doc, pa.uint64()),
+                         "address_id": pa.array(cid, pa.uint64()),
+                         "success": pa.array((cid != doc) | hit)})
+
+    return joined.map_batches(g, batch_format="pyarrow")
 
 
 def tier_distribution(edges_ds):

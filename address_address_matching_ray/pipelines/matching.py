@@ -176,6 +176,9 @@ def _score_candidates(df: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
     out["quality_score"] = quality
     out["confidence_adjusted"] = scoring.adjusted_confidence(confidence, tier)
     out["reliability"] = scoring.RELIABILITY_NAMES[scoring.reliability(quality)]
+    # U:859-866 warnings (UltimateMatchResult parity); joined to one
+    # semicolon-separated string so the column round-trips CSV/SQL
+    out["warnings"] = scoring.warning_strings(tier, similarity)
     return out
 
 
@@ -217,8 +220,14 @@ def match_queries(queries_ds, records_ds, cfg: PipelineConfig | None = None,
             rs = blk[blk["side"] == "r"]
             if not len(qs) or not len(rs):
                 continue
-            rs = rs.drop_duplicates("pid").head(max(candidates_per_query, 50))
-            qs = qs.drop_duplicates("query_id")
+            # sort by pid BEFORE capping: upstream arrival order is not
+            # deterministic under retries/partitioning, so an unsorted
+            # head() could truncate a different candidate set per run
+            # (SURVEY §4.2 determinism invariant)
+            rs = (rs.sort_values("pid", kind="mergesort")
+                    .drop_duplicates("pid").head(max(candidates_per_query, 50)))
+            qs = (qs.sort_values("query_id", kind="mergesort")
+                    .drop_duplicates("query_id"))
             qi = np.repeat(np.arange(len(qs)), len(rs))
             ri = np.tile(np.arange(len(rs)), len(qs))
             left = qs.iloc[qi][["query_id", *Q_PAYLOAD]].reset_index(drop=True)
@@ -239,11 +248,18 @@ def match_queries(queries_ds, records_ds, cfg: PipelineConfig | None = None,
         lambda df: _score_candidates(df, cfg) if len(df) else pd.DataFrame(),
         batch_format="pandas")
 
-    # cross-bucket dedup of (query, pid) + threshold filter, then best
-    # per query (K1/K2 with the unit-priority collapse)
+    # cross-bucket dedup of (query, pid) + tier-ladder filter, then best
+    # per query (K1/K2 with the unit-priority collapse).  Acceptance
+    # floor = the LOWEST tier threshold (desperate, 5.0) like the
+    # reference cascade (U:894-945) — ``cfg.min_similarity_threshold``
+    # belongs to the linkage-edge path and must NOT truncate the ladder
+    # (it made the semantic/phonetic/keyword/desperate tiers, whose
+    # keys are generated specifically for degraded queries, unreachable).
+    ladder_floor = float(scoring.TIER_THRESHOLDS[-1])
+
     def best(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["query_id", "pid"])
-        g = g[(g["confidence"] >= cfg.min_similarity_threshold)
+        g = g[(g["confidence"] >= ladder_floor)
               & ~g["wrong_unit"].astype(bool)]
         if not len(g):
             return g.head(0)
@@ -255,30 +271,38 @@ def match_queries(queries_ds, records_ds, cfg: PipelineConfig | None = None,
     return scored.groupby("query_id").map_groups(best, batch_format="pandas")
 
 
-def attach_failed(queries_ds, matches_ds):
+def attach_failed(queries_ds, matches_ds,
+                  broadcast_threshold: int = 5_000_000):
     """Left-attach: queries with no surviving candidate get a 'failed'
-    row (U:950-952) instead of disappearing."""
-    import ray
+    row (U:950-952) instead of disappearing.  The matched-id semi-join
+    uses the scale-safe ``filter_out_ids`` (sorted-array broadcast /
+    hash anti-join), never a Python set — the matched set is O(queries)."""
+    from address_address_matching_ray.stages.cluster import filter_out_ids
 
-    matched = set(matches_ds.select_columns(["query_id"]).to_pandas()["query_id"])
-    ref = ray.put(matched)
+    unmatched = filter_out_ids(
+        queries_ds, matches_ds.select_columns(["query_id"]),
+        id_col="query_id", broadcast_threshold=broadcast_threshold)
 
     def failed_rows(df: pd.DataFrame) -> pd.DataFrame:
-        got = ray.get(ref)
-        miss = df[~df["query_id"].isin(got)]
-        if not len(miss):
-            return pd.DataFrame()
+        n = len(df)
         return pd.DataFrame({
-            "query_id": miss["query_id"], "query": miss["query"],
-            "pid": None, "ADDRESS": None, "confidence": 0.0,
-            "similarity": 0.0, "exact": False, "tier_idx": 10,
-            "match_level": "failed", "unit_exact": False,
-            "quality_score": 0.0, "confidence_adjusted": 0.0,
-            "reliability": "speculative",
+            "query_id": df["query_id"].to_numpy(dtype="uint64"),
+            "query": df["query"].to_numpy(dtype=object),
+            "pid": pd.Series([None] * n, dtype=object),
+            "ADDRESS": pd.Series([None] * n, dtype=object),
+            "confidence": np.zeros(n), "similarity": np.zeros(n),
+            "exact": np.zeros(n, dtype=bool),
+            "tier_idx": np.full(n, 10, dtype="int8"),
+            "match_level": pd.Series(["failed"] * n, dtype=object),
+            "unit_exact": np.zeros(n, dtype=bool),
+            "quality_score": np.zeros(n),
+            "confidence_adjusted": np.zeros(n),
+            "reliability": pd.Series(["speculative"] * n, dtype=object),
+            "warnings": pd.Series(["No matches found"] * n, dtype=object),
         })
 
     return matches_ds.union(
-        queries_ds.map_batches(failed_rows, batch_format="pandas"))
+        unmatched.map_batches(failed_rows, batch_format="pandas"))
 
 
 def to_n8n_format(matches_ds):

@@ -144,7 +144,8 @@ def lsh_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
 
 def embedding_dedup(emb_ds, threshold: float = 0.98,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    bits: int = 10, seed: int = 42, dim: int | None = None):
+                    bits: int = 10, seed: int = 42, dim: int | None = None,
+                    broadcast_threshold: int = 5_000_000):
     """Cosine near-dup removal: hyperplane-bucket blocking → in-bucket
     exact cosine ≥ threshold → connected components → keep min-id reps."""
     if dim is None:
@@ -178,17 +179,10 @@ def embedding_dedup(emb_ds, threshold: float = 0.98,
                  lambda g: pairs(g.drop(columns=["bucket"])),
                  batch_format="pandas"))
 
-    import ray
+    from address_address_matching_ray.stages.cluster import filter_out_ids
 
-    labels = connected_components(edges.materialize()).to_pandas()
-    if "doc_id" in labels.columns:
-        dupes = set(labels.loc[labels.doc_id != labels.cluster_id, "doc_id"].tolist())
-    else:
-        dupes = set()          # no near-dup edges at all
-    dupes_ref = ray.put(dupes)
-
-    def drop_dupes(df: pd.DataFrame) -> pd.DataFrame:
-        d = ray.get(dupes_ref)
-        return df[~df[id_col].isin(d)]
-
-    return emb_ds.map_batches(drop_dupes, batch_format="pandas")
+    labels = connected_components(edges.materialize())
+    dupe_ids = labels.filter(expr="doc_id != cluster_id") \
+                     .select_columns(["doc_id"])
+    return filter_out_ids(emb_ds, dupe_ids, id_col=id_col, ids_col="doc_id",
+                          broadcast_threshold=broadcast_threshold)

@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _project(ds, mapping: dict[str, str]):
@@ -160,6 +161,64 @@ def _driver_union_find(edges_ds):
             break
     out = pd.DataFrame({"doc_id": nodes, "cluster_id": nodes[label]})
     return rd.from_pandas(out)
+
+
+def filter_out_ids(ds, ids_ds, id_col: str = "doc_id",
+                   ids_col: str | None = None,
+                   broadcast_threshold: int = 5_000_000,
+                   num_partitions: int = 16):
+    """Scale-safe left-anti semi-join: drop ``ds`` rows whose ``id_col``
+    appears in ``ids_ds[ids_col]``.
+
+    Below ``broadcast_threshold`` the id set is broadcast ONCE as a
+    sorted numpy array (zero-copy from the object store, searchsorted
+    membership test per batch) — never a Python set, whose per-task
+    deserialization and driver residency are unbounded at crawl scale.
+    Above it, a hash left-outer join with a marker column + null filter
+    (no driver materialization at all).  Both paths produce identical
+    output; a pytest runs one dedup with ``broadcast_threshold=0`` to
+    assert it.
+    """
+    ids_col = ids_col or id_col
+    n = ids_ds.count()
+    if n == 0:
+        return ds
+    if n <= broadcast_threshold:
+        import ray
+
+        arr = np.sort(ids_ds.to_pandas()[ids_col].to_numpy(dtype="uint64"))
+        ref = ray.put(arr)
+
+        def drop(df: pd.DataFrame) -> pd.DataFrame:
+            k = ray.get(ref)
+            v = df[id_col].to_numpy(dtype="uint64")
+            pos = np.minimum(np.searchsorted(k, v), len(k) - 1)
+            return df[k[pos] != v]
+
+        return ds.map_batches(drop, batch_format="pandas")
+
+    marker = _project(ids_ds, {ids_col: "_anti_id"})
+
+    def add_flag(t: pa.Table) -> pa.Table:
+        return t.append_column("_anti_hit",
+                               pa.array(np.ones(t.num_rows, dtype=np.int8)))
+
+    marker = marker.map_batches(add_flag, batch_format="pyarrow")
+
+    def cast_key(t: pa.Table) -> pa.Table:
+        i = t.column_names.index(id_col)
+        return t.set_column(i, id_col, pc.cast(t[id_col], pa.uint64()))
+
+    joined = ds.map_batches(cast_key, batch_format="pyarrow").join(
+        marker, join_type="left_outer", num_partitions=num_partitions,
+        on=(id_col,), right_on=("_anti_id",))
+
+    def keep_misses(t: pa.Table) -> pa.Table:
+        out = t.filter(pc.is_null(t["_anti_hit"]))
+        return out.drop([c for c in ("_anti_hit", "_anti_id")
+                         if c in out.column_names])
+
+    return joined.map_batches(keep_misses, batch_format="pyarrow")
 
 
 def attach_singletons(extracted_ds, labels_ds, num_partitions: int = 16,

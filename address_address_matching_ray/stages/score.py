@@ -87,6 +87,9 @@ class PairScorer:
             "unit_adjustment": pa.array(unit_adj, pa.float64()),
             "specificity": batch["specificity"],
             "accepted": pa.array(accepted, pa.bool_()),
+            # U:859-866 warnings (UltimateMatchResult parity)
+            "warnings": pa.array(
+                scoring.warning_strings(tier, similarity, spec), pa.string()),
             "block_key": batch["block_key"], "key_kind": batch["key_kind"],
             "dropped_pairs": batch["dropped_pairs"],
         }

@@ -75,3 +75,22 @@ def test_jaro_winkler():
     assert fuzzy.jaro_winkler("martha", "marhta") == pytest.approx(96.111, abs=0.01)
     assert fuzzy.jaro_winkler("", "abc") == 0.0
     assert fuzzy.jaro_winkler("dixon", "dicksonx") == pytest.approx(81.333, abs=0.01)
+
+
+def test_batch_ratio_non_latin():
+    """Non-Latin scripts (Hangul/CJK/astral emoji) must score, not
+    crash, and must equal the scalar spec (regression: int16/utf-16
+    encoding sent code points >= U+8000 negative and crashed)."""
+    import numpy as np
+    from address_address_matching_ray.functions import fuzzy
+
+    pairs = [("서울특별시 강남구", "서울특별시 강남"),
+             ("東京都渋谷区", "東京都新宿区"),
+             ("😀 hello there", "😀 hello here"),
+             ("café au lait", "cafe au lait"),
+             ("москва тверская", "москва тверская 7")]
+    A = [a for a, _ in pairs] + ["plain ascii text", ""]
+    B = [b for _, b in pairs] + ["plain ascii text", "x"]
+    got = fuzzy.batch_ratio(A, B)
+    exp = [fuzzy.ratio(a, b) for a, b in zip(A, B)]
+    np.testing.assert_allclose(got, exp, atol=1e-9)

@@ -122,3 +122,38 @@ def test_degraded_query_keyword_tier(ray_session, records_ds):
     assert out.pid.iloc[0] is not None
     # street matches a Berry record; confidence reflects the formulas
     assert "Berry" in out.ADDRESS.iloc[0]
+
+
+def test_match_queries_partition_invariance(ray_session, records_ds):
+    """Best-match output must be byte-identical across bucket counts
+    (regression: unsorted candidate capping truncated a different set
+    depending on block arrival order)."""
+    from address_address_matching_ray.pipelines.matching import match_queries
+
+    qs = _queries_ds(ray_session, [
+        "112 Bedford Avenue Brooklyn, NY 11211",
+        "55 Berry St Brooklyn NY 11211",
+        "Berry Street Brooklyn, NY 11211",
+        "22 NORTH 6 STREET #21F Brooklyn NY 11249",
+        "9999 Nonexistent Plaza Nowhere ZZ 00000",
+    ])
+    frames = []
+    for buckets in (2, 7):
+        df = (match_queries(qs, records_ds, buckets=buckets).to_pandas()
+              .sort_values("query_id").reset_index(drop=True))
+        frames.append(df)
+    pd.testing.assert_frame_equal(frames[0], frames[1])
+    assert "warnings" in frames[0].columns
+
+
+def test_low_tier_match_carries_warnings(ray_session, records_ds):
+    """A degraded query that lands in the phonetic/keyword/desperate
+    tiers carries the U:859-866 warning flags."""
+    import numpy as np
+    from address_address_matching_ray.functions import scoring
+
+    tier = np.array([8], dtype=np.int8)
+    sim = np.array([30.0])
+    w = scoring.warning_strings(tier, sim)
+    assert "Low confidence match level" in w[0]
+    assert "Low similarity score" in w[0]

@@ -253,3 +253,81 @@ def test_catalog_and_csv(ray_session, tmp_path):
     assert open(p).read().startswith("a,b")
     with pytest.raises(ValueError):
         export_csv(ds, str(tmp_path / "big.csv"), max_rows=1)
+
+
+def test_dedup_forced_join_path_matches_broadcast(ray_session):
+    """filter_out_ids join path (broadcast_threshold=0) must produce
+    byte-identical survivors to the sorted-array broadcast path."""
+    from address_address_matching_ray.pipelines.dedup import minhash_dedup
+
+    base = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls softly on the quiet empty street tonight")
+    rows = {
+        "doc_id": pd.array([10, 11, 12, 13], dtype="uint64"),
+        "text": [base, base.replace("quiet", "silent"),
+                 "completely different content about databases and "
+                 "distributed query engines at scale",
+                 base.replace("rain", "snow")],
+    }
+    ds = _docs_ds(ray_session, rows)
+    via_broadcast = minhash_dedup(ds, buckets=4).to_pandas()
+    via_join = minhash_dedup(ds, buckets=4,
+                             broadcast_threshold=0).to_pandas()
+    assert sorted(via_broadcast.doc_id) == sorted(via_join.doc_id)
+    assert sorted(via_join.doc_id) == [10, 12]
+
+
+def test_to_export_success_semantics(ray_session):
+    """success ⇔ non-singleton: the min-id REPRESENTATIVE of a real
+    cluster is successful too (regression: cluster_id != doc_id alone
+    mislabeled exactly one member per cluster)."""
+    import ray.data as rd
+    from address_address_matching_ray.pipelines.linkage import to_export
+
+    clusters = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.array([1, 2, 3, 7], dtype="uint64"),
+        "cluster_id": pd.array([1, 1, 3, 7], dtype="uint64")}))
+    for kw in ({}, {"broadcast_threshold": 0, "num_partitions": 2}):
+        out = (to_export(clusters, **kw).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        assert out.doc_id.tolist() == [1, 2, 3, 7]
+        assert out.success.tolist() == [True, True, False, False]
+
+
+def test_detect_language_spec_parity():
+    """Columnar detect_language equals the per-row spec computation."""
+    from address_address_matching_ray.functions.textstats import (
+        _LANG_PROFILES, _WORD_RE, detect_language,
+    )
+
+    texts = pd.Series([
+        "the cat sat on the mat and it was good for all of us",
+        "der hund und die katze sind nicht in dem haus von ihm",
+        "le chien et le chat sont dans la maison pour une nuit",
+        "xyzzy qwerty plugh", "", None,
+        "el perro y el gato en la casa con su amigo para que",
+    ])
+    got = detect_language(texts)
+    langs = list(_LANG_PROFILES)
+    for i, t in enumerate(texts):
+        toks = _WORD_RE.findall((t or "").lower())
+        if not toks:
+            assert got.iloc[i] == "und"
+            continue
+        scores = [sum(1 for w in toks if w in _LANG_PROFILES[lg]) / len(toks)
+                  for lg in langs]
+        exp = langs[int(np.argmax(scores))] if max(scores) >= 0.05 else "und"
+        assert got.iloc[i] == exp, (i, t)
+
+
+def test_warning_strings_parity():
+    from address_address_matching_ray.functions import scoring
+
+    rng = np.random.RandomState(0)
+    tier = rng.randint(0, 11, 300)
+    sim = rng.uniform(0, 100, 300)
+    spec = rng.uniform(0, 25, 300)
+    assert (scoring.warning_strings(tier, sim, spec).tolist()
+            == ["; ".join(w) for w in scoring.warning_flags(tier, sim, spec)])
+    assert (scoring.warning_strings(tier, sim, None).tolist()
+            == ["; ".join(w) for w in scoring.warning_flags(tier, sim, None)])
