@@ -55,15 +55,15 @@ def entry() -> Any:
 # ──────────────────────────────────────────────────────────────
 
 def _docs(sf_dir: str):
-    import ray.data as rd
+    from address_address_matching_ray.pipelines.relational import read
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+    return read(sf_dir, "documents")
 
 
 def _emb(sf_dir: str):
-    import ray.data as rd
+    from address_address_matching_ray.pipelines.relational import read
 
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return read(sf_dir, "embeddings")
 
 
 def _q_linkage_clusters(sf_dir: str):

@@ -223,6 +223,9 @@ def extract_house_number(address: str) -> str:
     return ""
 
 
+_ZIP_TOKEN_RE = re.compile(r"^(\d{5})(?:-\d{4})?$")
+
+
 def separate_street_and_location(address: str) -> tuple[str, str]:
     """U:522-544."""
     for sep in _SEPARATORS:
@@ -232,7 +235,7 @@ def separate_street_and_location(address: str) -> tuple[str, str]:
     words = address.split()
     for i, word in enumerate(words):
         if (len(word) == 2 and word.upper() in {"NY", "NJ", "CA", "TX", "FL"}) or \
-           (len(word) == 5 and word.isdigit()):
+           _ZIP_TOKEN_RE.match(word):
             return " ".join(words[:i]), " ".join(words[i:])
     return address, ""
 
@@ -272,8 +275,11 @@ def parse_location(location_part: str, default_city: str = "Brooklyn",
     words = location_part.split()
     city, state, zip_code = default_city, default_state, ""
     for w in words:
-        if len(w) == 5 and w.isdigit():
-            zip_code = w
+        m = _ZIP_TOKEN_RE.match(w)
+        if m:
+            # ZIP+4 keeps its 5-digit base (usaddress ZipCode semantics;
+            # the formulas and blocking keys compare on the base)
+            zip_code = m.group(1)
             break
     for w in words:
         if len(w) == 2 and w.upper() in {"NY", "NJ", "CA", "TX", "FL"}:
@@ -295,8 +301,8 @@ def parse_location(location_part: str, default_city: str = "Brooklyn",
 _UNIT_FIRST_RE = re.compile(r"^([0-9]*[A-Za-z][A-Za-z0-9]{0,2})\s+\d")
 # "#" carries no word boundary after a space, so it gets its own branch
 # (the faithful U:482 pattern 2 misses "St #7F"; usaddress would not)
-_EXPLICIT_UNIT_RE = re.compile(r"(?:\b(apt|suite|unit)\s*|#\s*)([A-Z0-9]{1,3})\b",
-                               re.IGNORECASE)
+_EXPLICIT_UNIT_RE = re.compile(
+    r"(?:\b(apt|suite|unit|ste)\.?\s*|#\s*)([A-Z0-9]{1,3})\b", re.IGNORECASE)
 _HOUSE_RANGE_FIRST = [re.compile(p) for p in (
     r"^(\d+-\d+)",            # ranges whole, like usaddress ("85-101")
     r"^(\d+[A-Za-z]*)",

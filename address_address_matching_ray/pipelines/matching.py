@@ -182,6 +182,29 @@ def _score_candidates(df: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
     return out
 
 
+def _empty_scored() -> pd.DataFrame:
+    """Typed empty frame matching ``_score_candidates`` output —
+    schema-stable empty blocks (untyped empties triggered executor
+    schema warnings)."""
+    return pd.DataFrame({
+        "query_id": pd.array([], dtype="uint64"),
+        "query": pd.Series([], dtype=object),
+        "pid": pd.Series([], dtype=object),
+        "ADDRESS": pd.Series([], dtype=object),
+        "confidence": pd.array([], dtype="float64"),
+        "similarity": pd.array([], dtype="float64"),
+        "exact": pd.array([], dtype="bool"),
+        "tier_idx": pd.array([], dtype="int8"),
+        "match_level": pd.Series([], dtype=object),
+        "unit_exact": pd.array([], dtype="bool"),
+        "wrong_unit": pd.array([], dtype="bool"),
+        "quality_score": pd.array([], dtype="float64"),
+        "confidence_adjusted": pd.array([], dtype="float64"),
+        "reliability": pd.Series([], dtype=object),
+        "warnings": pd.Series([], dtype=object),
+    })
+
+
 def match_queries(queries_ds, records_ds, cfg: PipelineConfig | None = None,
                   buckets: int = 32, candidates_per_query: int = 64):
     """queries (query_id, query) × records (F2 schema) → best match per
@@ -234,8 +257,10 @@ def match_queries(queries_ds, records_ds, cfg: PipelineConfig | None = None,
             right = rs.iloc[ri][list(R_PAYLOAD)].reset_index(drop=True)
             out_frames.append(pd.concat([left, right], axis=1))
         if not out_frames:
-            return pd.DataFrame({c: pd.Series(dtype="object")
-                                 for c in ("query_id", *Q_PAYLOAD, *R_PAYLOAD)})
+            empty = {"query_id": pd.array([], dtype="uint64")}
+            empty.update({c: pd.Series([], dtype=object)
+                          for c in (*Q_PAYLOAD, *R_PAYLOAD)})
+            return pd.DataFrame(empty)
         out = pd.concat(out_frames, ignore_index=True)
         return out.drop_duplicates(["query_id", "pid"])
 
@@ -245,7 +270,7 @@ def match_queries(queries_ds, records_ds, cfg: PipelineConfig | None = None,
                 batch_format="pandas"))
 
     scored = cand.map_batches(
-        lambda df: _score_candidates(df, cfg) if len(df) else pd.DataFrame(),
+        lambda df: _score_candidates(df, cfg) if len(df) else _empty_scored(),
         batch_format="pandas")
 
     # cross-bucket dedup of (query, pid) + tier-ladder filter, then best
@@ -262,7 +287,7 @@ def match_queries(queries_ds, records_ds, cfg: PipelineConfig | None = None,
         g = g[(g["confidence"] >= ladder_floor)
               & ~g["wrong_unit"].astype(bool)]
         if not len(g):
-            return g.head(0)
+            return g.head(0).drop(columns=["wrong_unit"])
         g = g.sort_values(
             ["unit_exact", "exact", "confidence", "pid"],
             ascending=[False, False, False, True], kind="mergesort")

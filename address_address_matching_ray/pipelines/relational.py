@@ -25,7 +25,17 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
 def read(sf_dir: str, table: str, columns=None):
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    """Pruned parquet read with the pandas schema-metadata stripped:
+    pandas-written files carry a ``b'pandas'`` metadata dict that makes
+    ``hash(pa.Schema)`` raise, which Ray's schema-dedup logs as a
+    warning on every block concat/shuffle."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{table}.parquet"
+    schema = pq.read_schema(path).remove_metadata()
+    if columns:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return rd.read_parquet(path, columns=columns, schema=schema)
 
 
 def round_cols(ds, cols: dict[str, int]):
@@ -60,7 +70,10 @@ def lineitem_agg(sf_dir: str):
                       Mean("l_discount", alias_name="avg_disc"),
                       Count(alias_name="n_rows")))
     out = round_cols(out, {"sum_qty": 2, "sum_revenue": 2, "avg_disc": 8})
-    return out.sort(["l_returnflag", "l_linestatus"])
+    # group cardinality is tiny by definition (flag × status ≤ 6 rows):
+    # one block in, one partition out — sorting a 6-row table across N
+    # partitions emits N-6 schema-less empty blocks (executor warnings)
+    return out.repartition(1).sort(["l_returnflag", "l_linestatus"])
 
 
 def events_windowed(sf_dir: str):
@@ -77,7 +90,17 @@ def events_windowed(sf_dir: str):
            .aggregate(Count(alias_name="n_events"),
                       Sum("value", alias_name="sum_value")))
     out = round_cols(out, {"sum_value": 4})
-    return out.sort(["event_type", "window_start"])
+
+    def cast_us(t: pa.Table) -> pa.Table:
+        # pin the oracle-comparable unit: pandas groupby round-trips can
+        # widen to ns, and ns-vs-us string forms hash differently
+        import pyarrow.compute as pc
+        i = t.column_names.index("window_start")
+        return t.set_column(i, "window_start",
+                            pc.cast(t["window_start"], pa.timestamp("us")))
+
+    return (out.map_batches(cast_us, batch_format="pyarrow")
+            .sort(["event_type", "window_start"]))
 
 
 def top_users(sf_dir: str, k: int = 20):
@@ -99,7 +122,8 @@ def segment_revenue(sf_dir: str):
     out = (joined.groupby("c_mktsegment")
            .aggregate(Sum("o_totalprice", alias_name="total_revenue"),
                       Count(alias_name="n_orders")))
-    return round_cols(out, {"total_revenue": 2}).sort("c_mktsegment")
+    # ≤ a handful of market segments — see lineitem_agg note
+    return round_cols(out, {"total_revenue": 2}).repartition(1).sort("c_mktsegment")
 
 
 def nation_order_counts(sf_dir: str):

@@ -57,8 +57,14 @@ def brute_force_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
             for qi in range(sims.shape[0]):
                 for j in part[qi]:
                     rows.append((qi, ids[j], float(sims[qi, j])))
+            if not rows:
+                return pd.DataFrame({
+                    "query_idx": pd.array([], dtype="int64"),
+                    id_col: pd.Series([], dtype=ids.dtype),
+                    "score": pd.array([], dtype="float64")})
             out = pd.DataFrame(rows, columns=["query_idx", id_col, "score"])
             out["query_idx"] = out["query_idx"].astype("int64")
+            out["score"] = out["score"].astype("float64")
             return out
 
     partials = emb_ds.map_batches(Scorer, batch_format="pandas",
@@ -124,9 +130,14 @@ def lsh_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
             for j, b in enumerate(buckets):
                 for qi in self.wanted.get(int(b), ()):
                     rows.append((qi, ids[j], float(self.q[qi] @ m[j])))
+            if not rows:
+                return pd.DataFrame({
+                    "query_idx": pd.array([], dtype="int64"),
+                    id_col: pd.Series([], dtype=ids.dtype),
+                    "score": pd.array([], dtype="float64")})
             out = pd.DataFrame(rows, columns=["query_idx", id_col, "score"])
-            if not len(out):
-                out["query_idx"] = out["query_idx"].astype("int64")
+            out["query_idx"] = out["query_idx"].astype("int64")
+            out["score"] = out["score"].astype("float64")
             return out
 
     partials = emb_ds.map_batches(Scorer, batch_format="pandas",

@@ -257,11 +257,13 @@ def _find_hot_keys(keys_ds, threshold: int, buckets: int = 64) -> set:
             "_b": pa.array((h % np.uint64(buckets)).astype("int64")),
         })
 
-    def hot_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def hot_in_bucket(g: pd.DataFrame) -> pa.Table:
         sums = g.groupby("block_key", sort=False)["c"].sum()
         hot = sums[sums > threshold]
-        return pd.DataFrame({"block_key": hot.index.astype(str),
-                             "n": hot.to_numpy()})
+        # Arrow out: typed even when empty (size estimation on empty
+        # pandas object columns logs an error per block)
+        return pa.table({"block_key": pa.array(hot.index, pa.string()),
+                         "n": pa.array(hot.to_numpy(), pa.int64())})
 
     hot_pdf = (keys_ds.select_columns(["block_key"])
                .map_batches(partial, batch_format="pyarrow")

@@ -107,3 +107,82 @@ def test_unit_variants():
     # config-gated speculative expansion off (SURVEY §2.2 M16)
     assert P.generate_unit_variants("19D", speculative=False) == ["19D", "19"]
     assert P.generate_unit_variants("12", speculative=False) == ["12"]
+
+
+def test_parse_components_adversarial_corpus():
+    """≥25-case adversarial corpus bounding the usaddress emulation gap
+    (VERDICT r1 #6): house ranges with units, directional + numbered
+    street + unit-first, '#'/Ste/period-marker units after the street
+    type, ZIP+4, and documented degradation quirks.  Golden values
+    follow the documented primary-path semantics (U:366-439); quirks
+    (Brooklyn default city, punctuation leakage on unnormalized input)
+    are intentional parity."""
+    got = {a: comp(P.parse_components(a)) for a in CORPUS}
+    for addr, expected in CORPUS.items():
+        assert got[addr] == expected, f"{addr!r}: {got[addr]} != {expected}"
+
+
+CORPUS = {
+    # canonical five (U:1772-1778)
+    "85-101 North 3rd Street Brooklyn, NY 11249":
+        ("", "85-101", "North 3rd", "st", "Brooklyn", "NY", "11249"),
+    "3R 112 Bedford Avenue Brooklyn, NY 11211":
+        ("3R", "112", "Bedford", "ave", "Brooklyn", "NY", "11211"),
+    "1H 55 Berry Street Brooklyn, NY 11211":
+        ("1H", "55", "Berry", "st", "Brooklyn", "NY", "11211"),
+    "21F 22 NORTH 6 STREET Brooklyn, NY 11249":
+        ("21F", "22", "NORTH 6", "st", "Brooklyn", "NY", "11249"),
+    "3Q 60 Broadway Brooklyn, NY 11249":
+        ("3Q", "60", "Broadway", "", "Brooklyn", "NY", "11249"),
+    # house ranges with units, every marker form
+    "4B 85-101 North 3rd Street Brooklyn, NY 11249":
+        ("4B", "85-101", "North 3rd", "st", "Brooklyn", "NY", "11249"),
+    "85-101 North 3rd Street Apt 4B Brooklyn, NY 11249":
+        ("4B", "85-101", "North 3rd", "st", "Brooklyn", "NY", "11249"),
+    "85-101 N 3rd St #2C Brooklyn NY 11249":
+        ("2C", "85-101", "N 3rd", "st", "Brooklyn", "NY", "11249"),
+    # directional + numbered street + unit-first
+    "2F 301 East 89th Street New York, NY 10128":
+        ("2F", "301", "East 89th", "st", "Brooklyn", "NY", "10128"),
+    "12A 45 West 12 Street New York NY 10011":
+        ("12A", "45", "West 12", "st", "Brooklyn", "NY", "10011"),
+    "7C 200 NORTH 6TH STREET Brooklyn NY 11211":
+        ("7C", "200", "NORTH 6TH", "st", "Brooklyn", "NY", "11211"),
+    # '#'/Suite/Unit/Ste/period markers after the street type
+    "55 Berry St #7F Brooklyn, NY 11211":
+        ("7F", "55", "Berry", "st", "Brooklyn", "NY", "11211"),
+    "112 Bedford Ave # 3R Brooklyn NY 11211":
+        ("3R", "112", "Bedford", "ave", "Brooklyn", "NY", "11211"),
+    "60 Broadway Suite 210 Brooklyn, NY 11249":
+        ("210", "60", "Broadway", "", "Brooklyn", "NY", "11249"),
+    "22 North 6th Street Unit 21F Brooklyn NY 11249":
+        ("21F", "22", "North 6th", "st", "Brooklyn", "NY", "11249"),
+    "77 Kent Avenue Apt. 4B Brooklyn, NY 11249":
+        ("4B", "77", "Kent", "ave", "Brooklyn", "NY", "11249"),
+    "60 Broadway Ste 4L Brooklyn NY 11249":
+        ("4L", "60", "Broadway", "", "Brooklyn", "NY", "11249"),
+    # ZIP+4 keeps the 5-digit base
+    "490 Court Street Brooklyn, NY 11231-4512":
+        ("", "490", "Court", "st", "Brooklyn", "NY", "11231"),
+    "1 Main Street Newark NJ 07102-3827":
+        ("", "1", "Main", "st", "Brooklyn", "NJ", "07102"),
+    # degraded shapes: no house, no zip, PO box, malformed glue —
+    # documented quirks (Brooklyn default; punctuation leaks without
+    # upstream normalize; the reference behaves identically)
+    "1000 Ocean Pkwy Brooklyn NY":
+        ("", "1000", "Ocean Pkwy", "", "Brooklyn", "NY", ""),
+    "Flatbush Avenue Brooklyn NY 11226":
+        ("", "", "Flatbush", "ave", "Brooklyn", "NY", "11226"),
+    "PO Box 1234 Brooklyn NY 11211":
+        ("", "", "PO Box 1234", "", "Brooklyn", "NY", "11211"),
+    "301 E 89 St New York NY":
+        ("", "301", "E 89", "st", "Brooklyn", "NY", ""),
+    "19 Graham Ave.(at Boerum St) Brooklyn, NY 11206":
+        ("", "19", "Graham Ave.(at Boerum St)", "", "Brooklyn", "NY", "11206"),
+    "248 McKibbin St.Brooklyn, NY 11206":
+        ("", "248", "McKibbin St.Brooklyn", "", "Brooklyn", "NY", "11206"),
+    "1H55 Berry Street Brooklyn NY 11211":
+        ("", "1H", "55 Berry", "st", "Brooklyn", "NY", "11211"),
+    "490 Court Street New York, NY 10007":
+        ("", "490", "Court", "st", "Brooklyn", "NY", "10007"),
+}
