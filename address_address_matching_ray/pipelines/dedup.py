@@ -64,7 +64,11 @@ def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id",
 
 
 class _NearDupKeyer:
-    """Actor stage: doc → candidate band keys (minhash or simhash)."""
+    """Stateful keyer: doc → candidate band keys (minhash or simhash).
+    Run via ``_keyer_task`` (stateless tasks + per-worker cache — the
+    sketch state is small, and spawning an actor pool paid ~5 s fixed
+    per call at bench scale); the class remains usable as an actor-pool
+    stage for heavy-state variants."""
 
     def __init__(self, mode: str, cfg: PipelineConfig,
                  text_col: str, id_col: str):
@@ -76,29 +80,34 @@ class _NearDupKeyer:
         self.simhasher = SimHasher(cfg.simhash_bits, cfg.seed)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from address_address_matching_ray.functions.minhash import (
+            band_key_strings, lsh_band_digests,
+        )
+
+        n = len(df)
         toks = [t.lower().split() for t in df[self.text_col].fillna("")]
-        ids = df[self.id_col].to_numpy()
+        ids = df[self.id_col].to_numpy(dtype="uint64")
         texts = _norm_text(df[self.text_col]).to_numpy(dtype=object)
         if self.mode == "minhash":
             sh = [shingles(t, self.cfg.shingle_size) for t in toks]
             sigs = self.minhasher.batch_signatures(sh)
-            keys = lsh_band_keys(sigs, self.cfg.dedup_lsh_bands)
+            bands = self.cfg.dedup_lsh_bands
+            keys_flat = band_key_strings(lsh_band_digests(sigs, bands))
+            sig_col = np.zeros(n, dtype="uint64")
         else:
             sigs = self.simhasher.batch_signatures(toks)
-            keys = simhash_band_keys(sigs, 4)
-            sim_sig = sigs
-        rows_id, rows_key, rows_text, rows_sig = [], [], [], []
-        for i in range(len(df)):
-            for k in keys[i]:
-                rows_id.append(ids[i])
-                rows_key.append(k)
-                rows_text.append(texts[i])
-                rows_sig.append(int(sigs[i]) if self.mode == "simhash" else 0)
+            bands = 4
+            keys_flat = np.array(
+                [k for ks in simhash_band_keys(sigs, bands) for k in ks],
+                dtype=object)
+            sig_col = sigs
+        # flat (doc × band) emission, no per-row loop
+        rows = np.repeat(np.arange(n, dtype=np.int64), bands)
         return pd.DataFrame({
-            "doc_id": pd.array(rows_id, dtype="uint64"),
-            "band_key": rows_key,
-            "norm_text": rows_text,
-            "simhash": pd.array(rows_sig, dtype="uint64"),
+            "doc_id": ids[rows],
+            "band_key": keys_flat,
+            "norm_text": texts[rows],
+            "simhash": sig_col[rows],
         })
 
 
@@ -110,6 +119,20 @@ class _BandCaps:
 
     max_block_size = 500
     max_pairs_per_block = 20_000
+
+
+
+_KEYER_CACHE: dict[tuple, _NearDupKeyer] = {}
+
+
+def _keyer_task(df: pd.DataFrame, mode: str, cfg: PipelineConfig,
+                text_col: str, id_col: str) -> pd.DataFrame:
+    key = (mode, cfg.fingerprint(), text_col, id_col)
+    keyer = _KEYER_CACHE.get(key)
+    if keyer is None:
+        keyer = _NearDupKeyer(mode, cfg, text_col, id_col)
+        _KEYER_CACHE[key] = keyer
+    return keyer(df)
 
 
 def _candidate_pairs(keyed_ds, buckets: int = 32):
@@ -184,10 +207,10 @@ def minhash_dedup(docs_ds, cfg: PipelineConfig | None = None,
     representative of every near-dup component."""
     cfg = cfg or PipelineConfig()
     keyed = docs_ds.map_batches(
-        _NearDupKeyer, fn_constructor_kwargs={
+        _keyer_task, fn_kwargs={
             "mode": "minhash", "cfg": cfg, "text_col": text_col,
             "id_col": id_col},
-        batch_format="pandas", concurrency=(1, 4))
+        batch_format="pandas")
     cand = _candidate_pairs(keyed, buckets)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
@@ -211,10 +234,10 @@ def simhash_dedup(docs_ds, cfg: PipelineConfig | None = None,
     """SimHash near-dup removal: band-sliced blocking + Hamming verify."""
     cfg = cfg or PipelineConfig()
     keyed = docs_ds.map_batches(
-        _NearDupKeyer, fn_constructor_kwargs={
+        _keyer_task, fn_kwargs={
             "mode": "simhash", "cfg": cfg, "text_col": text_col,
             "id_col": id_col},
-        batch_format="pandas", concurrency=(1, 4))
+        batch_format="pandas")
     cand = _candidate_pairs(keyed, buckets)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
@@ -238,10 +261,10 @@ def ngram_jaccard_dedup(docs_ds, cfg: PipelineConfig | None = None,
     n-gram-set verification — robust for short/typo-heavy texts)."""
     cfg = cfg or PipelineConfig()
     keyed = docs_ds.map_batches(
-        _NearDupKeyer, fn_constructor_kwargs={
+        _keyer_task, fn_kwargs={
             "mode": "minhash", "cfg": cfg, "text_col": text_col,
             "id_col": id_col},
-        batch_format="pandas", concurrency=(1, 4))
+        batch_format="pandas")
     cand = _candidate_pairs(keyed, buckets)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:

@@ -232,36 +232,65 @@ def match_queries(queries_ds, records_ds, cfg: PipelineConfig | None = None,
         df["bucket"] = (h % np.uint64(buckets)).astype("int64")
         return df
 
+    cap = max(candidates_per_query, 50)
+
     def cross_pairs(g: pd.DataFrame) -> pd.DataFrame:
         """All query×record pairs within each block of the bucket,
         capped per (query, block) — the reference's per-tier max_results
-        caps (K1/K3)."""
-        g = g.sort_values(["block_key", "side"], kind="mergesort")
-        out_frames = []
-        for _, blk in g.groupby("block_key", sort=False):
-            qs = blk[blk["side"] == "q"]
-            rs = blk[blk["side"] == "r"]
-            if not len(qs) or not len(rs):
-                continue
-            # sort by pid BEFORE capping: upstream arrival order is not
-            # deterministic under retries/partitioning, so an unsorted
-            # head() could truncate a different candidate set per run
-            # (SURVEY §4.2 determinism invariant)
-            rs = (rs.sort_values("pid", kind="mergesort")
-                    .drop_duplicates("pid").head(max(candidates_per_query, 50)))
-            qs = (qs.sort_values("query_id", kind="mergesort")
-                    .drop_duplicates("query_id"))
-            qi = np.repeat(np.arange(len(qs)), len(rs))
-            ri = np.tile(np.arange(len(rs)), len(qs))
-            left = qs.iloc[qi][["query_id", *Q_PAYLOAD]].reset_index(drop=True)
-            right = rs.iloc[ri][list(R_PAYLOAD)].reset_index(drop=True)
-            out_frames.append(pd.concat([left, right], axis=1))
-        if not out_frames:
-            empty = {"query_id": pd.array([], dtype="uint64")}
-            empty.update({c: pd.Series([], dtype=object)
-                          for c in (*Q_PAYLOAD, *R_PAYLOAD)})
+        caps (K1/K3).  Fully vectorized: per-block cross products are
+        decomposed arithmetically (pair k of block g → q = k // nr,
+        r = k % nr) instead of a Python loop per block — the loop shape
+        was fine for 200 queries and wrong for a 10^9-query batch.
+
+        Candidates are sorted by pid BEFORE capping: upstream arrival
+        order is not deterministic under retries/partitioning, so an
+        unsorted head() could truncate a different candidate set per
+        run (SURVEY §4.2 determinism invariant)."""
+        empty = {"query_id": pd.array([], dtype="uint64")}
+        empty.update({c: pd.Series([], dtype=object)
+                      for c in (*Q_PAYLOAD, *R_PAYLOAD)})
+        if not len(g):
             return pd.DataFrame(empty)
-        out = pd.concat(out_frames, ignore_index=True)
+        qs = (g[g["side"] == "q"]
+              .sort_values(["block_key", "query_id"], kind="mergesort")
+              .drop_duplicates(["block_key", "query_id"])
+              .reset_index(drop=True))
+        rs = (g[g["side"] == "r"]
+              .sort_values(["block_key", "pid"], kind="mergesort")
+              .drop_duplicates(["block_key", "pid"])
+              .reset_index(drop=True))
+        if not len(qs) or not len(rs):
+            return pd.DataFrame(empty)
+        # per-pid-sorted rank within block → deterministic cap
+        r_rank = rs.groupby("block_key", sort=False).cumcount().to_numpy()
+        rs = rs[r_rank < cap].reset_index(drop=True)
+        # align blocks present on both sides
+        blocks, q_code = np.unique(qs["block_key"].to_numpy(dtype=object),
+                                   return_inverse=True)
+        r_keys = rs["block_key"].to_numpy(dtype=object)
+        pos = np.searchsorted(blocks, r_keys)
+        pos_c = np.minimum(pos, len(blocks) - 1)
+        r_in = blocks[pos_c] == r_keys
+        r_code = pos_c[r_in]
+        rs = rs[r_in].reset_index(drop=True)
+        nb = len(blocks)
+        nq = np.bincount(q_code, minlength=nb)
+        nr = np.bincount(r_code, minlength=nb)
+        q_start = np.concatenate([[0], np.cumsum(nq)[:-1]])
+        r_start = np.concatenate([[0], np.cumsum(nr)[:-1]])
+        counts = nq * nr
+        P = int(counts.sum())
+        if P == 0:
+            return pd.DataFrame(empty)
+        blk_of = np.repeat(np.arange(nb), counts)
+        k = np.arange(P) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+        nr_of = np.repeat(nr, counts)
+        q_rows = q_start[blk_of] + k // np.maximum(nr_of, 1)
+        r_rows = r_start[blk_of] + k % np.maximum(nr_of, 1)
+        left = qs.iloc[q_rows][["query_id", *Q_PAYLOAD]].reset_index(drop=True)
+        right = rs.iloc[r_rows][list(R_PAYLOAD)].reset_index(drop=True)
+        out = pd.concat([left, right], axis=1)
         return out.drop_duplicates(["query_id", "pid"])
 
     cand = (both.map_batches(bucketize, batch_format="pandas")

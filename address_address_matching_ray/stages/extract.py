@@ -132,9 +132,14 @@ def extract_parse(batch: pa.Table, cfg=None) -> pa.Table:
     htmls = batch["html"].to_pylist()
     extracted = extract_text_series(htmls)
     addrs = [extract_address(t) for t in extracted]
-    parsed = [parse_components(a) for a in addrs]
+    # parse each DISTINCT address once (same-entity listings repeat the
+    # same perturbed strings) and scatter back
+    codes, uniq = pd.factorize(np.asarray(addrs, dtype=object))
+    parsed_u = [parse_components(a) for a in uniq]
+    parsed = [parsed_u[c] for c in codes]
 
-    norm_addr = normalize_series(pd.Series(addrs, dtype="object"))
+    norm_u = normalize_series(pd.Series(uniq, dtype="object")).to_numpy()
+    norm_addr = pd.Series(norm_u[codes])
 
     def col(attr: str) -> pa.Array:
         return pa.array([getattr(p, attr) for p in parsed], pa.string())

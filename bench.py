@@ -54,7 +54,8 @@ def run_bench() -> dict:
     timings: dict[str, float] = {}
 
     # warm the page-cache / import path with one untimed small read
-    rd.read_parquet(f"{sf_dir}/documents.parquet").count()
+    from address_address_matching_ray.pipelines.relational import read
+    read(sf_dir, "documents").count()
 
     # pages land in parquet ONCE (untimed, cached across runs): the
     # north-star pipeline streams Common-Crawl-style pages FROM PARQUET,
