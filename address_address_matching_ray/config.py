@@ -71,6 +71,15 @@ class PipelineConfig:
     # ── blocking / shuffle ──
     minhash_perms: int = 16          # MinHash signature length (linkage blocking)
     lsh_bands: int = 4               # bands (rows = perms // bands)
+    # LSH band keys in the LINKAGE blocking: "degraded" emits them only
+    # for docs whose address parse failed (no house+street).  For parsed
+    # docs the address keys (exact/composite/phonetic) subsume every
+    # pair the scoring tiers could later ACCEPT — a band-only pair of
+    # two differently-parsed addresses is rejected by the ≥85-confidence
+    # edge gate anyway — so full-corpus bands only add shuffle bytes
+    # (they doubled the key-table at 4M pages).  "all" restores
+    # belt-and-braces text blocking; dedup pipelines always band fully.
+    lsh_scope: str = "degraded"
     dedup_minhash_perms: int = 64    # richer sketch for text near-dup dedup
     dedup_lsh_bands: int = 16
     shingle_size: int = 3            # token shingles for MinHash

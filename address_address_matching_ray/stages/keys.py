@@ -53,6 +53,14 @@ PAYLOAD_COLS = ("norm_addr", "house", "street_name", "street_type",
                 "unit", "city", "state", "zip")
 
 
+def _hash_hex(vals: np.ndarray) -> np.ndarray:
+    """Equality-preserving compaction of key strings → 16-hex-char
+    digests (stable vectorized siphash)."""
+    from address_address_matching_ray.functions.minhash import hex16
+
+    return hex16(pd.util.hash_array(vals, categorize=False))
+
+
 def canonical_url(url: str) -> str:
     """Deterministic URL canonicalization: drop scheme, leading ``www.``,
     trailing ``/``, tracking query params; sort surviving params."""
@@ -130,7 +138,12 @@ class KeyDeriver:
         street_norm = normalize_array(payload["street_name"])
 
         # fully vectorized key construction: each key family is one
-        # masked column concat (object-array "+"), no per-row Python
+        # masked column concat (object-array "+"), no per-row Python.
+        # Every key value is HASH-COMPACTED to "<kind>:<hex16>" —
+        # equality-preserving (64-bit siphash; collision odds are
+        # negligible against 10^12 docs) and it caps key bytes at ~18
+        # per row where raw URLs/addresses averaged 40+: the key table
+        # is the widest shuffle in the flagship pipeline.
         cu = canonical_url_series(urls).to_numpy(dtype=object)
         idx_u = np.flatnonzero(cu != "")
 
@@ -138,19 +151,27 @@ class KeyDeriver:
         idx_e = np.flatnonzero(na != "")
 
         house, zipc = payload["house"], payload["zip"]
-        idx_h = np.flatnonzero((house != "") & (street_norm != ""))
+        mask_h = (house != "") & (street_norm != "")
+        idx_h = np.flatnonzero(mask_h)
         h_keys = s_keys = np.array([], dtype=object)
         if len(idx_h):
             state_u = pd.Series(payload["state"][idx_h]).str.upper() \
                         .to_numpy(dtype=object)
-            h_keys = ("h:" + house[idx_h] + "|" + street_norm[idx_h]
-                      + "|" + zipc[idx_h])
-            s_keys = ("s:" + house[idx_h] + "|"
-                      + phonetic_code_array(street_norm[idx_h])
-                      + "|" + state_u)
+            h_keys = "h:" + _hash_hex(house[idx_h] + "|" + street_norm[idx_h]
+                                      + "|" + zipc[idx_h])
+            s_keys = "s:" + _hash_hex(house[idx_h] + "|"
+                                      + phonetic_code_array(street_norm[idx_h])
+                                      + "|" + state_u)
 
-        # LSH bands over extracted-text token shingles (batched)
-        toks = [shingles(t.lower().split(), cfg.shingle_size) for t in texts]
+        # LSH bands over extracted-text token shingles (batched);
+        # scope: "degraded" = only docs with no parsed house+street
+        # (cfg.lsh_scope rationale in config.py)
+        if cfg.lsh_scope == "all":
+            band_docs = np.ones(n, dtype=bool)
+        else:
+            band_docs = ~mask_h
+        toks = [shingles(texts[i].lower().split(), cfg.shingle_size)
+                if band_docs[i] else [] for i in range(n)]
         sigs = self.minhasher.batch_signatures(toks)
         digests = lsh_band_digests(sigs, cfg.lsh_bands)      # (n, bands)
         bkeys_flat = band_key_strings(digests)               # (n*bands,)
@@ -160,8 +181,8 @@ class KeyDeriver:
 
         row_of = np.concatenate([idx_u, idx_e, idx_h, idx_h, band_rows])
         out_key = np.concatenate([
-            "u:" + cu[idx_u] if len(idx_u) else np.array([], dtype=object),
-            "e:" + na[idx_e] if len(idx_e) else np.array([], dtype=object),
+            "u:" + _hash_hex(cu[idx_u]) if len(idx_u) else np.array([], dtype=object),
+            "e:" + _hash_hex(na[idx_e]) if len(idx_e) else np.array([], dtype=object),
             h_keys, s_keys, bkeys_flat[band_mask]])
         out_kind = np.concatenate([
             np.full(len(idx_u), "url_canon", dtype=object),

@@ -235,7 +235,8 @@ def _hash_strings(arr) -> np.ndarray:
     return pl.from_arrow(arr).hash(seed=0).to_numpy().astype(np.uint64)
 
 
-def _find_hot_keys(keys_ds, threshold: int, buckets: int = 64) -> set:
+def _find_hot_keys(keys_ds, threshold: int, buckets: int = 64,
+                   sample_mod: int = 8) -> set:
     """Pass 0: keys whose row count exceeds ``threshold``.
 
     Shape matters: a ``groupby(block_key).sum`` would create millions of
@@ -243,7 +244,25 @@ def _find_hot_keys(keys_ds, threshold: int, buckets: int = 64) -> set:
     measured 570 s on 12M keys).  Instead: project to the bare key
     column, per-batch partial counts (combiner), bucket by
     ``hash(key) % B``, ONE vectorized value_counts per bucket.
+
+    Counts run over a DETERMINISTIC 1/``sample_mod`` doc_id sample with
+    the threshold scaled down: salting is a load guard, not an exact
+    count — a hot key's members are uniform in doc_id, and at
+    threshold ≥ 1600 the sampled estimate's noise (±√(threshold/mod))
+    cannot flip a materially hot key.  Sample keys stay stable across
+    runs/retries, so salting decisions stay deterministic.
     """
+    if sample_mod > 1:
+        assert sample_mod & (sample_mod - 1) == 0, "sample_mod: power of 2"
+        mask = np.uint64(sample_mod - 1)
+
+        def sample(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((ids & mask) == 0))
+
+        keys_ds = keys_ds.map_batches(sample, batch_format="pyarrow")
+        threshold = max(2, threshold // sample_mod)
+
     def partial(t: pa.Table) -> pa.Table:
         # Arrow-native per-batch combiner: value_counts + bucket id,
         # no pandas/object conversion (the shuffle then moves compact
