@@ -273,6 +273,28 @@ def _q_media_frames(sf_dir: str):
         ["media_id", "frame_ts_ms"])
 
 
+def _q_customers_without_orders(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import (
+        customers_without_orders,
+    )
+
+    return customers_without_orders(sf_dir)
+
+
+def _q_parts_by_brand(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import parts_by_brand
+
+    return parts_by_brand(sf_dir)
+
+
+def _q_region_supplier_balance(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import (
+        region_supplier_balance,
+    )
+
+    return region_supplier_balance(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship linkage (north rule) — rows-only (fuzzy + transitive)
@@ -303,6 +325,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority": _q_order_priority,
         "distinct_events": _q_distinct_events,
         "user_sessions": _q_sessions,
+        "customers_without_orders": _q_customers_without_orders,
+        "parts_by_brand": _q_parts_by_brand,
+        "region_supplier_balance": _q_region_supplier_balance,
         "match_queries": _q_match_queries,
         # multimodal plumbing (deterministic fake decode)
         "media_decode": _q_media_decode,
@@ -359,6 +384,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE word <> '' GROUP BY word
             ORDER BY n DESC, word LIMIT 50""",
         "normalize_docs": _normalize_sql(),
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+            ORDER BY c_custkey""",
+        "parts_by_brand": """
+            SELECT p_brand, count(*) AS n_parts,
+                   round(avg(p_retailprice), 4) AS avg_price
+            FROM part GROUP BY p_brand ORDER BY p_brand""",
+        "region_supplier_balance": """
+            SELECT r.r_name, round(sum(s.s_acctbal), 2) AS total_acctbal,
+                   count(*) AS n_suppliers
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name ORDER BY r.r_name""",
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -166,6 +166,62 @@ def order_priority_distribution(sf_dir: str):
             .sort("o_orderpriority"))
 
 
+def customers_without_orders(sf_dir: str, priority: str = "1-URGENT",
+                             broadcast_threshold: int = 5_000_000):
+    """Left-ANTI join via the shared scale-safe semi-join helper
+    (``cluster.filter_out_ids``): customers with no order of the given
+    priority.  Gives the semi-join machinery a DuckDB oracle
+    (`NOT IN` subquery with a non-empty result)."""
+    from address_address_matching_ray.stages.cluster import filter_out_ids
+
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    okeys = (read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+             .filter(expr=f"o_orderpriority == '{priority}'")
+             .select_columns(["o_custkey"]))
+    out = filter_out_ids(cust, okeys, id_col="c_custkey",
+                         ids_col="o_custkey",
+                         broadcast_threshold=broadcast_threshold)
+    return out.repartition(1).sort("c_custkey")
+
+
+def parts_by_brand(sf_dir: str):
+    """part-table aggregate: count + mean retail price per brand."""
+    ds = read(sf_dir, "part", columns=["p_brand", "p_retailprice"])
+    out = ds.groupby("p_brand").aggregate(
+        Count(alias_name="n_parts"),
+        Mean("p_retailprice", alias_name="avg_price"))
+    return round_cols(out, {"avg_price": 4}).repartition(1).sort("p_brand")
+
+
+def region_supplier_balance(sf_dir: str):
+    """Three-table broadcast-dim chain (region → nation → supplier):
+    total supplier account balance per region.  Both dims are tiny —
+    ONE composed lookup broadcast via ``ray.put``, zero shuffles before
+    the final 5-row aggregate."""
+    import ray
+
+    nation = read(sf_dir, "nation").to_pandas()
+    region = read(sf_dir, "region").to_pandas()
+    r_of = dict(zip(region.r_regionkey, region.r_name))
+    nation_region = {int(k): r_of[int(r)]
+                     for k, r in zip(nation.n_nationkey, nation.n_regionkey)} \
+        if "n_regionkey" in nation.columns else {}
+    lookup = ray.put(nation_region)
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(lookup)
+        return pd.DataFrame({
+            "r_name": df["s_nationkey"].map(d),
+            "s_acctbal": df["s_acctbal"]})
+
+    sup = read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+    out = (sup.map_batches(attach, batch_format="pandas")
+           .groupby("r_name")
+           .aggregate(Sum("s_acctbal", alias_name="total_acctbal"),
+                      Count(alias_name="n_suppliers")))
+    return round_cols(out, {"total_acctbal": 2}).repartition(1).sort("r_name")
+
+
 def distinct_event_types(sf_dir: str):
     """D2 analog (distinct via groupby)."""
     ds = read(sf_dir, "events", columns=["event_type"])

@@ -331,3 +331,63 @@ def test_warning_strings_parity():
             == ["; ".join(w) for w in scoring.warning_flags(tier, sim, spec)])
     assert (scoring.warning_strings(tier, sim, None).tolist()
             == ["; ".join(w) for w in scoring.warning_flags(tier, sim, None)])
+
+
+def test_customers_without_orders_join_parity(ray_session):
+    """Anti-join query: forced hash-join path ≡ broadcast path."""
+    from address_address_matching_ray.pipelines.relational import (
+        customers_without_orders,
+    )
+
+    a = customers_without_orders(SF).to_pandas()
+    b = customers_without_orders(SF, broadcast_threshold=0).to_pandas()
+    assert a.c_custkey.tolist() == b.c_custkey.tolist()
+    assert list(a.columns) == ["c_custkey", "c_name"]
+
+
+def test_new_relational_queries_shapes(ray_session):
+    from address_address_matching_ray.pipelines.relational import (
+        parts_by_brand, region_supplier_balance,
+    )
+
+    pb = parts_by_brand(SF).to_pandas()
+    assert {"p_brand", "n_parts", "avg_price"} == set(pb.columns)
+    assert pb.n_parts.sum() > 0
+    rs = region_supplier_balance(SF).to_pandas()
+    assert {"r_name", "total_acctbal", "n_suppliers"} == set(rs.columns)
+    assert len(rs) >= 1
+
+
+def test_lsh_scope_all_same_clusters(ray_session):
+    """cfg.lsh_scope='all' (belt-and-braces text blocking) must produce
+    the same CLUSTERS as the default 'degraded' scope on parseable
+    synthetic pages — band-only pairs of differently-parsed addresses
+    are rejected by the edge-confidence gate (the subsumption argument
+    documented in config.py)."""
+    from address_address_matching_ray.pipelines.linkage import run_linkage
+    from address_address_matching_ray.sources.synth import synth_pages
+
+    a = run_linkage(synth_pages(300, seed=42), buckets=4,
+                    num_partitions=2).clusters.to_pandas()
+    cfg = PipelineConfig(lsh_scope="all")
+    b = run_linkage(synth_pages(300, seed=42), cfg=cfg, buckets=4,
+                    num_partitions=2).clusters.to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_auto_spill_path_matches_pinned(ray_session):
+    """approx_rows above auto_spill_rows routes through a throwaway
+    checkpoint dir; clusters must be byte-identical to the pinned path."""
+    from address_address_matching_ray.pipelines.linkage import run_linkage
+    from address_address_matching_ray.sources.synth import synth_pages
+
+    a = run_linkage(synth_pages(300, seed=42), buckets=4,
+                    num_partitions=2).clusters.to_pandas()
+    res = run_linkage(synth_pages(300, seed=42), buckets=4,
+                      num_partitions=2, approx_rows=300, auto_spill_rows=100)
+    b = res.clusters.to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
