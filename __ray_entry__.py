@@ -139,6 +139,15 @@ def _q_ann_topk(sf_dir: str):
         ["query_idx", "rank"])
 
 
+def _q_ann_ivf(sf_dir: str):
+    from address_address_matching_ray.pipelines.similarity import ivf_topk
+
+    out = ivf_topk(_emb(sf_dir), _query_vectors(sf_dir), k=5,
+                   n_centroids=16, nprobe=6)
+    return out.select_columns(["query_idx", "vec_id", "rank"]).sort(
+        ["query_idx", "rank"])
+
+
 def _q_ann_lsh(sf_dir: str):
     from address_address_matching_ray.pipelines.similarity import lsh_topk
 
@@ -310,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         # text analysis
         "token_stats": _q_token_stats,
         "lang_distribution": _q_lang_dist,

@@ -153,6 +153,94 @@ def lsh_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
         final_topk, batch_format="pandas")
 
 
+def _spherical_kmeans(m: np.ndarray, k: int, iters: int = 10,
+                      seed: int = 42) -> np.ndarray:
+    """Seeded Lloyd iterations on the unit sphere → (k, d) normalized
+    centroids.  Deterministic (fixed init, argmax ties break low)."""
+    rng = np.random.RandomState(seed)
+    k = min(k, len(m))
+    centroids = m[rng.choice(len(m), size=k, replace=False)]
+    for _ in range(iters):
+        assign = (m @ centroids.T).argmax(axis=1)
+        for c in range(k):
+            members = m[assign == c]
+            if len(members):
+                centroids[c] = members.sum(axis=0)
+        centroids = _normalize_rows(centroids)
+    return centroids
+
+
+def ivf_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_centroids: int = 64, nprobe: int = 8,
+             train_sample: int = 10_000, seed: int = 42):
+    """IVF approximate top-k — the coarse-quantizer scale path next to
+    ``lsh_topk``: a spherical-kmeans codebook is trained ONCE on a
+    bounded driver-side sample, broadcast via ``ray.put``, and each
+    batch scores only vectors whose nearest centroid is among a query's
+    ``nprobe`` closest centroids.  Scored fraction ≈ nprobe/n_centroids;
+    recall is measured against brute force in tests.
+
+    Partitioning assumption: none — assignment is per-row; only (query,
+    id, score) partials leave the workers, merged by the same tiny
+    per-query reduction as the exact path.
+    """
+    import ray
+
+    q = _normalize_rows(np.asarray(query_vecs, dtype=np.float32))
+    sample = emb_ds.limit(train_sample).to_pandas()
+    m0 = _normalize_rows(_to_matrix(sample[vec_col]))
+    centroids = _spherical_kmeans(m0, n_centroids, seed=seed)
+    # per-query probe set → centroid → [query ids] reverse map
+    sims_qc = q @ centroids.T                       # (nq, C)
+    nprobe = min(nprobe, centroids.shape[0])
+    probes = np.argpartition(-sims_qc, nprobe - 1, axis=1)[:, :nprobe]
+    wanted: dict[int, list[int]] = {}
+    for qi in range(len(q)):
+        for c in probes[qi]:
+            wanted.setdefault(int(c), []).append(qi)
+    state = ray.put((q, centroids, wanted))
+
+    class Scorer:
+        def __init__(self):
+            self.q, self.centroids, self.wanted = ray.get(state)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = _normalize_rows(_to_matrix(df[vec_col]))
+            assign = (m @ self.centroids.T).argmax(axis=1)
+            ids = df[id_col].to_numpy()
+            frames = []
+            for c in np.unique(assign):
+                qis = self.wanted.get(int(c))
+                if not qis:
+                    continue
+                rows = np.flatnonzero(assign == c)
+                sims = self.q[qis] @ m[rows].T      # (nq_c, n_rows)
+                qi_rep = np.repeat(np.asarray(qis, dtype=np.int64), len(rows))
+                frames.append(pd.DataFrame({
+                    "query_idx": qi_rep,
+                    id_col: np.tile(ids[rows], len(qis)),
+                    "score": sims.ravel().astype("float64")}))
+            if not frames:
+                return pd.DataFrame({
+                    "query_idx": pd.array([], dtype="int64"),
+                    id_col: pd.Series([], dtype=ids.dtype),
+                    "score": pd.array([], dtype="float64")})
+            return pd.concat(frames, ignore_index=True)
+
+    partials = emb_ds.map_batches(Scorer, batch_format="pandas",
+                                  batch_size=4096, concurrency=(1, 8))
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", id_col], ascending=[False, True],
+                          kind="mergesort").head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
+        return g
+
+    return partials.groupby("query_idx").map_groups(
+        final_topk, batch_format="pandas")
+
+
 def embedding_dedup(emb_ds, threshold: float = 0.98,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     bits: int = 10, seed: int = 42, dim: int | None = None,

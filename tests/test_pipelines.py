@@ -391,3 +391,33 @@ def test_auto_spill_path_matches_pinned(ray_session):
     a = a.sort_values("doc_id").reset_index(drop=True)
     b = b.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_ivf_topk_recall(ray_session):
+    """IVF coarse-quantizer path: recall@5 vs brute force ≥ 0.6 with
+    generous probing on the small fixture (same bar as the LSH path)."""
+    import numpy as np
+    import ray.data as rd
+    from address_address_matching_ray.pipelines.similarity import (
+        brute_force_topk, ivf_topk,
+    )
+
+    rng = np.random.RandomState(3)
+    n, d = 600, 16
+    vecs = rng.standard_normal((n, d)).astype("float32")
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": pd.array(range(n), dtype="uint64"),
+        "embedding": list(vecs)})).materialize()
+    queries = vecs[:4] + rng.standard_normal((4, d)).astype("float32") * 0.05
+    exact = brute_force_topk(ds, queries, k=5).to_pandas()
+    approx = ivf_topk(ds, queries, k=5, n_centroids=16, nprobe=6,
+                      train_sample=600).to_pandas()
+    hits = 0
+    for qi in range(4):
+        e = set(exact[exact.query_idx == qi].vec_id)
+        a = set(approx[approx.query_idx == qi].vec_id)
+        hits += len(e & a)
+    assert hits / 20 >= 0.6
+    # rank-1 of each query should be its own perturbed source vector
+    assert (approx[approx["rank"] == 1].sort_values("query_idx")
+            .vec_id.tolist() == [0, 1, 2, 3])
