@@ -49,17 +49,33 @@ def lang_distribution(docs_ds, lang_col: str = "lang"):
                          batch_format="pyarrow"))
 
 
-def word_frequencies(docs_ds, text_col: str = "text", top_k: int = 50):
-    """Corpus word frequencies: per-batch partial counts (combiner)
-    → small groupby sum → global top-k.  The pre-aggregation keeps the
-    shuffle tiny (SURVEY §2.6 guidance)."""
+def word_frequencies(docs_ds, text_col: str = "text", top_k: int = 50,
+                     buckets: int = 64):
+    """Corpus word frequencies: per-batch partial counts (combiner) →
+    bucketed sum + per-bucket top-k → tiny global merge.
+
+    The naive ``groupby("word").aggregate(Sum)`` creates one group per
+    DISTINCT word — millions of tiny groups at corpus scale, the
+    Python-per-group finalize trap.  Each word lives wholly in one hash
+    bucket, so per-bucket top-k then a global merge is exact."""
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         s = (df[text_col].fillna("").str.lower().str.split().explode())
         vc = s.value_counts()
-        return pd.DataFrame({"word": vc.index.astype(str), "cnt": vc.to_numpy()})
+        out = pd.DataFrame({"word": vc.index.astype(str),
+                            "cnt": vc.to_numpy().astype("int64")})
+        h = pd.util.hash_array(out["word"].to_numpy(dtype=object))
+        out["_b"] = (h % np.uint64(buckets)).astype("int64")
+        return out
 
-    from ray.data.aggregate import Sum
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        sums = g.groupby("word", sort=False)["cnt"].sum().reset_index()
+        sums = sums.sort_values(["cnt", "word"], ascending=[False, True],
+                                kind="mergesort").head(top_k)
+        return pd.DataFrame({"word": sums["word"].to_numpy(dtype=object),
+                             "n": sums["cnt"].to_numpy()})
 
     agg = (docs_ds.map_batches(partial, batch_format="pandas")
-           .groupby("word").aggregate(Sum("cnt", alias_name="n")))
+           .groupby("_b").map_groups(
+               lambda g: bucket_topk(g.drop(columns=["_b"])),
+               batch_format="pandas"))
     return agg.sort(["n", "word"], descending=[True, False]).limit(top_k)

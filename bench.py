@@ -139,7 +139,14 @@ def run_scaling() -> dict:
 
     lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", str(4 * lo)))
-    r_lo, r_hi = one(lo), one(hi)
+    reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
+    # per-leg BEST of `reps` runs: this host shows bursty hypervisor
+    # CPU-steal (identical runs vary up to 2×), and the minimum is the
+    # standard least-interference estimator for a deterministic job
+    runs_lo = [one(lo) for _ in range(reps)]
+    runs_hi = [one(hi) for _ in range(reps)]
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
@@ -149,6 +156,8 @@ def run_scaling() -> dict:
         f"sec_{lo}": t_lo, f"sec_{hi}": t_hi,
         f"pages_per_sec_{lo}": r_lo["pages_per_sec"],
         f"pages_per_sec_{hi}": r_hi["pages_per_sec"],
+        f"all_sec_{lo}": [r["value"] for r in runs_lo],
+        f"all_sec_{hi}": [r["value"] for r in runs_hi],
         "sf": r_hi["sf"], "n_pages": r_hi["n_pages"],
     }
 
