@@ -38,9 +38,9 @@ def run_linkage(pages_ds, cfg: PipelineConfig | None = None,
                 checkpoint_root: str | None = None,
                 input_fp: str = "", buckets: int = 64,
                 num_partitions: int = 16,
-                cc_driver_threshold: int = 20_000_000,
+                cc_driver_threshold: int = 100_000_000,
                 approx_rows: int | None = None,
-                auto_spill_rows: int = 20_000_000):
+                auto_spill_rows: int = 8_000_000):
     """pages Dataset → (extracted, edges, clusters) Datasets.
 
     With ``checkpoint_root`` set, ``extracted``/``edges``/``clusters``
@@ -51,6 +51,10 @@ def run_linkage(pages_ds, cfg: PipelineConfig | None = None,
     Callers that know the input is big pass ``approx_rows``; above
     ``auto_spill_rows`` the pipeline routes through a throwaway
     checkpoint directory (parquet spill-through) instead of pinning.
+    The 8M default follows the pinned-bytes math on a 128-GiB node:
+    extracted + keys + edges ≈ 2.5 KB/page ⇒ 8M pages ≈ 20 GB ≈ half
+    the default object store — beyond that, pinning trades streaming
+    backpressure for Ray's emergency disk spilling.
     """
     cfg = cfg or PipelineConfig()
     hit = {}
@@ -151,21 +155,35 @@ def cluster_representatives(clusters_ds, extracted_ds, num_partitions: int = 8):
     cluster's canonical address (deterministic tie-break, SURVEY §2.10)
     plus member count — the K1 'best per query' / P9 result-assembly
     analog for self-join linkage."""
+    import numpy as np
     import pandas as pd
-    from ray.data.aggregate import Count, Min
 
-    agg = clusters_ds.groupby("cluster_id").aggregate(
-        Min("doc_id", alias_name="rep_doc_id"),
-        Count(alias_name="n_members"))
+    # bucketed per-cluster aggregate: ONE vectorized pandas groupby per
+    # hash bucket — a Ray ``groupby(cluster_id)`` makes one group per
+    # cluster (O(docs) tiny groups at crawl scale, the Python-per-group
+    # finalize trap)
+    buckets = max(2 * num_partitions, 16)
 
-    def recast(df: pd.DataFrame) -> pd.DataFrame:
-        # groupby re-infers int64; join keys must match doc_id's uint64
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["cluster_id"] = df["cluster_id"].astype("uint64")
-        df["rep_doc_id"] = df["rep_doc_id"].astype("uint64")
+        cid = df["cluster_id"].to_numpy(dtype="uint64")
+        with np.errstate(over="ignore"):
+            h = cid * np.uint64(0x9E3779B97F4A7C15)
+        df["_b"] = (h % np.uint64(buckets)).astype("int64")
         return df
 
-    agg = agg.map_batches(recast, batch_format="pandas")
+    def agg_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        gm = (g.groupby("cluster_id", sort=False)["doc_id"]
+               .agg(["min", "size"]).reset_index())
+        return pd.DataFrame({
+            "cluster_id": gm["cluster_id"].to_numpy(dtype="uint64"),
+            "rep_doc_id": gm["min"].to_numpy(dtype="uint64"),
+            "n_members": gm["size"].to_numpy(dtype="int64")})
+
+    agg = (clusters_ds.map_batches(add_b, batch_format="pandas")
+           .groupby("_b").map_groups(
+               lambda g: agg_bucket(g.drop(columns=["_b"])),
+               batch_format="pandas"))
     payload = extracted_ds.select_columns(
         ["doc_id", "addr", "norm_addr", "city", "state", "zip"])
     joined = agg.join(payload, join_type="inner",

@@ -309,20 +309,37 @@ def match_queries(queries_ds, records_ds, cfg: PipelineConfig | None = None,
     # belongs to the linkage-edge path and must NOT truncate the ladder
     # (it made the semantic/phonetic/keyword/desperate tiers, whose
     # keys are generated specifically for degraded queries, unreachable).
+    #
+    # Shape: bucket by hash(query_id) % B + ONE vectorized sort /
+    # drop_duplicates per bucket — ``groupby(query_id).map_groups``
+    # would pay a Python call per query, the wrong shape for a
+    # 10^9-query batch (all of a query's candidates share its bucket,
+    # so first-row-per-query after the priority sort IS the winner).
     ladder_floor = float(scoring.TIER_THRESHOLDS[-1])
 
-    def best(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["query_id", "pid"])
+    def add_qbucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        q = df["query_id"].to_numpy(dtype="uint64")
+        with np.errstate(over="ignore"):
+            h = q * np.uint64(0x9E3779B97F4A7C15)
+        df["_qb"] = (h % np.uint64(buckets)).astype("int64")
+        return df
+
+    def best_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_qb"]).drop_duplicates(["query_id", "pid"])
         g = g[(g["confidence"] >= ladder_floor)
               & ~g["wrong_unit"].astype(bool)]
         if not len(g):
             return g.head(0).drop(columns=["wrong_unit"])
         g = g.sort_values(
-            ["unit_exact", "exact", "confidence", "pid"],
-            ascending=[False, False, False, True], kind="mergesort")
-        return g.head(1).drop(columns=["wrong_unit"])
+            ["query_id", "unit_exact", "exact", "confidence", "pid"],
+            ascending=[True, False, False, False, True], kind="mergesort")
+        return (g.drop_duplicates("query_id", keep="first")
+                 .drop(columns=["wrong_unit"]).reset_index(drop=True))
 
-    return scored.groupby("query_id").map_groups(best, batch_format="pandas")
+    return (scored.map_batches(add_qbucket, batch_format="pandas")
+            .groupby("_qb").map_groups(best_in_bucket,
+                                       batch_format="pandas"))
 
 
 def attach_failed(queries_ds, matches_ds,

@@ -53,11 +53,15 @@ def connected_components(edges_ds, num_partitions: int = 16,
     """edges(left_id,right_id) → labels Dataset (doc_id, cluster_id).
 
     Adaptive: when the edge list is small (≤ ``driver_threshold`` rows
-    of two uint64s — ≤ ~320 MB), the distributed fixpoint's per-iteration
-    join overhead dwarfs the work, so the slim id pairs are pulled to
-    the driver and union-found directly (the guide's "union-find on the
-    driver only if the candidate set is provably small").  Above the
-    threshold the iterative hash-partitioned label propagation runs.
+    of two uint64s — 100M edges ≈ 1.6 GB, minutes of multi-threaded
+    polars/numpy), the distributed fixpoint's per-iteration join
+    overhead dwarfs the work, so the slim id pairs are pulled to the
+    driver and union-found directly (the guide's "union-find on the
+    driver only if the candidate set is provably small"; at 16M pages /
+    57M edges the distributed path measured ~10× the driver path on one
+    box).  Above the threshold the iterative hash-partitioned label
+    propagation runs — the 10^12-row path, where no single machine
+    holds the edge list.
     Both paths produce identical labels (cluster id = min member id);
     a property test asserts it.
 
@@ -78,6 +82,38 @@ def connected_components(edges_ds, num_partitions: int = 16,
     rev = _project(edges_ds, {"right_id": "node", "left_id": "nbr"})
     adj = fwd.union(rev).materialize()
 
+    def min_by_node(ds):
+        """(node, cluster_id) rows → one min-label row per node.
+
+        Bucketed: hash(node) % B partitions + ONE vectorized pandas
+        groupby-min per bucket.  A plain ``groupby("node").min()``
+        makes one Ray group per node — tens of millions of tiny groups
+        whose per-group finalize stalled the first iteration for 20+
+        minutes at 57M edges."""
+        buckets = max(2 * num_partitions, 32)
+
+        def add_b(t: pa.Table) -> pa.Table:
+            node = t["node"].to_numpy(zero_copy_only=False).astype("uint64")
+            with np.errstate(over="ignore"):
+                h = node * np.uint64(0x9E3779B97F4A7C15)
+            return t.append_column(
+                "_b", pa.array((h % np.uint64(buckets)).astype("int64")))
+
+        def bucket_min(g: pd.DataFrame) -> pd.DataFrame:
+            gm = (g.groupby("node", sort=False)["cluster_id"].min()
+                   .reset_index())
+            return pd.DataFrame({
+                "node": gm["node"].to_numpy(dtype="uint64"),
+                "cluster_id": gm["cluster_id"].to_numpy(dtype="uint64")})
+
+        from address_address_matching_ray.stages.pairs import shuffle_partitions
+
+        return (ds.map_batches(add_b, batch_format="pyarrow")
+                .repartition(shuffle_partitions())
+                .groupby("_b").map_groups(
+                    lambda g: bucket_min(g.drop(columns=["_b"])),
+                    batch_format="pandas"))
+
     # initial label = min(self, min neighbor) — first propagation free
     def init_label(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -85,10 +121,8 @@ def connected_components(edges_ds, num_partitions: int = 16,
             "cluster_id": np.minimum(df["node"].to_numpy(dtype="uint64"),
                                      df["nbr"].to_numpy(dtype="uint64"))})
 
-    labels = _project(
-        adj.map_batches(init_label, batch_format="pandas")
-           .groupby("node").min("cluster_id"),
-        {"node": "node", "min(cluster_id)": "cluster_id"}).materialize()
+    labels = min_by_node(
+        adj.map_batches(init_label, batch_format="pandas")).materialize()
     prev_sum = labels.sum("cluster_id")
 
     for _ in range(max_iters):
@@ -98,9 +132,7 @@ def connected_components(edges_ds, num_partitions: int = 16,
                         on=("nbr",), right_on=("node",),
                         left_suffix="", right_suffix="_r")
         cand = _project(cand, {"node": "node", "cluster_id": "cluster_id"})
-        labels = _project(
-            cand.union(labels).groupby("node").min("cluster_id"),
-            {"node": "node", "min(cluster_id)": "cluster_id"}).materialize()
+        labels = min_by_node(cand.union(labels)).materialize()
         # pointer jump: label(n) ← label(label(n)) — collapses chains
         # exponentially (O(log diameter) rounds total instead of
         # O(diameter)); every label value is itself a labeled node
