@@ -103,13 +103,38 @@ def events_windowed(sf_dir: str):
             .sort(["event_type", "window_start"]))
 
 
-def top_users(sf_dir: str, k: int = 20):
-    """Per-user value sum → deterministic global top-k (K1/K2 analog)."""
+def top_users(sf_dir: str, k: int = 20, buckets: int = 64):
+    """Per-user value sum → deterministic global top-k (K1/K2 analog).
+
+    Bucketed: each user lives wholly in one hash bucket, so per-bucket
+    vectorized sums + per-bucket top-k then a tiny global merge is
+    exact — ``groupby(user_id)`` would make one Ray group per user
+    (unbounded tiny groups at scale)."""
     ds = read(sf_dir, "events", columns=["user_id", "value"])
-    agg = ds.groupby("user_id").aggregate(
-        Sum("value", alias_name="total_value"),
-        Count(alias_name="n_events"))
-    agg = round_cols(agg, {"total_value": 4})
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        uid = df["user_id"].to_numpy()
+        import numpy as np
+        with np.errstate(over="ignore"):
+            h = uid.astype("uint64") * np.uint64(0x9E3779B97F4A7C15)
+        df["_b"] = (h % np.uint64(buckets)).astype("int64")
+        return df
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        gm = (g.groupby("user_id", sort=False)["value"]
+               .agg(["sum", "size"]).reset_index())
+        gm.columns = ["user_id", "total_value", "n_events"]
+        gm["total_value"] = gm["total_value"].round(4)
+        gm["n_events"] = gm["n_events"].astype("int64")
+        return (gm.sort_values(["total_value", "user_id"],
+                               ascending=[False, True], kind="mergesort")
+                  .head(k).reset_index(drop=True))
+
+    agg = (ds.map_batches(add_b, batch_format="pandas")
+           .groupby("_b").map_groups(
+               lambda g: bucket_topk(g.drop(columns=["_b"])),
+               batch_format="pandas"))
     return agg.sort(["total_value", "user_id"], descending=[True, False]).limit(k)
 
 
