@@ -23,6 +23,29 @@ import time
 import uuid
 
 
+def _partition_stats(data_path: str) -> dict:
+    """Per-partition-directory row/byte/file counts from parquet footers
+    (metadata-only reads — no data scan)."""
+    import pyarrow.parquet as pq
+
+    stats: dict[str, dict] = {}
+    for root, _dirs, files in os.walk(data_path):
+        rel = os.path.relpath(root, data_path)
+        key = "_root" if rel == "." else rel
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, fn)
+            s = stats.setdefault(key, {"rows": 0, "bytes": 0, "files": 0})
+            try:
+                s["rows"] += pq.ParquetFile(fp).metadata.num_rows
+            except OSError:
+                continue
+            s["bytes"] += os.path.getsize(fp)
+            s["files"] += 1
+    return stats
+
+
 class CheckpointManager:
     def __init__(self, root: str, input_fingerprint: str, config_fingerprint: str):
         self.root = root
@@ -81,13 +104,18 @@ class CheckpointManager:
         os.replace(tmp, data_path)
         out = rd.read_parquet(data_path)
         n_rows = out.count()
+        secs = round(time.time() - t0, 3)
         manifest = {
             "stage": stage,
             "input_fingerprint": self.input_fp,
             "config_fingerprint": self.config_fp,
             "rows": n_rows,
-            "seconds": round(time.time() - t0, 3),
+            "seconds": secs,
+            "rows_per_sec": round(n_rows / max(secs, 1e-9), 1),
             "parts": sorted(os.listdir(data_path)),
+            # per-partition rows/bytes/files from the parquet footers —
+            # the north rule's "per-partition lineage + metrics"
+            "partitions": _partition_stats(data_path),
             "complete": True,
             "written_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
         }

@@ -139,6 +139,17 @@ def test_checkpoint_resume(ray_session, tmp_path):
                      cfg=PipelineConfig(edge_min_confidence=95.0))
     assert r4.from_checkpoint["edges"] is False
 
+    # lineage manifests carry per-partition metrics (north rule)
+    from address_address_matching_ray.state.checkpoint import CheckpointManager
+    mgr = CheckpointManager(root, "n300s9", PipelineConfig().fingerprint())
+    metrics = {m["stage"]: m for m in mgr.stage_metrics()}
+    edges_m = metrics["edges"]
+    assert edges_m["rows_per_sec"] > 0
+    parts = edges_m["partitions"]
+    assert len(parts) >= 2                      # partitioned by left_id hash
+    assert sum(p["rows"] for p in parts.values()) == edges_m["rows"]
+    assert all(p["bytes"] > 0 and p["files"] >= 1 for p in parts.values())
+
 
 def test_self_match_roundtrip(linkage_run):
     """U:1656-1762 analog: every record resolves into a cluster that
