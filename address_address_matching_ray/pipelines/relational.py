@@ -80,12 +80,14 @@ def events_windowed(sf_dir: str):
     """Tumbling 1-hour windows per event_type: count + value sum/mean."""
     ds = read(sf_dir, "events", columns=["ts", "event_type", "value"])
 
-    def window(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["window_start"] = df["ts"].dt.floor("h")
-        return df.drop(columns=["ts"])
+    def window(t: pa.Table) -> pa.Table:
+        # Arrow in/out: pandas blocks entering the hash-shuffle
+        # Aggregate logged a schema-hash warning per reduce fragment
+        import pyarrow.compute as pc
+        ws = pc.floor_temporal(t["ts"], unit="hour")
+        return t.append_column("window_start", ws).drop(["ts"])
 
-    out = (ds.map_batches(window, batch_format="pandas")
+    out = (ds.map_batches(window, batch_format="pyarrow")
            .groupby(["event_type", "window_start"])
            .aggregate(Count(alias_name="n_events"),
                       Sum("value", alias_name="sum_value")))
@@ -93,11 +95,16 @@ def events_windowed(sf_dir: str):
 
     def cast_us(t: pa.Table) -> pa.Table:
         # pin the oracle-comparable unit: pandas groupby round-trips can
-        # widen to ns, and ns-vs-us string forms hash differently
+        # widen to ns, and ns-vs-us string forms hash differently.
+        # replace_schema_metadata: an Arrow UDF fed from pandas blocks
+        # receives a from_pandas table whose b'pandas' metadata dict is
+        # unhashable — downstream shuffles then log a schema-dedup
+        # warning per reduce fragment
         import pyarrow.compute as pc
         i = t.column_names.index("window_start")
         return t.set_column(i, "window_start",
-                            pc.cast(t["window_start"], pa.timestamp("us")))
+                            pc.cast(t["window_start"], pa.timestamp("us"))) \
+                .replace_schema_metadata(None)
 
     return (out.map_batches(cast_us, batch_format="pyarrow")
             .sort(["event_type", "window_start"]))
@@ -112,14 +119,13 @@ def top_users(sf_dir: str, k: int = 20, buckets: int = 64):
     (unbounded tiny groups at scale)."""
     ds = read(sf_dir, "events", columns=["user_id", "value"])
 
-    def add_b(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        uid = df["user_id"].to_numpy()
+    def add_b(t: pa.Table) -> pa.Table:
         import numpy as np
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
         with np.errstate(over="ignore"):
             h = uid.astype("uint64") * np.uint64(0x9E3779B97F4A7C15)
-        df["_b"] = (h % np.uint64(buckets)).astype("int64")
-        return df
+        return t.append_column(
+            "_b", pa.array((h % np.uint64(buckets)).astype("int64")))
 
     def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
         gm = (g.groupby("user_id", sort=False)["value"]
@@ -131,7 +137,7 @@ def top_users(sf_dir: str, k: int = 20, buckets: int = 64):
                                ascending=[False, True], kind="mergesort")
                   .head(k).reset_index(drop=True))
 
-    agg = (ds.map_batches(add_b, batch_format="pandas")
+    agg = (ds.map_batches(add_b, batch_format="pyarrow")
            .groupby("_b").map_groups(
                lambda g: bucket_topk(g.drop(columns=["_b"])),
                batch_format="pandas"))
@@ -160,11 +166,12 @@ def nation_order_counts(sf_dir: str):
     lookup = ray.put(dict(zip(nation.n_nationkey, nation.n_name)))
     cust = read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
 
-    def attach(df: pd.DataFrame) -> pd.DataFrame:
+    def attach(df: pd.DataFrame) -> pa.Table:
+        # Arrow out: the downstream hash join shuffles these blocks
         d = ray.get(lookup)
-        df = df.copy()
-        df["n_name"] = df["c_nationkey"].map(d)
-        return df[["c_custkey", "n_name"]]
+        return pa.table({
+            "c_custkey": pa.array(df["c_custkey"].to_numpy()),
+            "n_name": pa.array(df["c_nationkey"].map(d), pa.string())})
 
     orders = read(sf_dir, "orders", columns=["o_custkey"])
     withnation = orders.join(
@@ -180,12 +187,13 @@ def order_priority_distribution(sf_dir: str):
     tiny final groupby (combiner pattern)."""
     ds = read(sf_dir, "orders", columns=["o_orderpriority"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        vc = df["o_orderpriority"].value_counts()
-        return pd.DataFrame({"o_orderpriority": vc.index.astype(str),
-                             "cnt": vc.to_numpy()})
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        vc = pc.value_counts(t["o_orderpriority"].combine_chunks())
+        return pa.table({"o_orderpriority": vc.field("values"),
+                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
 
-    return (ds.map_batches(partial, batch_format="pandas")
+    return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("o_orderpriority")
             .aggregate(Sum("cnt", alias_name="n_orders"))
             .sort("o_orderpriority"))
@@ -233,11 +241,11 @@ def region_supplier_balance(sf_dir: str):
         if "n_regionkey" in nation.columns else {}
     lookup = ray.put(nation_region)
 
-    def attach(df: pd.DataFrame) -> pd.DataFrame:
+    def attach(df: pd.DataFrame) -> pa.Table:
         d = ray.get(lookup)
-        return pd.DataFrame({
-            "r_name": df["s_nationkey"].map(d),
-            "s_acctbal": df["s_acctbal"]})
+        return pa.table({
+            "r_name": pa.array(df["s_nationkey"].map(d), pa.string()),
+            "s_acctbal": pa.array(df["s_acctbal"].to_numpy(), pa.float64())})
 
     sup = read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
     out = (sup.map_batches(attach, batch_format="pandas")
@@ -251,7 +259,8 @@ def distinct_event_types(sf_dir: str):
     """D2 analog (distinct via groupby)."""
     ds = read(sf_dir, "events", columns=["event_type"])
     return ds.groupby("event_type").count().sort("event_type").map_batches(
-        lambda t: t.rename_columns(["event_type", "n"]), batch_format="pyarrow")
+        lambda t: t.rename_columns(["event_type", "n"]).replace_schema_metadata(None),
+        batch_format="pyarrow")
 
 
 def user_sessions(sf_dir: str, gap_minutes: int = 30, buckets: int = 64):

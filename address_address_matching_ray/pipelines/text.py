@@ -45,7 +45,7 @@ def token_stats(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
 def lang_distribution(docs_ds, lang_col: str = "lang"):
     """groupby(lang).count() — A2-style distribution."""
     return (docs_ds.groupby(lang_col).count()
-            .map_batches(lambda t: t.rename_columns([lang_col, "n_docs"]),
+            .map_batches(lambda t: t.rename_columns([lang_col, "n_docs"]).replace_schema_metadata(None),
                          batch_format="pyarrow"))
 
 

@@ -42,7 +42,9 @@ def _project(ds, mapping: dict[str, str]):
             if t.schema.field(name).type != pa.uint64():
                 t = t.set_column(t.column_names.index(name), name,
                                  pa.compute.cast(t[name], pa.uint64()))
-        return t
+        # pandas-origin blocks carry an unhashable b'pandas' metadata
+        # dict that makes downstream shuffles log schema-dedup warnings
+        return t.replace_schema_metadata(None)
 
     return ds.map_batches(f, batch_format="pyarrow")
 
