@@ -113,7 +113,14 @@ def run_linkage(pages_ds, cfg: PipelineConfig | None = None,
 
     def build_clusters(extracted, edges):
         accepted = edges.filter(expr="accepted == True")
-        labels = connected_components(accepted, num_partitions=num_partitions,
+        # collapse duplicate pairs DISTRIBUTED (dup factor ~2-3× from
+        # skipped cross-key dedup) so the union-find's serial phase
+        # sees unique edges only
+        from address_address_matching_ray.stages.cluster import dedup_edge_pairs
+
+        unique_pairs = dedup_edge_pairs(accepted, buckets=buckets)
+        labels = connected_components(unique_pairs,
+                                      num_partitions=num_partitions,
                                       driver_threshold=cc_driver_threshold)
         return attach_singletons(extracted, labels, num_partitions=num_partitions)
 

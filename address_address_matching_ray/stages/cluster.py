@@ -153,6 +153,39 @@ def connected_components(edges_ds, num_partitions: int = 16,
     return _project(labels, {"node": "doc_id", "cluster_id": "cluster_id"})
 
 
+def dedup_edge_pairs(edges_ds, buckets: int = 64):
+    """Distributed (left_id, right_id) pair dedup: bucketed shuffle of
+    the two slim id columns + one Arrow sort/mask per bucket.  The
+    linkage pipeline skips cross-key pair dedup by design (dup factor
+    ~2-3×); collapsing duplicates BEFORE edges reach the driver
+    union-find moves that work from the serial phase to the cluster."""
+    from address_address_matching_ray.stages.pairs import shuffle_partitions
+
+    slim = edges_ds.select_columns(["left_id", "right_id"])
+
+    def add_b(t: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            h = (t["left_id"].to_numpy(zero_copy_only=False).astype("uint64")
+                 * np.uint64(0x9E3779B97F4A7C15)
+                 ^ t["right_id"].to_numpy(zero_copy_only=False).astype("uint64"))
+        return t.append_column(
+            "_b", pa.array((h % np.uint64(buckets)).astype("int64")))
+
+    def dd(t: pa.Table) -> pa.Table:
+        t = t.drop(["_b"]).sort_by([("left_id", "ascending"),
+                                    ("right_id", "ascending")])
+        l = t["left_id"].to_numpy(zero_copy_only=False)
+        r = t["right_id"].to_numpy(zero_copy_only=False)
+        if len(l) < 2:
+            return t
+        keep = np.concatenate([[True], (l[1:] != l[:-1]) | (r[1:] != r[:-1])])
+        return t.filter(pa.array(keep)) if not keep.all() else t
+
+    return (slim.map_batches(add_b, batch_format="pyarrow")
+            .repartition(shuffle_partitions())
+            .groupby("_b").map_groups(dd, batch_format="pyarrow"))
+
+
 def _driver_union_find(edges_ds):
     """Small-graph path: collect only the two id columns and run a fully
     vectorized hook + pointer-jump connected components (numpy; no
@@ -170,18 +203,23 @@ def _driver_union_find(edges_ds):
     ids = pl.from_arrow(pa.concat_tables(
         [pa.table(b) for b in edges_ds.select_columns(["left_id", "right_id"])
          .iter_batches(batch_size=1 << 20, batch_format="pyarrow")]))
-    # drop duplicate pairs first (the pipeline skips cross-key pair
-    # dedup by design — clustering is idempotent, but the adjacency and
-    # every hook round shrink with unique edges; dup factor ~2-3×)
+    # duplicate pairs are mostly collapsed DISTRIBUTED upstream
+    # (``dedup_edge_pairs``); a residual unique() here stays cheap
     ids = ids.unique()
     left = ids["left_id"].to_numpy().astype("uint64", copy=False)
     right = ids["right_id"].to_numpy().astype("uint64", copy=False)
     nodes = (pl.concat([ids["left_id"], ids["right_id"]])
              .unique().sort().to_numpy().astype("uint64", copy=False))
-    cat = np.concatenate([left, right])
-    inv = np.searchsorted(nodes, cat)
-    li, ri = inv[: len(left)], inv[len(left):]
     m = len(nodes)
+    # node-id → compressed-index inverse via a multi-threaded polars
+    # hash join (a numpy searchsorted over 2E ids was single-thread
+    # serial residue in the scaling ratio)
+    rank = pl.DataFrame({"_id": nodes,
+                         "_ix": np.arange(m, dtype=np.int64)})
+    inv_df = pl.DataFrame({"_id": np.concatenate([left, right])}) \
+        .join(rank, on="_id", how="left")
+    inv = inv_df["_ix"].to_numpy().astype(np.int64, copy=False)
+    li, ri = inv[: len(left)], inv[len(left):]
     # sorted adjacency (with self-loops so every node owns a segment):
     # the hook step becomes one gather + one ``minimum.reduceat`` —
     # buffered C kernels, ~10× the throughput of unbuffered

@@ -6,16 +6,21 @@ lookups) with locality-sensitive blocking keys feeding ONE groupby
 shuffle.  Each record fans out to at most a handful of key rows
 (bounded like the reference's variant caps, SURVEY §2.7 K3):
 
-    u:…       canonicalized URL (same page re-crawled / tracked)
-    e:…       exact normalized full-address string (tier-0 short-circuit,
-              J2's exact composite lookup)
-    h:…       house|street-name|zip composite (recall across
-              unit/type format variants — the M15 variant fan-out
-              collapsed into one canonical key)
-    s:…       house|soundex(street)|state phonetic key (M4 / the
-              phonetic tier's retrieval idea)
-    b{i}:…    MinHash-LSH band keys over extracted-text shingles
-              (near-dup text; bands/rows from config)
+    u:<hex16>   canonicalized URL (same page re-crawled / tracked)
+    e:<hex16>   exact normalized full-address string (tier-0
+                short-circuit, J2's exact composite lookup)
+    h:<hex16>   house|street-name|zip composite (recall across
+                unit/type format variants — the M15 variant fan-out
+                collapsed into one canonical key)
+    s:<hex16>   house|soundex(street)|state phonetic key (M4 / the
+                phonetic tier's retrieval idea)
+    b{i}:<hex16> MinHash-LSH band keys over extracted-text shingles
+                (near-dup text; bands/rows from config; emitted for
+                parse-degraded docs by default — ``cfg.lsh_scope``)
+
+All key values are hash-compacted 16-hex-char digests (equality-
+preserving; the raw composites averaged 40+ bytes and dominated the
+blocking shuffle's bytes).
 
 Stateful stage: the MinHash permutation matrix is built once per actor
 (``KeyDeriver.__init__``) — SURVEY §2.3 ST3 analog.
