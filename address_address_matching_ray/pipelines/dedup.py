@@ -45,12 +45,17 @@ def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id",
     dedup per bucket — a per-distinct-text ``map_groups`` would pay a
     Python call per tiny group, the wrong shape at 10^12 rows.
     """
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_norm"] = _norm_text(df[text_col])
-        h = pd.util.hash_array(df["_norm"].to_numpy(dtype=object))
-        df["_bucket"] = (h % np.uint64(buckets)).astype("int64")
-        return df
+    def add_bucket(df: pd.DataFrame) -> "pa.Table":
+        # Arrow out: the groupby shuffle moves compact string buffers
+        import pyarrow as pa
+
+        norm = _norm_text(df[text_col])
+        h = pd.util.hash_array(norm.to_numpy(dtype=object))
+        out = pa.Table.from_pandas(df, preserve_index=False) \
+                      .replace_schema_metadata(None)
+        out = out.append_column("_norm", pa.array(norm, pa.string()))
+        return out.append_column(
+            "_bucket", pa.array((h % np.uint64(buckets)).astype("int64")))
 
     def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([("_norm"), (id_col)], kind="mergesort")

@@ -270,10 +270,10 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30, buckets: int = 64):
     sort within (user) inside the bucket, never globally (SURVEY §2.10)."""
     ds = read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_b"] = (df["user_id"].to_numpy() % buckets).astype("int64")
-        return df
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_b", pa.array((uid % buckets).astype("int64")))
 
     def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
@@ -287,7 +287,7 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30, buckets: int = 64):
             n_events=("event_id", "count"))
         return out.reset_index(drop=True)
 
-    out = (ds.map_batches(add_bucket, batch_format="pandas")
+    out = (ds.map_batches(add_bucket, batch_format="pyarrow")
            .groupby("_b").map_groups(
                lambda g: sessions_bucket(g.drop(columns=["_b"])),
                batch_format="pandas"))
