@@ -13,6 +13,20 @@ linkage pipeline (hash-partitioned groupby; no driver-side loops):
 - ``ngram_jaccard_dedup`` character-n-gram Jaccard verification on
                          LSH candidates (recall path for short texts)
 
+Shuffle-width discipline (the 100-TB constraint): the blocking shuffle
+carries ONLY ``(doc_id, band_key[, sig])`` — 8-byte ids and 20-byte
+keys, never document text.  Replicating ``norm_text`` once per LSH band
+row (the previous shape) made the keyed exchange ≥17× the corpus bytes
+at 16 bands; slim rows are a FIXED ~29 B/band-row regardless of doc
+length (measured 1.68× corpus bytes on sf0.01's ~300-B docs; on KB-scale
+webtext the ratio falls well under 1).  Verification text is attached
+AFTER blocking by one hash join of the exploded candidate sides against
+a slim ``(doc_id, norm_text)`` table (``_pair_texts``): the corpus is
+shuffled once by the join, and only the matched candidate texts (two
+rows per surviving pair) move through the pair-pivot shuffle.  SimHash
+needs no text at all — Hamming verification reads the two 64-bit
+signatures carried with the band rows.
+
 All decisions are deterministic (representative = min doc_id).
 """
 
@@ -20,6 +34,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from address_address_matching_ray.config import PipelineConfig
 from address_address_matching_ray.functions.fuzzy import jaccard
@@ -47,8 +62,6 @@ def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id",
     """
     def add_bucket(df: pd.DataFrame) -> "pa.Table":
         # Arrow out: the groupby shuffle moves compact string buffers
-        import pyarrow as pa
-
         norm = _norm_text(df[text_col])
         h = pd.util.hash_array(norm.to_numpy(dtype=object))
         out = pa.Table.from_pandas(df, preserve_index=False) \
@@ -69,11 +82,13 @@ def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id",
 
 
 class _NearDupKeyer:
-    """Stateful keyer: doc → candidate band keys (minhash or simhash).
-    Run via ``_keyer_task`` (stateless tasks + per-worker cache — the
-    sketch state is small, and spawning an actor pool paid ~5 s fixed
-    per call at bench scale); the class remains usable as an actor-pool
-    stage for heavy-state variants."""
+    """Stateful keyer: doc → slim candidate band rows (minhash or
+    simhash): ``(doc_id, band_key)`` plus the 64-bit signature for
+    simhash (Hamming verify reads it; minhash rows carry no sig — text
+    verification happens post-join).  Run via ``_keyer_task`` (stateless
+    tasks + per-worker cache — the sketch state is small, and spawning
+    an actor pool paid ~5 s fixed per call at bench scale); the class
+    remains usable as an actor-pool stage for heavy-state variants."""
 
     def __init__(self, mode: str, cfg: PipelineConfig,
                  text_col: str, id_col: str):
@@ -84,36 +99,38 @@ class _NearDupKeyer:
         self.minhasher = MinHasher(cfg.dedup_minhash_perms, cfg.seed)
         self.simhasher = SimHasher(cfg.simhash_bits, cfg.seed)
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, df: pd.DataFrame) -> pa.Table:
         from address_address_matching_ray.functions.minhash import (
-            band_key_strings, lsh_band_digests,
+            band_key_strings, hex16, lsh_band_digests,
         )
 
         n = len(df)
         toks = [t.lower().split() for t in df[self.text_col].fillna("")]
         ids = df[self.id_col].to_numpy(dtype="uint64")
-        texts = _norm_text(df[self.text_col]).to_numpy(dtype=object)
         if self.mode == "minhash":
             sh = [shingles(t, self.cfg.shingle_size) for t in toks]
             sigs = self.minhasher.batch_signatures(sh)
             bands = self.cfg.dedup_lsh_bands
             keys_flat = band_key_strings(lsh_band_digests(sigs, bands))
-            sig_col = np.zeros(n, dtype="uint64")
-        else:
-            sigs = self.simhasher.batch_signatures(toks)
-            bands = 4
-            keys_flat = np.array(
-                [k for ks in simhash_band_keys(sigs, bands) for k in ks],
-                dtype=object)
-            sig_col = sigs
-        # flat (doc × band) emission, no per-row loop
+            rows = np.repeat(np.arange(n, dtype=np.int64), bands)
+            return pa.table({
+                "doc_id": pa.array(ids[rows], pa.uint64()),
+                "band_key": pa.array(keys_flat, pa.string())})
+        # simhash: band slices of the 64-bit signature, vectorized flat
+        sigs = self.simhasher.batch_signatures(toks)
+        bands = 4
+        width = 64 // bands
+        mask = np.uint64((1 << width) - 1)
+        # (n, bands) slice digests → row-major flat "sb{j}:{hex}" keys
+        slices = np.stack([(sigs >> np.uint64(j * width)) & mask
+                           for j in range(bands)], axis=1)
+        prefixes = np.array([f"sb{j}:" for j in range(bands)], dtype=object)
+        keys_flat = np.tile(prefixes, n) + hex16(slices.ravel())
         rows = np.repeat(np.arange(n, dtype=np.int64), bands)
-        return pd.DataFrame({
-            "doc_id": ids[rows],
-            "band_key": keys_flat,
-            "norm_text": texts[rows],
-            "simhash": sig_col[rows],
-        })
+        return pa.table({
+            "doc_id": pa.array(ids[rows], pa.uint64()),
+            "band_key": pa.array(keys_flat, pa.string()),
+            "sig": pa.array(sigs[rows], pa.uint64())})
 
 
 class _BandCaps:
@@ -131,7 +148,7 @@ _KEYER_CACHE: dict[tuple, _NearDupKeyer] = {}
 
 
 def _keyer_task(df: pd.DataFrame, mode: str, cfg: PipelineConfig,
-                text_col: str, id_col: str) -> pd.DataFrame:
+                text_col: str, id_col: str) -> pa.Table:
     key = (mode, cfg.fingerprint(), text_col, id_col)
     keyer = _KEYER_CACHE.get(key)
     if keyer is None:
@@ -140,53 +157,136 @@ def _keyer_task(df: pd.DataFrame, mode: str, cfg: PipelineConfig,
     return keyer(df)
 
 
-def _candidate_pairs(keyed_ds, buckets: int = 32):
-    """band-keyed rows → unique candidate id pairs (bucketed shuffle,
+def _candidate_pairs(keyed_ds, buckets: int = 32, carry_sig: bool = False):
+    """Slim band rows → unique candidate id pairs (bucketed shuffle,
     same pattern as stages/pairs.py; oversized bands windowed with
-    logged drops via ``pairs_for_groups``)."""
+    logged drops via ``pairs_for_groups``).  Arrow end-to-end — the
+    exchange moves only ids + 20-byte keys (+ 8-byte sigs when
+    ``carry_sig``)."""
     from address_address_matching_ray.stages.pairs import pairs_for_groups
 
-    def bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        h = pd.util.hash_array(df["band_key"].to_numpy(dtype=object))
-        df["bucket"] = (h % np.uint64(buckets)).astype("int64")
-        return df
+    def bucket(t: pa.Table) -> pa.Table:
+        keys = t["band_key"].to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(keys)
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(buckets)).astype("int64")))
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = (df.sort_values(["band_key", "doc_id"])
-                .drop_duplicates(["band_key", "doc_id"]).reset_index(drop=True))
-        keys = df["band_key"].to_numpy(dtype=object)
+    def _empty() -> pa.Table:
+        cols = {"left_id": pa.array([], pa.uint64()),
+                "right_id": pa.array([], pa.uint64()),
+                "dropped_pairs": pa.array([], pa.uint64())}
+        if carry_sig:
+            cols["l_sig"] = pa.array([], pa.uint64())
+            cols["r_sig"] = pa.array([], pa.uint64())
+        return pa.table(cols)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["bucket"]).sort_by(
+            [("band_key", "ascending"), ("doc_id", "ascending")])
+        keys = t["band_key"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype("uint64")
+        if len(keys) == 0:
+            return _empty()
+        # dedup (band_key, doc_id) rows — same doc can hit a band twice
+        same = np.concatenate(
+            [[False], (keys[1:] == keys[:-1]) & (ids[1:] == ids[:-1])])
+        if same.any():
+            keep = ~same
+            keys, ids = keys[keep], ids[keep]
+            t = t.filter(pa.array(keep))
         starts = np.flatnonzero(np.concatenate([[True], keys[1:] != keys[:-1]]))
-        ends = np.concatenate([starts[1:], [len(df)]])
+        ends = np.concatenate([starts[1:], [len(keys)]])
         sizes = ends - starts
         multi = sizes >= 2
-        empty = pd.DataFrame({
-            "left_id": pd.array([], dtype="uint64"),
-            "right_id": pd.array([], dtype="uint64"),
-            "l_text": pd.Series(dtype="object"),
-            "r_text": pd.Series(dtype="object"),
-            "l_sig": pd.array([], dtype="uint64"),
-            "r_sig": pd.array([], dtype="uint64"),
-            "dropped_pairs": pd.array([], dtype="uint64")})
         if not multi.any():
-            return empty
+            return _empty()
         gl, gr, _own, _sp, dp = pairs_for_groups(
             starts[multi], sizes[multi], _BandCaps)
         if not len(gl):
-            return empty
-        ids = df["doc_id"].to_numpy(dtype="uint64")
-        texts = df["norm_text"].to_numpy(dtype=object)
-        sigs = df["simhash"].to_numpy(dtype="uint64")
-        out = pd.DataFrame({
-            "left_id": ids[gl], "right_id": ids[gr],
-            "l_text": texts[gl], "r_text": texts[gr],
-            "l_sig": sigs[gl], "r_sig": sigs[gr],
-            "dropped_pairs": dp})
-        return out.drop_duplicates(["left_id", "right_id"]).reset_index(drop=True)
+            return _empty()
+        cols = {"left_id": pa.array(ids[gl], pa.uint64()),
+                "right_id": pa.array(ids[gr], pa.uint64()),
+                "dropped_pairs": pa.array(dp, pa.uint64())}
+        if carry_sig:
+            sigs = t["sig"].to_numpy(zero_copy_only=False).astype("uint64")
+            cols["l_sig"] = pa.array(sigs[gl], pa.uint64())
+            cols["r_sig"] = pa.array(sigs[gr], pa.uint64())
+        out = pa.table(cols)
+        # in-bucket pair dedup (several bands of the same pair often
+        # share a bucket); cross-bucket duplicates are harmless to the
+        # downstream connected components
+        df = out.to_pandas().drop_duplicates(["left_id", "right_id"])
+        return pa.Table.from_pandas(df, preserve_index=False) \
+                       .replace_schema_metadata(None)
 
-    return (keyed_ds.map_batches(bucket, batch_format="pandas")
-            .groupby("bucket").map_groups(
-                lambda g: pairs(g.drop(columns=["bucket"])),
+    return (keyed_ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(pairs, batch_format="pyarrow"))
+
+
+def _slim_texts(docs_ds, text_col: str, id_col: str):
+    """docs → Arrow ``(doc_id uint64, norm_text)`` — the join side."""
+    def f(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "doc_id": pa.array(df[id_col].to_numpy(dtype="uint64"),
+                               pa.uint64()),
+            "norm_text": pa.array(_norm_text(df[text_col]), pa.string())})
+
+    return docs_ds.map_batches(f, batch_format="pandas")
+
+
+def _pair_texts(cand_ds, texts_ds, buckets: int = 32):
+    """Attach ``l_text``/``r_text`` to candidate id pairs with ONE hash
+    join: pairs are exploded to two ``(left_id, right_id, side,
+    probe_id)`` rows, joined ``probe_id == doc_id`` against the slim
+    text table (the corpus is shuffled ONCE, by the join partitioning),
+    then pivoted back pair-per-row via a pair-bucketed groupby that
+    moves only the matched candidate texts (2 rows per pair) — never
+    bands× the corpus."""
+    from address_address_matching_ray.stages.pairs import shuffle_partitions
+
+    def explode(t: pa.Table) -> pa.Table:
+        l = t["left_id"].to_numpy(zero_copy_only=False).astype("uint64")
+        r = t["right_id"].to_numpy(zero_copy_only=False).astype("uint64")
+        dp = t["dropped_pairs"].to_numpy(zero_copy_only=False).astype("uint64")
+        n = len(l)
+        return pa.table({
+            "left_id": pa.array(np.repeat(l, 2), pa.uint64()),
+            "right_id": pa.array(np.repeat(r, 2), pa.uint64()),
+            "dropped_pairs": pa.array(np.repeat(dp, 2), pa.uint64()),
+            "side": pa.array(np.tile(np.array([0, 1], dtype=np.int64), n)),
+            "probe_id": pa.array(
+                np.column_stack([l, r]).ravel(), pa.uint64())})
+
+    exploded = cand_ds.map_batches(explode, batch_format="pyarrow")
+    joined = exploded.join(texts_ds, join_type="inner",
+                           num_partitions=shuffle_partitions(),
+                           on=("probe_id",), right_on=("doc_id",))
+
+    def add_pb(t: pa.Table) -> pa.Table:
+        l = t["left_id"].to_numpy(zero_copy_only=False).astype("uint64")
+        r = t["right_id"].to_numpy(zero_copy_only=False).astype("uint64")
+        with np.errstate(over="ignore"):
+            h = l * np.uint64(0x9E3779B97F4A7C15) ^ r
+        keep = [c for c in ("left_id", "right_id", "dropped_pairs",
+                            "side", "norm_text") if c in t.column_names]
+        return t.select(keep).append_column(
+            "_pb", pa.array((h % np.uint64(buckets)).astype("int64")))
+
+    def pivot(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["left_id", "right_id", "side"])
+              .drop_duplicates(["left_id", "right_id", "side"]))
+        l = g[g["side"] == 0][["left_id", "right_id", "dropped_pairs",
+                               "norm_text"]]
+        r = g[g["side"] == 1][["left_id", "right_id", "norm_text"]]
+        out = l.merge(r, on=["left_id", "right_id"],
+                      suffixes=("_l", "_r"))
+        out = out.rename(columns={"norm_text_l": "l_text",
+                                  "norm_text_r": "r_text"})
+        return out.reset_index(drop=True)
+
+    return (joined.map_batches(add_pb, batch_format="pyarrow")
+            .groupby("_pb").map_groups(
+                lambda g: pivot(g.drop(columns=["_pb"])),
                 batch_format="pandas"))
 
 
@@ -217,6 +317,8 @@ def minhash_dedup(docs_ds, cfg: PipelineConfig | None = None,
             "id_col": id_col},
         batch_format="pandas")
     cand = _candidate_pairs(keyed, buckets)
+    with_text = _pair_texts(cand, _slim_texts(docs_ds, text_col, id_col),
+                            buckets)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -227,7 +329,7 @@ def minhash_dedup(docs_ds, cfg: PipelineConfig | None = None,
             dtype=np.float64, count=len(df))
         return df.loc[sims >= jaccard_threshold, ["left_id", "right_id"]]
 
-    edges = cand.map_batches(verify, batch_format="pandas")
+    edges = with_text.map_batches(verify, batch_format="pandas")
     return _dedup_from_edges(docs_ds, edges, id_col,
                              broadcast_threshold=broadcast_threshold)
 
@@ -236,14 +338,17 @@ def simhash_dedup(docs_ds, cfg: PipelineConfig | None = None,
                   text_col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 3, buckets: int = 32,
                   broadcast_threshold: int = 5_000_000):
-    """SimHash near-dup removal: band-sliced blocking + Hamming verify."""
+    """SimHash near-dup removal: band-sliced blocking + Hamming verify.
+
+    No text leaves the keyer at all — the verify reads the two 64-bit
+    signatures carried with the candidate pair."""
     cfg = cfg or PipelineConfig()
     keyed = docs_ds.map_batches(
         _keyer_task, fn_kwargs={
             "mode": "simhash", "cfg": cfg, "text_col": text_col,
             "id_col": id_col},
         batch_format="pandas")
-    cand = _candidate_pairs(keyed, buckets)
+    cand = _candidate_pairs(keyed, buckets, carry_sig=True)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -271,6 +376,8 @@ def ngram_jaccard_dedup(docs_ds, cfg: PipelineConfig | None = None,
             "id_col": id_col},
         batch_format="pandas")
     cand = _candidate_pairs(keyed, buckets)
+    with_text = _pair_texts(cand, _slim_texts(docs_ds, text_col, id_col),
+                            buckets)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -281,6 +388,6 @@ def ngram_jaccard_dedup(docs_ds, cfg: PipelineConfig | None = None,
             dtype=np.float64, count=len(df))
         return df.loc[sims >= threshold, ["left_id", "right_id"]]
 
-    edges = cand.map_batches(verify, batch_format="pandas")
+    edges = with_text.map_batches(verify, batch_format="pandas")
     return _dedup_from_edges(docs_ds, edges, id_col,
                              broadcast_threshold=broadcast_threshold)

@@ -121,24 +121,34 @@ def lsh_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
             self.q, planes, self.wanted = ray.get(state)
             self.hasher = _HyperplaneHasher.__new__(_HyperplaneHasher)
             self.hasher.planes = planes
+            self.wanted_keys = np.fromiter(self.wanted, dtype=np.int64,
+                                           count=len(self.wanted))
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            # vectorized per-bucket scoring (mirrors ivf_topk's
+            # per-centroid path): candidate rows are selected with ONE
+            # isin mask, then each wanted bucket present in the batch
+            # does one (nq_b, n_rows) matmul — no per-row Python loop.
             m = _normalize_rows(_to_matrix(df[vec_col]))
             buckets = self.hasher.bucket(m)
             ids = df[id_col].to_numpy()
-            rows = []
-            for j, b in enumerate(buckets):
-                for qi in self.wanted.get(int(b), ()):
-                    rows.append((qi, ids[j], float(self.q[qi] @ m[j])))
-            if not rows:
+            frames = []
+            hit = np.isin(buckets, self.wanted_keys)
+            for b in np.unique(buckets[hit]):
+                qis = self.wanted[int(b)]
+                rows = np.flatnonzero(buckets == b)
+                sims = self.q[qis] @ m[rows].T      # (nq_b, n_rows)
+                frames.append(pd.DataFrame({
+                    "query_idx": np.repeat(
+                        np.asarray(qis, dtype=np.int64), len(rows)),
+                    id_col: np.tile(ids[rows], len(qis)),
+                    "score": sims.ravel().astype("float64")}))
+            if not frames:
                 return pd.DataFrame({
                     "query_idx": pd.array([], dtype="int64"),
                     id_col: pd.Series([], dtype=ids.dtype),
                     "score": pd.array([], dtype="float64")})
-            out = pd.DataFrame(rows, columns=["query_idx", id_col, "score"])
-            out["query_idx"] = out["query_idx"].astype("int64")
-            out["score"] = out["score"].astype("float64")
-            return out
+            return pd.concat(frames, ignore_index=True)
 
     partials = emb_ds.map_batches(Scorer, batch_format="pandas",
                                   batch_size=4096, concurrency=(1, 8))
@@ -241,42 +251,78 @@ def ivf_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
         final_topk, batch_format="pandas")
 
 
+class _EmbCaps:
+    """Cap spec for degenerate hyperplane buckets (near-dup-heavy or
+    low-entropy regions of embedding space), consumed by
+    ``pairs_for_groups``: oversized buckets get window pairs over
+    id-sorted members PLUS star edges to the bucket minimum, so a hot
+    bucket costs O(n·W) comparisons instead of O(n²) while accepted
+    near-dup components stay connected; drop counts are logged per
+    pair, never silent."""
+
+    max_block_size = 500
+    max_pairs_per_block = 20_000
+
+
 def embedding_dedup(emb_ds, threshold: float = 0.98,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     bits: int = 10, seed: int = 42, dim: int | None = None,
                     broadcast_threshold: int = 5_000_000):
     """Cosine near-dup removal: hyperplane-bucket blocking → in-bucket
-    exact cosine ≥ threshold → connected components → keep min-id reps."""
+    exact cosine ≥ threshold → connected components → keep min-id reps.
+
+    Scale shape: vectors travel the bucket shuffle as Arrow
+    ``fixed_size_list<float32>`` columns (contiguous buffers, zero-copy
+    to numpy on both ends — object lists pickled per-element), and
+    in-bucket pair generation goes through ``pairs_for_groups`` with
+    ``_EmbCaps`` windowing, so one degenerate bucket can't go O(n²).
+    """
+    import pyarrow as pa
+
+    from address_address_matching_ray.stages.pairs import pairs_for_groups
+
     if dim is None:
         first = emb_ds.take(1)[0][vec_col]
         dim = len(first)
     hasher = _HyperplaneHasher(dim, bits, seed)
 
-    def keyer(df: pd.DataFrame) -> pd.DataFrame:
-        m = _normalize_rows(_to_matrix(df[vec_col]))
-        return pd.DataFrame({
-            "vec_id": df[id_col].to_numpy(),
-            "bucket": hasher.bucket(m),
-            "vec": list(m),
-        })
+    def keyer(t: "pa.Table") -> "pa.Table":
+        n = t.num_rows
+        flat = np.asarray(t[vec_col].combine_chunks().flatten(),
+                          dtype=np.float32)
+        m = _normalize_rows(flat.reshape(n, dim))
+        return pa.table({
+            "vec_id": pa.array(
+                t[id_col].to_numpy(zero_copy_only=False).astype("uint64"),
+                pa.uint64()),
+            "bucket": pa.array(hasher.bucket(m), pa.int64()),
+            "vec": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.ravel(), pa.float32()), dim)})
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        n = len(g)
+    def pairs(t: "pa.Table") -> "pa.Table":
+        n = t.num_rows
+        empty = pa.table({"left_id": pa.array([], pa.uint64()),
+                          "right_id": pa.array([], pa.uint64())})
         if n < 2:
-            return pd.DataFrame({"left_id": pd.array([], dtype="uint64"),
-                                 "right_id": pd.array([], dtype="uint64")})
-        g = g.sort_values("vec_id").reset_index(drop=True)
-        m = np.stack(g["vec"].to_list())
-        sims = m @ m.T
-        li, ri = np.triu_indices(n, k=1)
-        keep = sims[li, ri] >= threshold
-        ids = g["vec_id"].to_numpy(dtype="uint64")
-        return pd.DataFrame({"left_id": ids[li[keep]], "right_id": ids[ri[keep]]})
+            return empty
+        t = t.sort_by("vec_id")
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype("uint64")
+        m = np.asarray(t["vec"].combine_chunks().flatten(),
+                       dtype=np.float32).reshape(n, dim)
+        gl, gr, _own, _sp, _dp = pairs_for_groups(
+            np.array([0], dtype=np.int64), np.array([n], dtype=np.int64),
+            _EmbCaps)
+        if not len(gl):
+            return empty
+        sims = np.einsum("ij,ij->i", m[gl], m[gr])
+        keep = sims >= threshold
+        return pa.table({"left_id": pa.array(ids[gl[keep]], pa.uint64()),
+                         "right_id": pa.array(ids[gr[keep]], pa.uint64())})
 
-    edges = (emb_ds.map_batches(keyer, batch_format="pandas")
+    edges = (emb_ds.map_batches(keyer, batch_format="pyarrow")
              .groupby("bucket").map_groups(
-                 lambda g: pairs(g.drop(columns=["bucket"])),
-                 batch_format="pandas"))
+                 lambda g: pairs(g.drop_columns(["bucket"])),
+                 batch_format="pyarrow"))
 
     from address_address_matching_ray.stages.cluster import filter_out_ids
 

@@ -125,6 +125,31 @@ def test_embedding_dedup_removes_planted_dup(ray_session):
     assert len(out) == 20
 
 
+def test_embedding_dedup_degenerate_bucket_capped(ray_session):
+    """One hyperplane bucket holding EVERY vector (all near-identical ⇒
+    same sign pattern) must not go O(n²): _EmbCaps windows the pairs,
+    and the star edges to the bucket minimum keep the accepted near-dup
+    component connected, so all dups still collapse to one
+    representative."""
+    import ray.data as rd
+    from address_address_matching_ray.pipelines.similarity import (
+        _EmbCaps, embedding_dedup,
+    )
+
+    rng = np.random.RandomState(1)
+    n = 4 * _EmbCaps.max_block_size          # 2000 ≫ cap
+    base = rng.standard_normal(16).astype(np.float32)
+    vecs = base[None, :] + 1e-4 * rng.standard_normal((n, 16)).astype(np.float32)
+    df = pd.DataFrame({
+        "vec_id": pd.array(range(n), dtype="uint64"),
+        "embedding": [v.tolist() for v in vecs],
+    })
+    out = embedding_dedup(rd.from_pandas(df), threshold=0.99, bits=4).to_pandas()
+    # every vector is a near-dup of every other → single component,
+    # min-id representative survives
+    assert out.vec_id.tolist() == [0]
+
+
 def test_textstats_kernels():
     from address_address_matching_ray.functions import textstats
 
