@@ -30,7 +30,7 @@ import pyarrow as pa
 from address_address_matching_ray.config import PipelineConfig
 from address_address_matching_ray.functions import scoring
 from address_address_matching_ray.functions.normalize import (
-    normalize, normalize_array, phonetic_code,
+    normalize, normalize_array, phonetic_code, phonetic_code_array,
 )
 from address_address_matching_ray.functions.parse import (
     generate_variants, parse_address, parse_components,
@@ -102,39 +102,69 @@ def _query_keys(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
 
 def _record_keys(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
     """Blocking keys from record fields (the J1 query-builder predicates
-    re-expressed as keys)."""
-    df = batch.to_pandas().fillna("")
-    n = len(df)
-    street_norm = normalize_array(df["STREET"].to_numpy(dtype=object))
-    r_norm = normalize_array(df["ADDRESS"].to_numpy(dtype=object))
-    rows = []
-    for i in range(n):
-        house = str(df["HOUSE"].iloc[i])
-        sn = street_norm[i]
-        keys = []
-        if r_norm[i]:
-            keys.append(f"e:{r_norm[i]}")
-        if house and sn:
-            first = sn.split()[0] if sn else ""
-            keys.append(f"h:{house}|{sn}|{df['ZIP_CODE'].iloc[i]}")
-            keys.append(f"h2:{house}|{sn}")
-            keys.append(f"f:{house}|{first}|{df['ZIP_CODE'].iloc[i]}")
-            keys.append(f"s:{house}|{phonetic_code(sn)}|{str(df['STATE'].iloc[i]).upper()}")
-        if sn:
-            # keyword-tier retrieval targets (degraded queries)
-            first = sn.split()[0]
-            keys.append(f"k:{first}|{df['ZIP_CODE'].iloc[i]}")
-            keys.append(f"k:{first}|{str(df['STATE'].iloc[i]).upper()}")
-        for k in keys:
-            rows.append((i, k))
-    idx = np.array([r[0] for r in rows], dtype=np.int64)
-    out = {"block_key": pa.array([r[1] for r in rows], pa.string())}
+    re-expressed as keys).  Fully vectorized: each key family is one
+    masked object-array concat — the ``KeyDeriver.__call__`` pattern
+    (stages/keys.py:144-197).  The records side is the BIG side of the
+    match (10^9 rows against thousands of queries); a per-row Python
+    loop here was the stage."""
+    import pyarrow.compute as pc
+
+    def col_str(name: str) -> pa.Array:
+        a = batch[name]
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        if not pa.types.is_string(a.type):
+            a = a.cast(pa.string())
+        return pc.fill_null(a, "")
+
+    # street-derived pieces computed once per DISTINCT street (streets
+    # repeat heavily); normalize_array/phonetic_code_array factorize
+    # internally, the first-token split dedups here
+    street_np = col_str("STREET").to_numpy(zero_copy_only=False)
+    street_norm = normalize_array(street_np)
+    r_norm = normalize_array(col_str("ADDRESS").to_numpy(zero_copy_only=False))
+    codes, uniq = pd.factorize(street_norm)
+    first_u = np.array([u.split(" ", 1)[0] if u else "" for u in uniq],
+                       dtype=object)
+    first = first_u[codes]
+
+    house_pa, zip_pa = col_str("HOUSE"), col_str("ZIP_CODE")
+    state_pa = pc.utf8_upper(col_str("STATE"))
+    sn_pa = pa.array(street_norm, pa.string())
+    rn_pa = pa.array(r_norm, pa.string())
+    first_pa = pa.array(first, pa.string())
+    phon_pa = pa.array(phonetic_code_array(street_norm), pa.string())
+
+    house_np = house_pa.to_numpy(zero_copy_only=False)
+    idx_e = np.flatnonzero(r_norm != "")
+    idx_h = np.flatnonzero((house_np != "") & (street_norm != ""))
+    idx_k = np.flatnonzero(street_norm != "")
+    idx = np.concatenate(
+        [idx_e, idx_h, idx_h, idx_h, idx_h, idx_k, idx_k]).astype(np.int64)
+    if not len(idx):
+        out = {"block_key": pa.array([], pa.string())}
+        for name in R_PAYLOAD:
+            out[name] = pa.array([], pa.string())
+        return pa.table(out)
+
+    # key families as C++ element-wise joins, row-selected by take
+    J = pc.binary_join_element_wise
+    te, th, tk = (pa.array(i) for i in (idx_e, idx_h, idx_k))
+    keys = pa.concat_arrays([
+        J("e:", rn_pa, "").take(te),
+        J("h:", J(house_pa, sn_pa, zip_pa, "|"), "").take(th),
+        J("h2:", J(house_pa, sn_pa, "|"), "").take(th),
+        J("f:", J(house_pa, first_pa, zip_pa, "|"), "").take(th),
+        J("s:", J(house_pa, phon_pa, state_pa, "|"), "").take(th),
+        # keyword-tier retrieval targets (degraded queries)
+        J("k:", J(first_pa, zip_pa, "|"), "").take(tk),
+        J("k:", J(first_pa, state_pa, "|"), "").take(tk),
+    ])
+    idx_pa = pa.array(idx)
+    out = {"block_key": keys}
     for name in R_PAYLOAD:
-        if name == "r_norm":
-            vals = r_norm[idx] if len(idx) else []
-        else:
-            vals = df[name].astype(str).to_numpy(dtype=object)[idx] if len(idx) else []
-        out[name] = pa.array(list(vals), pa.string())
+        src = rn_pa if name == "r_norm" else col_str(name)
+        out[name] = src.take(idx_pa)
     return pa.table(out)
 
 
