@@ -78,10 +78,32 @@ def _q_linkage_edges(sf_dir: str):
     res = run_linkage(_pages(sf_dir), buckets=16, num_partitions=4)
     edges = res.edges.filter(expr="accepted == True").select_columns(
         ["left_id", "right_id", "tier", "confidence", "similarity", "exact"])
-    # edges may hold one row per (pair, blocking key); unique pairs here
-    return (edges.to_pandas()
-            .drop_duplicates(["left_id", "right_id"])
-            .sort_values(["left_id", "right_id"]).reset_index(drop=True))
+    # edges may hold one row per (pair, blocking key); unique-pair
+    # collapse runs DISTRIBUTED (pair-hash bucket shuffle + one
+    # vectorized dedup per bucket) — the same pair scores identically
+    # under every key, so any representative is exact; rows are sorted
+    # inside the bucket first so the kept one is deterministic.
+    import numpy as np
+    import pandas as pd
+
+    def add_pb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        l = df["left_id"].to_numpy(dtype="uint64")
+        r = df["right_id"].to_numpy(dtype="uint64")
+        with np.errstate(over="ignore"):
+            h = l * np.uint64(0x9E3779B97F4A7C15) ^ r
+        df["_pb"] = (h % np.uint64(32)).astype("int64")
+        return df
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.drop(columns=["_pb"])
+                 .sort_values(["left_id", "right_id", "tier"])
+                 .drop_duplicates(["left_id", "right_id"])
+                 .reset_index(drop=True))
+
+    return (edges.map_batches(add_pb, batch_format="pandas")
+            .groupby("_pb").map_groups(dedup, batch_format="pandas")
+            .sort(["left_id", "right_id"]))
 
 
 def _q_extracted(sf_dir: str):
@@ -90,6 +112,17 @@ def _q_extracted(sf_dir: str):
     return extract_stage(_pages(sf_dir)).select_columns(
         ["doc_id", "url", "addr", "norm_addr", "house", "street_name",
          "unit", "city", "state", "zip"])
+
+
+def _q_extract_addresses(sf_dir: str):
+    """SQL-expressible flat projection of the extraction chain:
+    html→text, address window, normalized address — oracled against a
+    DuckDB regexp re-implementation over the same deterministic pages
+    (written to parquet by ``oracle_sql``)."""
+    from address_address_matching_ray.stages.extract import extract_stage
+
+    return extract_stage(_pages(sf_dir)).select_columns(
+        ["doc_id", "url", "extracted_text", "addr", "norm_addr"]).sort("doc_id")
 
 
 def _q_exact_dedup(sf_dir: str):
@@ -174,11 +207,30 @@ def _q_word_freq(sf_dir: str):
     return word_frequencies(_docs(sf_dir), top_k=50)
 
 
+_ANNOTATE_FLOATS = ("mean_word_len", "stop_ratio", "punct_ratio",
+                    "digit_ratio", "quality")
+
+
 def _q_text_annotate(sf_dir: str):
+    """Full annotate projection, DuckDB-oracled.  Float features are
+    floor-quantized to 1e-6 on BOTH sides (the doubles are bit-identical
+    — verified — but round() half-mode differs between numpy and
+    DuckDB, so quantization must avoid ties).  ``fingerprint`` (pandas
+    siphash internals, not SQL-reproducible) stays pytest-gated via
+    ``test_textstats_kernels``."""
+    import numpy as np
+    import pandas as pd
     from address_address_matching_ray.pipelines.text import annotate_text
 
-    return annotate_text(_docs(sf_dir)).select_columns(
-        ["doc_id", "lang_pred", "n_tokens", "quality", "fingerprint"]).sort("doc_id")
+    def quantize(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["doc_id", "lang_pred", "n_chars", "n_words",
+                  *_ANNOTATE_FLOATS, "n_tokens", "n_tokens_bpe"]].copy()
+        for c in _ANNOTATE_FLOATS:
+            out[c] = np.floor(out[c].to_numpy() * 1e6) / 1e6
+        return out
+
+    return (annotate_text(_docs(sf_dir))
+            .map_batches(quantize, batch_format="pandas").sort("doc_id"))
 
 
 def _q_normalize_docs(sf_dir: str):
@@ -310,6 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_clusters": _q_linkage_clusters,
         "linkage_edges": _q_linkage_edges,
         "extract_parse": _q_extracted,
+        "extract_addresses": _q_extract_addresses,
         # dedup family
         "exact_dedup": _q_exact_dedup,
         "minhash_dedup": _q_minhash_dedup,
@@ -349,19 +402,192 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # oracle SQL (DuckDB) — column names match the Ray results exactly
 # ──────────────────────────────────────────────────────────────
 
-def _normalize_sql() -> str:
+def _norm_expr(col: str) -> str:
+    """The ``normalize`` regex chain as a DuckDB expression over
+    ``col`` (ascii inputs; the python path skips ascii_fold for them)."""
     from address_address_matching_ray.functions.normalize import _ABB_ORDER
 
-    expr = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9_\\s#/-]', ' ', 'g'), '\\s+', ' ', 'g'))"
+    expr = (f"trim(regexp_replace(regexp_replace(lower({col}), "
+            "'[^a-z0-9_\\s#/-]', ' ', 'g'), '\\s+', ' ', 'g'))")
     for full, abbr in _ABB_ORDER:
         expr = f"regexp_replace({expr}, '\\b{full}\\b', '{abbr}', 'g')"
     expr = (f"regexp_replace({expr}, "
             "'\\b(\\d+)[-_]?(st|nd|rd|th|ht|tt|thh|ndd|rdd|h|t)\\b', '\\1', 'g')")
-    return f"SELECT doc_id, {expr} AS norm_text FROM documents ORDER BY doc_id"
+    return expr
+
+
+def _normalize_sql() -> str:
+    return (f"SELECT doc_id, {_norm_expr('text')} AS norm_text "
+            "FROM documents ORDER BY doc_id")
+
+
+_ORACLE_PAGES_PATH = "/tmp/graft_oracle_pages.parquet"
+_ORACLE_MEDIA_PATH = "/tmp/graft_oracle_media.parquet"
+
+
+def _write_oracle_inputs() -> None:
+    """Materialize the deterministic synthetic inputs (pages / media)
+    as parquet for DuckDB — the driver registers only the testdata
+    tables as views, and these pipelines run over generated inputs.
+    Pure driver-side generation via the same stateless batch functions
+    the Ray sources use (``pages_batch`` / ``media_batch``), sized for
+    the driver's sf0.01 correctness run; idempotent."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from address_address_matching_ray.pipelines.multimodal import media_batch
+    from address_address_matching_ray.sources.synth import pages_batch
+
+    n_pages = _n_pages_for("/root/testdata/sf0.01")
+    pages = pages_batch(np.arange(n_pages), _SEED).select(
+        ["doc_id", "url", "html"])
+    pq.write_table(pages, _ORACLE_PAGES_PATH)
+
+    media = media_batch(np.arange(300), _SEED)
+    payload_bytes = pa.array(
+        [list(p) for p in media["payload"].to_pylist()],
+        pa.list_(pa.int32()))
+    pq.write_table(
+        pa.table({"media_id": media["media_id"], "kind": media["kind"],
+                  "payload_bytes": payload_bytes,
+                  "duration_ms": media["duration_ms"]}),
+        _ORACLE_MEDIA_PATH)
+
+
+def _extract_addresses_sql() -> str:
+    """DuckDB re-implementation of the extraction chain over the
+    written pages parquet: html→text regex strip chain, zip-anchored
+    address-window search with the lead-token trim (list lambdas), the
+    street-type fallback, then the normalize chain on the window."""
+    extract_chain = r"""
+trim(regexp_replace(
+  replace(replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(decode(html), '(?is)<script\b.*?</script\s*>', ' ', 'g'),
+        '(?is)<style\b.*?</style\s*>', ' ', 'g'),
+      '(?s)<!--.*?-->', ' ', 'g'),
+    '(?s)<[^>]+>', ' ', 'g'),
+  '&copy;', chr(169)), '&amp;', '&'),
+'\s+', ' ', 'g'))"""
+    addr_case = r"""
+  CASE WHEN len(ok) > 0 THEN trim(array_to_string(ok[1], ' '))
+       ELSE coalesce(regexp_extract(txt,
+         '(?i)\b([0-9][A-Za-z0-9\-]*\s+(?:[A-Za-z0-9#'']+\s+){0,5}(?:St|Street|Ave|Avenue|Blvd|Boulevard|Rd|Road|Dr|Drive|Ln|Lane|Ct|Court|Pl|Place|Pkwy|Parkway|Ter|Terrace|Cir|Circle|Hwy|Highway|Way|Broadway))\b', 1), '')
+  END"""
+    return f"""
+WITH pages AS (
+  SELECT doc_id, url, {extract_chain} AS txt
+  FROM read_parquet('{_ORACLE_PAGES_PATH}')
+), wins AS (
+  SELECT doc_id, url, txt,
+         regexp_extract_all(txt, '((?:[A-Za-z0-9#\\-'',.]+\\s+){{0,10}}\\d{{5}}(?:-\\d{{4}})?)', 1) AS ws
+  FROM pages
+), trimmed AS (
+  SELECT doc_id, url, txt,
+    list_transform(ws, w ->
+      list_slice(
+        string_split_regex(w, '\\s+'),
+        coalesce(
+          list_min(list_filter(
+            list_transform(string_split_regex(w, '\\s+'),
+                           (tok, i) -> CASE WHEN i < len(string_split_regex(w, '\\s+'))
+                                             AND regexp_matches(tok, '^(?:[0-9]|[A-Za-z0-9]{{1,3}}$|#)')
+                                        THEN i ELSE NULL END),
+            x -> x IS NOT NULL)),
+          len(string_split_regex(w, '\\s+'))),
+        len(string_split_regex(w, '\\s+')))) AS cands
+  FROM wins
+), valid AS (
+  SELECT doc_id, url, txt,
+    list_filter(cands, c ->
+      len(c) >= 3 AND len(list_filter(c, tok2 -> regexp_matches(tok2, '[A-Za-z]{{2,}}'))) > 0) AS ok
+  FROM trimmed
+), flat AS (
+  SELECT doc_id, url, txt AS extracted_text, {addr_case} AS addr
+  FROM valid
+)
+SELECT doc_id, url, extracted_text, addr, {_norm_expr('addr')} AS norm_addr
+FROM flat ORDER BY doc_id"""
+
+
+def _text_annotate_sql() -> str:
+    """The text-annotation kernels re-expressed in DuckDB: word lists
+    via regexp_extract_all + list lambdas, 6-language profile scoring
+    with argmax-in-profile-order (CASE chain), and the composite
+    quality formula.  Unrounded doubles are bit-identical to numpy's
+    (verified); both sides floor-quantize to 1e-6."""
+    from address_address_matching_ray.functions.textstats import _LANG_PROFILES
+
+    def prof_list(lg: str) -> str:
+        return "[" + ",".join(
+            "'" + w.replace("'", "''") + "'"
+            for w in sorted(_LANG_PROFILES[lg])) + "]"
+
+    langs = list(_LANG_PROFILES)
+    score_exprs = ",\n         ".join(
+        f"len(list_filter(words, w -> list_contains({prof_list(lg)}, w)))::DOUBLE"
+        f" / greatest(len(words),1) AS s_{lg}"
+        for lg in langs)
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case_chain = " ".join(f"WHEN s_{lg} = best THEN '{lg}'" for lg in langs)
+    q6 = "floor({} * 1e6) / 1e6"
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         regexp_extract_all(lower(text), '[a-z'']+') AS words,
+         length(text) AS n_chars
+  FROM documents
+), feat AS (
+  SELECT doc_id, text, words, n_chars,
+         len(words) AS n_words,
+         CASE WHEN len(words) = 0 THEN 0.0
+              ELSE list_sum(list_transform(words, w -> length(w)))::DOUBLE / len(words) END AS mean_word_len,
+         CASE WHEN len(words) = 0 THEN 0.0
+              ELSE len(list_filter(words, w -> list_contains({prof_list('en')}, w)))::DOUBLE / len(words) END AS stop_ratio,
+         len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE / greatest(n_chars, 1) AS punct_ratio,
+         len(regexp_extract_all(text, '\\d'))::DOUBLE / greatest(n_chars, 1) AS digit_ratio,
+         {score_exprs}
+  FROM base
+), scored AS (
+  SELECT *, {best} AS best,
+    (least(n_words / 20.0, 1) * 0.3
+     + least(stop_ratio / 0.4, 1) * 0.3
+     + greatest(least(1 - punct_ratio * 4, 1), 0) * 0.2
+     + greatest(least(1 - digit_ratio * 4, 1), 0) * 0.1
+     + greatest(least(1 - abs(mean_word_len - 5) / 5, 1), 0) * 0.1) AS quality
+  FROM feat
+)
+SELECT doc_id,
+  CASE WHEN len(words) = 0 OR best < 0.05 THEN 'und' {case_chain} ELSE 'und' END AS lang_pred,
+  n_chars, n_words,
+  {q6.format('mean_word_len')} AS mean_word_len,
+  {q6.format('stop_ratio')} AS stop_ratio,
+  {q6.format('punct_ratio')} AS punct_ratio,
+  {q6.format('digit_ratio')} AS digit_ratio,
+  {q6.format('quality')} AS quality,
+  CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+  len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_tokens_bpe
+FROM scored ORDER BY doc_id"""
 
 
 def oracle_sql() -> dict[str, str]:
+    _write_oracle_inputs()
     return {
+        "extract_addresses": _extract_addresses_sql(),
+        "text_annotate": _text_annotate_sql(),
+        "media_decode": f"""
+            SELECT media_id, kind, len(payload_bytes)::BIGINT AS n_bytes,
+                   list_avg(payload_bytes)::DOUBLE AS byte_mean
+            FROM read_parquet('{_ORACLE_MEDIA_PATH}') ORDER BY media_id""",
+        "media_frames": f"""
+            SELECT media_id, kind,
+                   unnest(range(0, duration_ms, 1000))::BIGINT AS frame_ts_ms
+            FROM read_parquet('{_ORACLE_MEDIA_PATH}')
+            WHERE kind = 'video' AND duration_ms > 0 AND media_id < 120
+            ORDER BY media_id, frame_ts_ms""",
         "exact_dedup": """
             SELECT doc_id, text, lang, source, n_chars, n_dups FROM (
               SELECT d.*, count(*) OVER (PARTITION BY norm) AS n_dups,

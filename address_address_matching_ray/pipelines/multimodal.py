@@ -29,34 +29,38 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 
+def media_batch(ids, seed: int = 42) -> pa.Table:
+    """Deterministic fake media rows for a batch of ids — pure function
+    (stateless, reusable driver-side for oracle-input generation)."""
+    kinds, payloads, mimes, ws, hs, durs = [], [], [], [], [], []
+    for i in ids:
+        i = int(i)
+        kind = ("image", "audio", "video")[i % 3]
+        size = 512 + (i * 2654435761) % 4096
+        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (size // 32 + 1)
+        kinds.append(kind)
+        payloads.append(payload[:size])
+        mimes.append({"image": "image/png", "audio": "audio/wav",
+                      "video": "video/mp4"}[kind])
+        ws.append(64 + i % 512 if kind != "audio" else -1)
+        hs.append(64 + (i * 7) % 512 if kind != "audio" else -1)
+        durs.append(-1 if kind == "image" else 1000 + i % 60000)
+    return pa.table({
+        "media_id": pa.array([int(x) for x in ids], pa.uint64()),
+        "kind": pa.array(kinds), "payload": pa.array(payloads, pa.binary()),
+        "mime": pa.array(mimes), "width": pa.array(ws, pa.int32()),
+        "height": pa.array(hs, pa.int32()),
+        "duration_ms": pa.array(durs, pa.int64()),
+    })
+
+
 def synth_media(n: int, seed: int = 42):
     """Deterministic fake media table (binary payloads with real sizes)."""
     import ray.data as rd
 
-    def make(batch) -> pa.Table:
-        ids = batch["id"]
-        kinds, payloads, mimes, ws, hs, durs = [], [], [], [], [], []
-        for i in ids:
-            i = int(i)
-            kind = ("image", "audio", "video")[i % 3]
-            size = 512 + (i * 2654435761) % 4096
-            payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (size // 32 + 1)
-            kinds.append(kind)
-            payloads.append(payload[:size])
-            mimes.append({"image": "image/png", "audio": "audio/wav",
-                          "video": "video/mp4"}[kind])
-            ws.append(64 + i % 512 if kind != "audio" else -1)
-            hs.append(64 + (i * 7) % 512 if kind != "audio" else -1)
-            durs.append(-1 if kind == "image" else 1000 + i % 60000)
-        return pa.table({
-            "media_id": pa.array([int(x) for x in ids], pa.uint64()),
-            "kind": pa.array(kinds), "payload": pa.array(payloads, pa.binary()),
-            "mime": pa.array(mimes), "width": pa.array(ws, pa.int32()),
-            "height": pa.array(hs, pa.int32()),
-            "duration_ms": pa.array(durs, pa.int64()),
-        })
-
-    return rd.range(n).map_batches(make, batch_format="numpy", batch_size=512)
+    return rd.range(n).map_batches(
+        lambda batch: media_batch(batch["id"], seed),
+        batch_format="numpy", batch_size=512)
 
 
 class MediaDecoder:

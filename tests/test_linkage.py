@@ -177,3 +177,20 @@ def test_distributed_cc_long_chain(ray_session):
     df = labels.to_pandas()
     assert len(df) == n
     assert (df.cluster_id == 0).all()
+
+
+def test_edges_golden_hash(linkage_run):
+    """Frozen content gate for the accepted-edge set (the
+    ``linkage_edges`` query surface has no SQL oracle — fuzzy scoring
+    isn't SQL-expressible — so the exact pair set at fixture scale is
+    pinned here; any change to blocking/scoring/dedup that perturbs it
+    must consciously re-freeze this hash)."""
+    import hashlib
+
+    edges, _, _ = linkage_run
+    acc = (edges[edges.accepted][["left_id", "right_id"]]
+           .drop_duplicates().sort_values(["left_id", "right_id"]))
+    h = hashlib.sha256(acc.to_csv(index=False).encode()).hexdigest()
+    assert len(acc) == 11572
+    assert h == ("fe99809342b878cab83895c78c97936c"
+                 "edd1e234cc26e2792e6afa80f84e5059")
