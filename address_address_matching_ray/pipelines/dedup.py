@@ -235,42 +235,71 @@ def _slim_texts(docs_ds, text_col: str, id_col: str):
 
 
 def _pair_texts(cand_ds, texts_ds, buckets: int = 32):
-    """Attach ``l_text``/``r_text`` to candidate id pairs with ONE hash
-    join: pairs are exploded to two ``(left_id, right_id, side,
-    probe_id)`` rows, joined ``probe_id == doc_id`` against the slim
-    text table (the corpus is shuffled ONCE, by the join partitioning),
-    then pivoted back pair-per-row via a pair-bucketed groupby that
-    moves only the matched candidate texts (2 rows per pair) — never
-    bands× the corpus."""
-    from address_address_matching_ray.stages.pairs import shuffle_partitions
+    """Attach ``l_text``/``r_text`` to candidate id pairs in TWO light
+    bucketed-groupby shuffles (no ``Dataset.join`` — its hash-shuffle
+    actor machinery costs seconds of fixed overhead that dwarfs small
+    candidate sets, and the groupby path is the same primitive every
+    other stage here uses):
 
+    1. pairs explode to ``(left_id, right_id, side, probe_id)`` rows
+       and UNION with the slim text table (tagged ``side = -1``);
+       bucketing by ``hash(probe_id)`` co-locates each doc's text with
+       every pair-side probing it — one vectorized map-lookup per
+       bucket.  The corpus text crosses the wire ONCE.
+    2. matched pair-sides (2 rows per surviving pair) pivot back to
+       pair-per-row via a pair-hash bucketed groupby.
+    """
     def explode(t: pa.Table) -> pa.Table:
         l = t["left_id"].to_numpy(zero_copy_only=False).astype("uint64")
         r = t["right_id"].to_numpy(zero_copy_only=False).astype("uint64")
         dp = t["dropped_pairs"].to_numpy(zero_copy_only=False).astype("uint64")
         n = len(l)
+        probe = np.column_stack([l, r]).ravel()
+        h = probe * np.uint64(0x9E3779B97F4A7C15)
         return pa.table({
             "left_id": pa.array(np.repeat(l, 2), pa.uint64()),
             "right_id": pa.array(np.repeat(r, 2), pa.uint64()),
             "dropped_pairs": pa.array(np.repeat(dp, 2), pa.uint64()),
             "side": pa.array(np.tile(np.array([0, 1], dtype=np.int64), n)),
-            "probe_id": pa.array(
-                np.column_stack([l, r]).ravel(), pa.uint64())})
+            "probe_id": pa.array(probe, pa.uint64()),
+            "norm_text": pa.array([""] * (2 * n), pa.string()),
+            "_db": pa.array((h % np.uint64(buckets)).astype("int64"))})
 
-    exploded = cand_ds.map_batches(explode, batch_format="pyarrow")
-    joined = exploded.join(texts_ds, join_type="inner",
-                           num_partitions=shuffle_partitions(),
-                           on=("probe_id",), right_on=("doc_id",))
+    def tag_texts(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype("uint64")
+        h = ids * np.uint64(0x9E3779B97F4A7C15)
+        z = np.zeros(len(ids), dtype="uint64")
+        return pa.table({
+            "left_id": pa.array(z, pa.uint64()),
+            "right_id": pa.array(z, pa.uint64()),
+            "dropped_pairs": pa.array(z, pa.uint64()),
+            "side": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+            "probe_id": pa.array(ids, pa.uint64()),
+            "norm_text": t["norm_text"],
+            "_db": pa.array((h % np.uint64(buckets)).astype("int64"))})
 
-    def add_pb(t: pa.Table) -> pa.Table:
-        l = t["left_id"].to_numpy(zero_copy_only=False).astype("uint64")
-        r = t["right_id"].to_numpy(zero_copy_only=False).astype("uint64")
+    with np.errstate(over="ignore"):
+        both = (cand_ds.map_batches(explode, batch_format="pyarrow")
+                .union(texts_ds.map_batches(tag_texts,
+                                            batch_format="pyarrow")))
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        is_text = g["side"] == -1
+        lookup = pd.Series(
+            g.loc[is_text, "norm_text"].to_numpy(dtype=object),
+            index=g.loc[is_text, "probe_id"].to_numpy(dtype="uint64"))
+        lookup = lookup[~lookup.index.duplicated()]
+        out = g.loc[~is_text,
+                    ["left_id", "right_id", "dropped_pairs", "side"]].copy()
+        probe = g.loc[~is_text, "probe_id"].to_numpy(dtype="uint64")
+        out["norm_text"] = pd.Series(probe).map(lookup).to_numpy(dtype=object)
+        out = out[out["norm_text"].notna()]
+        l = out["left_id"].to_numpy(dtype="uint64")
+        r = out["right_id"].to_numpy(dtype="uint64")
         with np.errstate(over="ignore"):
             h = l * np.uint64(0x9E3779B97F4A7C15) ^ r
-        keep = [c for c in ("left_id", "right_id", "dropped_pairs",
-                            "side", "norm_text") if c in t.column_names]
-        return t.select(keep).append_column(
-            "_pb", pa.array((h % np.uint64(buckets)).astype("int64")))
+        out["_pb"] = (h % np.uint64(buckets)).astype("int64")
+        return out.reset_index(drop=True)
 
     def pivot(g: pd.DataFrame) -> pd.DataFrame:
         g = (g.sort_values(["left_id", "right_id", "side"])
@@ -284,7 +313,9 @@ def _pair_texts(cand_ds, texts_ds, buckets: int = 32):
                                   "norm_text_r": "r_text"})
         return out.reset_index(drop=True)
 
-    return (joined.map_batches(add_pb, batch_format="pyarrow")
+    return (both.groupby("_db").map_groups(
+                lambda g: attach(g.drop(columns=["_db"])),
+                batch_format="pandas")
             .groupby("_pb").map_groups(
                 lambda g: pivot(g.drop(columns=["_pb"])),
                 batch_format="pandas"))
