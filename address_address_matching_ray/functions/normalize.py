@@ -45,6 +45,20 @@ _ORDINAL_RE = re.compile(r"\b(\d+)[-_]?(st|nd|rd|th|ht|tt|thh|ndd|rdd|h|t)\b")
 _ABB_RES: list[tuple[re.Pattern, str]] = [
     (re.compile(rf"\b{full}\b"), abbr) for full, abbr in _ABB_ORDER
 ]
+# Fused single-pass form for the vectorized path: one bounded
+# alternation (longest-first, so first-match == longest-match) with a
+# dict-lookup replacement.  Equivalent to the sequential chain because
+# (a) no replacement output ("n", "st", "ave", …) matches any pattern
+# word, so there are no chained rewrites, and (b) the trailing \b
+# already forces whole-word matches.  Asserted scalar≡vector by the
+# normalize property tests.
+_ABB_MAP: dict[str, str] = dict(_ABB_ORDER)
+_ABB_ALT_RE = re.compile(
+    r"\b(?:" + "|".join(sorted(_ABB_MAP, key=len, reverse=True)) + r")\b")
+
+
+def _abb_repl(m: re.Match) -> str:
+    return _ABB_MAP[m.group(0)]
 
 # optimized.py:44 — embedded apartment/unit inside a street string
 APT_PAT = re.compile(r"\b(?:apt|unit|ste|suite|#)\s*([a-z0-9-]+)\b", re.I)
@@ -96,8 +110,7 @@ def normalize_series(s: pd.Series) -> pd.Series:
     s = s.str.lower()
     s = s.str.replace(_PUNCT_RE, " ", regex=True)
     s = s.str.replace(_WS_RE, " ", regex=True).str.strip()
-    for pat, abbr in _ABB_RES:
-        s = s.str.replace(pat, abbr, regex=True)
+    s = s.str.replace(_ABB_ALT_RE, _abb_repl, regex=True)
     s = s.str.replace(_ORDINAL_RE, r"\1", regex=True)
     return s
 

@@ -42,6 +42,12 @@ _ADDR_TYPE_RE = re.compile(
     r"Pl|Place|Pkwy|Parkway|Ter|Terrace|Cir|Circle|Hwy|Highway|Way|Broadway))\b",
     re.IGNORECASE)
 _LEAD_TOKEN_OK_RE = re.compile(r"^(?:\d|[A-Za-z0-9]{1,3}$|#)")
+# entity fast path: dominant entities as literal replaces; any other
+# '&…;' falls back to html.unescape on the ORIGINAL row text
+_COMMON_ENTITIES = [("&copy;", "©"), ("&nbsp;", " "),
+                    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&amp;", "&")]
+_ENTITY_RE = re.compile(r"&(?:[A-Za-z][A-Za-z0-9]{1,30}|#\d{1,7}|#[xX][0-9A-Fa-f]{1,6});")
 
 
 def extract_text(raw: bytes | str) -> str:
@@ -73,7 +79,18 @@ def extract_text_series(raws: list) -> list[str]:
     s = s.str.replace(_TAG_RE, " ", regex=True)
     has_amp = s.str.contains("&", regex=False, na=False)
     if has_amp.any():
-        s.loc[has_amp] = s.loc[has_amp].map(html_mod.unescape)
+        # common-entity fast path: the handful of entities that dominate
+        # web text are replaced as whole-column passes ('&amp;' LAST —
+        # unescape resolves it once, so '&amp;copy;' must become
+        # '&copy;', not '©'); rows still holding an entity-shaped
+        # '&…;' afterwards take the full python unescape.
+        sub = s.loc[has_amp]
+        for ent, ch in _COMMON_ENTITIES:
+            sub = sub.str.replace(ent, ch, regex=False)
+        rest = sub.str.contains(_ENTITY_RE, na=False)
+        if rest.any():
+            sub.loc[rest] = s.loc[has_amp].loc[rest].map(html_mod.unescape)
+        s.loc[has_amp] = sub
     s = s.str.replace(_WS_RE, " ", regex=True).str.strip()
     return s.tolist()
 

@@ -236,7 +236,9 @@ def _hash_strings(arr) -> np.ndarray:
 
 
 def _find_hot_keys(keys_ds, threshold: int, buckets: int = 64,
-                   sample_mod: int = 8) -> set:
+                   sample_mod: int = 8,
+                   keys_size_bytes: int | None = None,
+                   driver_bytes_threshold: int = 2**32) -> set:
     """Pass 0: keys whose row count exceeds ``threshold``.
 
     Shape matters: a ``groupby(block_key).sum`` would create millions of
@@ -284,8 +286,23 @@ def _find_hot_keys(keys_ds, threshold: int, buckets: int = 64,
         return pa.table({"block_key": pa.array(hot.index, pa.string()),
                          "n": pa.array(hot.to_numpy(), pa.int64())})
 
-    hot_pdf = (keys_ds.select_columns(["block_key"])
-               .map_batches(partial, batch_format="pyarrow")
+    partials = keys_ds.select_columns(["block_key"]) \
+                      .map_batches(partial, batch_format="pyarrow")
+
+    if keys_size_bytes is not None and \
+            keys_size_bytes // sample_mod <= driver_bytes_threshold:
+        # small/medium path: the sampled per-batch partials are a few
+        # MB — one driver-side vectorized sum beats a second Ray
+        # shuffle's fixed cost (~1.5 s) by ~3×.  The distributed
+        # bucketed path below stays the shape for corpus-scale key
+        # tables (sampled partials can reach 10^10 rows at 100 TB).
+        pdf = partials.to_pandas()
+        if not len(pdf):
+            return set()
+        sums = pdf.groupby("block_key", sort=False)["c"].sum()
+        return set(sums.index[sums > threshold])
+
+    hot_pdf = (partials
                .repartition(shuffle_partitions())
                .groupby("_b").map_groups(
                    lambda g: hot_in_bucket(g.drop(columns=["_b"])),
@@ -321,7 +338,8 @@ def pairs_stage(keys_ds, cfg: PipelineConfig | None = None,
         # key derivation from the materialized/checkpointed upstream is
         # cheaper than pinning the full key table in the object store
         hot = _find_hot_keys(keys_ds, threshold=8 * cfg.max_block_size,
-                             buckets=buckets)
+                             buckets=buckets,
+                             keys_size_bytes=keys_size_bytes)
 
     import ray
 
