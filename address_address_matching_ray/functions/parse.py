@@ -292,6 +292,93 @@ def parse_location(location_part: str, default_city: str = "Brooklyn",
     return city, state, zip_code
 
 
+# ── optional usaddress CRF branch (the reference's true primary path,
+# U:373-437).  The wheel is absent in this environment, so the import is
+# optional; when present, ``parse_components`` prefers the CRF and falls
+# back to the emulated path below when the tagger raises (the reference
+# falls back to its *ungated* regex composition, U:441-455 — we fall
+# back to the production-shaped emulation instead, same documented
+# delta as the no-usaddress case). ──
+try:                                                        # pragma: no cover
+    import usaddress as _usaddress
+except ImportError:
+    _usaddress = None
+
+_UNIT_SHAPE3_RE = re.compile(r"^[A-Z0-9]{1,3}$")
+_STREET_LEADING_NUM_RE = re.compile(r"^(\d+)\s+(.+)")
+_HOUSE_UNIT_COMBO_RE = re.compile(r"^([A-Z0-9]{1,3})\s+\d")
+_HOUSE_UNIT_SPLIT_RE = re.compile(r"^([A-Z0-9]{1,3})\s+(\d+)")
+_CRF_UNIT_GATE_RE = re.compile(r"^[A-Z0-9]{1,3}\s+\d")
+
+
+def parse_components_crf(address: str, tag=None) -> AddressComponents | None:
+    """usaddress-backed primary parse — U:373-437 verbatim semantics:
+    tag → component pick (OccupancyIdentifier|SubaddressIdentifier,
+    AddressNumber, StreetNamePreDirectional+StreetName joined,
+    StreetNamePostType lowercased, PlaceName, StateName, ZipCode) →
+    the two documented unit/house mis-parse repairs (U:388-410) →
+    gated custom unit extraction (U:417-421) → house fallback
+    (U:423-425).
+
+    ``tag`` injects a tagger for tests; defaults to ``usaddress.tag``.
+    Returns ``None`` when no tagger is available or it raises, so the
+    caller can fall back.
+    """
+    tagger = tag if tag is not None else (
+        _usaddress.tag if _usaddress is not None else None)
+    if tagger is None:
+        return None
+    cleaned = address.strip()
+    try:
+        parsed, _addr_type = tagger(cleaned)
+    except Exception:
+        return None
+
+    unit = parsed.get("OccupancyIdentifier", "") or \
+        parsed.get("SubaddressIdentifier", "")
+    house_number = parsed.get("AddressNumber", "")
+    street_pre_dir = parsed.get("StreetNamePreDirectional", "")
+    street_name = parsed.get("StreetName", "")
+    street_post_type = parsed.get("StreetNamePostType", "")
+    city = parsed.get("PlaceName", "")
+    state = parsed.get("StateName", "")
+    zip_code = parsed.get("ZipCode", "")
+
+    # U:388-410 — repair the two common usaddress unit+house confusions.
+    if not unit and house_number and street_name:
+        # Pattern 1: AddressNumber is really the unit ("1H") and
+        # StreetName swallowed the house ("55 Berry").
+        if _UNIT_SHAPE3_RE.match(house_number) and \
+                _STREET_LEADING_NUM_RE.match(street_name):
+            m = _STREET_LEADING_NUM_RE.match(street_name)
+            if m and len(house_number) <= 3 and house_number.isalnum():
+                unit = house_number
+                house_number = m.group(1)
+                street_name = m.group(2)
+        # Pattern 2: AddressNumber holds unit+house ("3D 130").
+        elif _HOUSE_UNIT_COMBO_RE.match(house_number):
+            m = _HOUSE_UNIT_SPLIT_RE.match(house_number)
+            if m:
+                unit = m.group(1)
+                house_number = m.group(2)
+
+    street_name_combined = " ".join(
+        p for p in (street_pre_dir, street_name) if p)
+
+    # U:417-421 — custom unit extraction only behind the leading-token
+    # gate; U:423-425 — house fallback is ungated.
+    if not unit and _CRF_UNIT_GATE_RE.match(cleaned):
+        unit = extract_unit(cleaned)
+    if not house_number:
+        house_number = extract_house_number(cleaned)
+
+    return AddressComponents(
+        unit=unit, house_number=house_number,
+        street_name=street_name_combined,
+        street_type=street_post_type.lower() if street_post_type else "",
+        city=city, state=state, zip_code=zip_code)
+
+
 # unit-first pattern gate — U:416-424: the reference's PRIMARY
 # (usaddress) path only runs custom unit extraction when the address
 # starts "``<short token> <digit…>``".  We additionally require a letter
@@ -312,8 +399,11 @@ _HOUSE_RANGE_FIRST = [re.compile(p) for p in (
 
 def parse_components(address: str) -> AddressComponents:
     """Primary-path parse (the reference's usaddress route with its
-    mis-parse repairs, U:366-439, re-expressed with the deterministic
-    extractors): unit-first gate → explicit apt/unit/# marker → house
+    mis-parse repairs, U:366-439).  When the optional ``usaddress``
+    wheel is importable, the real CRF runs first
+    (``parse_components_crf``); otherwise — or when the tagger raises —
+    the route is re-expressed with the deterministic extractors:
+    unit-first gate → explicit apt/unit/# marker → house
     (range kept whole) → street/location split → street name/type →
     location.
 
@@ -325,6 +415,10 @@ def parse_components(address: str) -> AddressComponents:
     """
     if not address or not address.strip():
         return AddressComponents()
+    if _usaddress is not None:
+        crf = parse_components_crf(address)
+        if crf is not None:
+            return crf
     cleaned = address.strip()
     unit = ""
     m = _UNIT_FIRST_RE.match(cleaned)

@@ -75,27 +75,62 @@ class MediaDecoder:
 
     def __init__(self, mode: str = "fake"):
         self.mode = mode
+        self._pil_image = None
         if mode == "real":
-            # real path would do:  from PIL import Image; import av; ...
-            raise NotImplementedError(
-                "codec libraries are not available in this environment; "
-                "use mode='fake' (deterministic stand-in)")
+            # Pillow is the first real codec adapter; it loads ONCE per
+            # actor here.  Audio/video codecs (av/ffmpeg) would slot in
+            # the same way; image rows Pillow can't parse and non-image
+            # kinds fall back to the deterministic stand-in per row.
+            try:
+                from PIL import Image
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "mode='real' needs the optional Pillow wheel, which "
+                    "is not available in this environment; use "
+                    "mode='fake' (deterministic stand-in)") from exc
+            self._pil_image = Image
+
+    def _decode_fake(self, p: bytes):
+        """Deterministic stand-in: digest-derived 16-dim feature."""
+        arr = np.frombuffer(p, dtype=np.uint8)
+        digest = hashlib.sha256(p).digest()
+        vec = (np.frombuffer(digest, dtype=np.uint8)[:16].astype(np.float32)
+               / 255.0)
+        return vec.tolist(), float(arr.mean()) if len(arr) else 0.0
+
+    def _decode_real(self, p: bytes, kind: str):
+        """Pillow decode for image rows: 4×4 grayscale thumbnail as the
+        16-dim feature, pixel mean as ``byte_mean``.  Anything Pillow
+        can't open (or non-image kinds, pending an av adapter) falls
+        back to the stand-in so the stage never poisons the pipeline."""
+        if kind == "image" and self._pil_image is not None:
+            import io
+            try:
+                with self._pil_image.open(io.BytesIO(p)) as im:
+                    gray = im.convert("L").resize((4, 4))
+                    px = np.asarray(gray, dtype=np.float32)
+                full_mean = float(np.asarray(
+                    self._pil_image.open(io.BytesIO(p)).convert("L"),
+                    dtype=np.float32).mean())
+                return (px.flatten() / 255.0).tolist(), full_mean
+            except Exception:
+                pass
+        return self._decode_fake(p)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
         kinds = batch["kind"].to_pylist()
-        # deterministic fake "decode": digest-derived feature vector +
-        # byte stats, one row per input row, schema identical to what a
-        # real decoder would emit
+        # decode is inherently per-row (opaque binary); one output row
+        # per input row, schema identical across fake/real modes
         feats, means, sizes = [], [], []
         for p, kind in zip(payloads, kinds):
-            arr = np.frombuffer(p, dtype=np.uint8)
-            digest = hashlib.sha256(p).digest()
-            vec = (np.frombuffer(digest, dtype=np.uint8)[:16].astype(np.float32)
-                   / 255.0)
-            feats.append(vec.tolist())
-            means.append(float(arr.mean()) if len(arr) else 0.0)
-            sizes.append(len(arr))
+            if self.mode == "real":
+                vec, mean = self._decode_real(p, kind)
+            else:
+                vec, mean = self._decode_fake(p)
+            feats.append(vec)
+            means.append(mean)
+            sizes.append(len(p))
         return pa.table({
             "media_id": batch["media_id"], "kind": batch["kind"],
             "n_bytes": pa.array(sizes, pa.int64()),

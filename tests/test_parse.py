@@ -186,3 +186,105 @@ CORPUS = {
     "490 Court Street New York, NY 10007":
         ("", "490", "Court", "st", "Brooklyn", "NY", "10007"),
 }
+
+
+# ── optional usaddress CRF seam (U:373-437) ──
+# The wheel is absent here, so a deterministic fake tagger exercises the
+# tag→component mapping, the two mis-parse repairs, the gated custom
+# unit extraction, and the raise→fallback route.
+
+def _tagger_for(mapping):
+    def tag(addr):
+        if addr not in mapping:
+            raise ValueError(f"untaggable: {addr}")
+        return mapping[addr], "Street Address"
+    return tag
+
+
+def test_crf_standard_mapping():
+    tag = _tagger_for({
+        "112 N Bedford Avenue Brooklyn, NY 11211": {
+            "AddressNumber": "112", "StreetNamePreDirectional": "N",
+            "StreetName": "Bedford", "StreetNamePostType": "Avenue",
+            "PlaceName": "Brooklyn", "StateName": "NY",
+            "ZipCode": "11211", "OccupancyIdentifier": "3R"},
+    })
+    c = P.parse_components_crf(
+        "112 N Bedford Avenue Brooklyn, NY 11211", tag=tag)
+    # pre-directional joins the street; post type lowercased verbatim
+    # (NOT abbreviated — U:430-431 keeps the reference quirk)
+    assert comp(c) == ("3R", "112", "N Bedford", "avenue",
+                       "Brooklyn", "NY", "11211")
+
+
+def test_crf_repair_pattern1_unit_in_address_number():
+    # AddressNumber="1H", StreetName="55 Berry" → unit/house/street fixed
+    tag = _tagger_for({
+        "1H 55 Berry Street Brooklyn, NY 11211": {
+            "AddressNumber": "1H", "StreetName": "55 Berry",
+            "StreetNamePostType": "Street", "PlaceName": "Brooklyn",
+            "StateName": "NY", "ZipCode": "11211"},
+    })
+    c = P.parse_components_crf(
+        "1H 55 Berry Street Brooklyn, NY 11211", tag=tag)
+    assert comp(c) == ("1H", "55", "Berry", "street",
+                       "Brooklyn", "NY", "11211")
+
+
+def test_crf_repair_pattern2_combined_address_number():
+    tag = _tagger_for({
+        "3D 130 Stagg Street Brooklyn, NY 11206": {
+            "AddressNumber": "3D 130", "StreetName": "Stagg",
+            "StreetNamePostType": "Street", "PlaceName": "Brooklyn",
+            "StateName": "NY", "ZipCode": "11206"},
+    })
+    c = P.parse_components_crf(
+        "3D 130 Stagg Street Brooklyn, NY 11206", tag=tag)
+    assert comp(c) == ("3D", "130", "Stagg", "street",
+                       "Brooklyn", "NY", "11206")
+
+
+def test_crf_gated_custom_unit_and_house_fallback():
+    # tag found neither unit nor house; leading "2B 77" passes the gate
+    tag = _tagger_for({
+        "2B 77 Kent Avenue Brooklyn NY 11249": {
+            "StreetName": "Kent", "StreetNamePostType": "Avenue",
+            "PlaceName": "Brooklyn", "StateName": "NY",
+            "ZipCode": "11249"},
+    })
+    c = P.parse_components_crf(
+        "2B 77 Kent Avenue Brooklyn NY 11249", tag=tag)
+    assert c.unit == "2B"
+    # reference quirk (U:423-425): the house fallback re-scans the
+    # ORIGINAL string, so `^(\d+[A-Za-z]*)` re-captures the unit token
+    assert c.house_number == "2B"
+    # ungated address does NOT run custom unit extraction
+    tag2 = _tagger_for({
+        "490 Court Street Brooklyn NY 11231": {
+            "StreetName": "Court", "StreetNamePostType": "Street",
+            "PlaceName": "Brooklyn", "StateName": "NY",
+            "ZipCode": "11231"},
+    })
+    c2 = P.parse_components_crf(
+        "490 Court Street Brooklyn NY 11231", tag=tag2)
+    assert c2.unit == ""
+    assert c2.house_number == "490"     # house fallback is ungated
+
+
+def test_crf_raise_falls_back_to_emulation(monkeypatch):
+    # a tagger that always raises → parse_components must return the
+    # emulated-path result for every corpus entry (identical to the
+    # no-usaddress route)
+    class _FakeUsaddress:
+        @staticmethod
+        def tag(addr):
+            raise RuntimeError("RepeatedLabelError-ish")
+
+    want = {a: comp(P.parse_components(a)) for a in [
+        "85-101 North 3rd Street Brooklyn, NY 11249",
+        "3R 112 Bedford Avenue Brooklyn, NY 11211",
+        "490 Court Street New York, NY 10007",
+    ]}
+    monkeypatch.setattr(P, "_usaddress", _FakeUsaddress)
+    got = {a: comp(P.parse_components(a)) for a in want}
+    assert got == want

@@ -199,8 +199,51 @@ def test_media_plumbing(ray_session):
     assert set(frames.kind) == {"video"}
     assert (frames.frame_ts_ms % 5000 == 0).all()
 
-    with pytest.raises(NotImplementedError):
-        MediaDecoder(mode="real")
+    try:
+        import PIL  # noqa: F401
+        pil_available = True
+    except ImportError:
+        pil_available = False
+    if not pil_available:
+        # without the optional Pillow wheel the real path refuses at
+        # actor construction (the adapter seam), never mid-batch
+        with pytest.raises(NotImplementedError):
+            MediaDecoder(mode="real")
+
+
+def test_media_real_codec_pillow(ray_session):
+    """Exercises the real Pillow adapter when the wheel exists;
+    skipped in codec-less environments (this sandbox)."""
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+    import io
+    import pyarrow as pa
+
+    from address_address_matching_ray.pipelines.multimodal import MediaDecoder
+
+    bufs = []
+    for shade in (0, 128, 255):
+        im = Image.new("L", (32, 32), color=shade)
+        b = io.BytesIO()
+        im.save(b, format="PNG")
+        bufs.append(b.getvalue())
+    batch = pa.table({
+        "media_id": pa.array([0, 1, 2], pa.uint64()),
+        "kind": pa.array(["image"] * 3),
+        "payload": pa.array(bufs, pa.binary()),
+    })
+    out = MediaDecoder(mode="real")(batch)
+    df = out.to_pandas()
+    # uniform images → pixel mean equals the shade, feature uniform
+    assert [round(x) for x in df.byte_mean] == [0, 128, 255]
+    assert all(len(v) == 16 for v in df.feature)
+    # a payload Pillow cannot parse falls back to the stand-in
+    bad = pa.table({
+        "media_id": pa.array([9], pa.uint64()),
+        "kind": pa.array(["image"]),
+        "payload": pa.array([b"not-an-image"], pa.binary()),
+    })
+    assert MediaDecoder(mode="real")(bad).num_rows == 1
 
 
 def test_rejects_routing(ray_session):
