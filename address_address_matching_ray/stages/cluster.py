@@ -200,9 +200,16 @@ def _driver_union_find(edges_ds):
     # UF is the pipeline's one single-process phase, so its wall time
     # is pure serial residue for the scaling ratio.  numpy's
     # unique(return_inverse=True) alone measured 55 s on 28M ids.
-    ids = pl.from_arrow(pa.concat_tables(
-        [pa.table(b) for b in edges_ds.select_columns(["left_id", "right_id"])
-         .iter_batches(batch_size=1 << 20, batch_format="pyarrow")]))
+    import ray
+
+    # parallel block fetch (to_arrow_refs + one ray.get) — the
+    # sequential iter_batches stream measured ~2.5× slower for the same
+    # 5M-edge pull, and this phase is serial residue in the scaling
+    # ratio
+    blocks = [t.select(["left_id", "right_id"]) for t in ray.get(
+        edges_ds.select_columns(["left_id", "right_id"]).to_arrow_refs())
+        if t.num_rows]          # empty blocks may carry a degenerate schema
+    ids = pl.from_arrow(pa.concat_tables(blocks))
     # duplicate pairs are mostly collapsed DISTRIBUTED upstream
     # (``dedup_edge_pairs``); a residual unique() here stays cheap
     ids = ids.unique()
@@ -213,28 +220,32 @@ def _driver_union_find(edges_ds):
     m = len(nodes)
     # node-id → compressed-index inverse via a multi-threaded polars
     # hash join (a numpy searchsorted over 2E ids was single-thread
-    # serial residue in the scaling ratio)
+    # serial residue in the scaling ratio).  Compressed indices are
+    # int32: the driver path is gated at ≤100M edges (≤200M nodes <
+    # 2^31), and halving the element width halves the memory traffic of
+    # every concat/gather/reduceat below — this phase is pure serial
+    # residue in the scaling ratio, so bytes moved ≈ wall time.
     rank = pl.DataFrame({"_id": nodes,
-                         "_ix": np.arange(m, dtype=np.int64)})
+                         "_ix": np.arange(m, dtype=np.int32)})
     inv_df = pl.DataFrame({"_id": np.concatenate([left, right])}) \
         .join(rank, on="_id", how="left")
-    inv = inv_df["_ix"].to_numpy().astype(np.int64, copy=False)
+    inv = inv_df["_ix"].to_numpy().astype(np.int32, copy=False)
     li, ri = inv[: len(left)], inv[len(left):]
     # sorted adjacency (with self-loops so every node owns a segment):
     # the hook step becomes one gather + one ``minimum.reduceat`` —
     # buffered C kernels, ~10× the throughput of unbuffered
     # ``np.minimum.at`` on the same edges.  Order within a segment is
-    # irrelevant to a min-reduction, so any sort works; polars
-    # arg_sort is parallel.
-    self_ix = np.arange(m, dtype=np.int64)
-    src = np.concatenate([li, ri, self_ix])
-    dst = np.concatenate([ri, li, self_ix])
-    order = pl.Series(src).arg_sort().to_numpy().astype(np.int64, copy=False)
-    dst_s = dst[order]
-    src_s = src[order]
+    # irrelevant to a min-reduction, so any sort works; the polars
+    # DataFrame sort fuses the parallel sort with the dst gather
+    # (arg_sort + two numpy fancy-index gathers measured ~4× slower).
+    self_ix = np.arange(m, dtype=np.int32)
+    adj = pl.DataFrame({"_s": np.concatenate([li, ri, self_ix]),
+                        "_d": np.concatenate([ri, li, self_ix])}).sort("_s")
+    src_s = adj["_s"].to_numpy().astype(np.int32, copy=False)
+    dst_s = adj["_d"].to_numpy().astype(np.int32, copy=False)
     seg_starts = np.flatnonzero(
         np.concatenate([[True], src_s[1:] != src_s[:-1]]))
-    label = np.arange(m, dtype=np.int64)
+    label = np.arange(m, dtype=np.int32)
     while True:
         prev = label
         # hook: label(n) ← min(label(n), min over neighbors' labels);
@@ -326,11 +337,18 @@ def attach_singletons(extracted_ds, labels_ds, num_partitions: int = 16,
     if n_labels <= broadcast_threshold:
         import ray
 
-        lab = labels_ds.to_pandas()
-        if len(lab) and "doc_id" in lab.columns:
-            lab = lab.sort_values("doc_id")
-            keys_arr = lab["doc_id"].to_numpy(dtype="uint64")
-            vals_arr = lab["cluster_id"].to_numpy(dtype="uint64")
+        lab_blocks = [t for t in ray.get(labels_ds.to_arrow_refs())
+                      if t.num_rows]
+        lab_t = (pa.concat_tables(lab_blocks) if lab_blocks
+                 else pa.table({}))
+        if lab_t.num_rows and "doc_id" in lab_t.column_names:
+            import polars as pl
+
+            # parallel fetch + multi-threaded sort: this broadcast prep
+            # is driver-serial, so it shows up 1:1 in the scaling ratio
+            lab = pl.from_arrow(lab_t).sort("doc_id")
+            keys_arr = lab["doc_id"].to_numpy().astype("uint64", copy=False)
+            vals_arr = lab["cluster_id"].to_numpy().astype("uint64", copy=False)
         else:
             keys_arr = np.array([], dtype="uint64")
             vals_arr = np.array([], dtype="uint64")
