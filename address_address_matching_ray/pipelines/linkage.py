@@ -97,6 +97,16 @@ def run_linkage(pages_ds, cfg: PipelineConfig | None = None,
         pairs = pairs_stage(keys, cfg, buckets=buckets,
                             dedup_cross_key=False,
                             keys_size_bytes=keys_size)
+        # streaming split-repartition between pair generation and
+        # scoring: pair blocks come out of the bucketed groupby one per
+        # group and up to ~4× skewed, and Ray fuses map_groups with the
+        # downstream map_batches — so without this, scoring parallelism
+        # is capped at the shuffle partition count and the wall clock
+        # rides the fattest bucket.  Splitting to fixed-row blocks
+        # (no exchange, no barrier) lets the scorer fan out evenly
+        # across every core regardless of bucket skew.
+        pairs = pairs.repartition(
+            target_num_rows_per_block=cfg.score_block_rows)
         edges = score_stage(pairs, cfg)
         if checkpoint_root:
             import numpy as np

@@ -322,7 +322,7 @@ def filter_out_ids(ds, ids_ds, id_col: str = "doc_id",
 
 
 def attach_singletons(extracted_ds, labels_ds, num_partitions: int = 16,
-                      broadcast_threshold: int = 5_000_000):
+                      broadcast_threshold: int = 50_000_000):
     """Left-attach cluster labels to every doc; docs with no accepted
     edge become singleton clusters (cluster_id = own doc_id) — the
     anti-join semantics of SURVEY §2.4.
@@ -330,7 +330,14 @@ def attach_singletons(extracted_ds, labels_ds, num_partitions: int = 16,
     Adaptive like ``connected_components``: a small labels table (one
     slim row per *edge endpoint*, usually ≪ docs) is broadcast once via
     ``ray.put`` and applied as a map — no shuffle; a large one goes
-    through the hash-partitioned left-outer ``Dataset.join``."""
+    through the hash-partitioned left-outer ``Dataset.join``.
+
+    The 50M-row threshold is two sorted uint64 arrays ≈ 800 MB — one
+    shared-memory copy per NODE (zero-copy reads from plasma), cheap
+    against the join path, which measured ~20× the broadcast path when
+    8M pages first crossed the old 5M cutoff.  Beyond ~50M endpoints
+    the broadcast would crowd worker heaps and the join is the honest
+    10^9-row shape."""
     docs = extracted_ds.select_columns(["doc_id"])
     n_labels = labels_ds.count()
 
