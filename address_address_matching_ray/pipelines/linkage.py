@@ -40,8 +40,16 @@ def run_linkage(pages_ds, cfg: PipelineConfig | None = None,
                 num_partitions: int = 16,
                 cc_driver_threshold: int = 100_000_000,
                 approx_rows: int | None = None,
-                auto_spill_rows: int = 8_000_000):
+                auto_spill_rows: int = 8_000_000,
+                doc_universe=None):
     """pages Dataset → (extracted, edges, clusters) Datasets.
+
+    ``doc_universe``: optional Dataset with a ``doc_id`` column that is
+    CHEAP to re-produce (e.g. ``read_parquet(pages_dir,
+    columns=["doc_id"])``) covering every input page.  When given (and
+    not checkpointing), singleton attachment reads the universe from it
+    instead of from materialized ``extracted`` rows, which lets the
+    extract→keys chain run as one fused streaming stage.
 
     With ``checkpoint_root`` set, ``extracted``/``edges``/``clusters``
     are checkpointed with lineage and reused on re-runs.
@@ -121,7 +129,7 @@ def run_linkage(pages_ds, cfg: PipelineConfig | None = None,
             edges = edges.map_batches(add_part, batch_format="pandas")
         return edges
 
-    def build_clusters(extracted, edges):
+    def build_clusters(universe, edges):
         accepted = edges.filter(expr="accepted == True")
         # collapse duplicate pairs DISTRIBUTED (dup factor ~2-3× from
         # skipped cross-key dedup) so the union-find's serial phase
@@ -131,8 +139,9 @@ def run_linkage(pages_ds, cfg: PipelineConfig | None = None,
         unique_pairs = dedup_edge_pairs(accepted, buckets=buckets)
         labels = connected_components(unique_pairs,
                                       num_partitions=num_partitions,
-                                      driver_threshold=cc_driver_threshold)
-        return attach_singletons(extracted, labels, num_partitions=num_partitions)
+                                      driver_threshold=cc_driver_threshold,
+                                      assume_unique=True)
+        return attach_singletons(universe, labels, num_partitions=num_partitions)
 
     if checkpoint_root:
         from address_address_matching_ray.state.checkpoint import CheckpointManager
@@ -149,11 +158,27 @@ def run_linkage(pages_ds, cfg: PipelineConfig | None = None,
         # store instead.  ``connected_components`` consumes ``edges``
         # from two branches and iterates — leaving them lazy would
         # re-execute the whole upstream lineage per branch per
-        # iteration.  ``extracted`` has already dropped ``html``, so
-        # both are slim relative to the input.
-        extracted = build_extracted().materialize()
-        edges = build_edges(extracted, pin_keys=True).materialize()
-        clusters = build_clusters(extracted, edges)
+        # iteration.
+        extracted = build_extracted()
+        if doc_universe is not None:
+            # Caller supplied a cheap doc_id universe (e.g. a
+            # column-pruned re-read of the pages parquet): ``extracted``
+            # then has a single consumer (key derivation), so it stays
+            # LAZY — extract fuses with the key map into one streaming
+            # stage (one fewer barrier; 16 idle cores during a barrier
+            # ramp cost more than 4, so barriers tax the wide leg of
+            # the scaling pair hardest) and ~1 KB/page of extracted
+            # rows never occupies the object store.  ``res.extracted``
+            # is returned lazy and re-executes if consumed.
+            edges = build_edges(extracted, pin_keys=True).materialize()
+            clusters = build_clusters(
+                doc_universe.select_columns(["doc_id"]), edges)
+        else:
+            # ``extracted`` has two consumers (keys + singleton attach)
+            # and has already dropped ``html``, so pin it.
+            extracted = extracted.materialize()
+            edges = build_edges(extracted, pin_keys=True).materialize()
+            clusters = build_clusters(extracted, edges)
 
     return LinkageResult(extracted=extracted, edges=edges, clusters=clusters,
                          from_checkpoint=hit)

@@ -51,7 +51,8 @@ def _project(ds, mapping: dict[str, str]):
 
 def connected_components(edges_ds, num_partitions: int = 16,
                          max_iters: int = 25,
-                         driver_threshold: int = 20_000_000):
+                         driver_threshold: int = 20_000_000,
+                         assume_unique: bool = False):
     """edges(left_id,right_id) → labels Dataset (doc_id, cluster_id).
 
     Adaptive: when the edge list is small (≤ ``driver_threshold`` rows
@@ -78,7 +79,7 @@ def connected_components(edges_ds, num_partitions: int = 16,
             "doc_id": pd.array([], dtype="uint64"),
             "cluster_id": pd.array([], dtype="uint64")}))
     if n_edges <= driver_threshold:
-        return _driver_union_find(edges_ds)
+        return _driver_union_find(edges_ds, assume_unique=assume_unique)
 
     fwd = _project(edges_ds, {"left_id": "node", "right_id": "nbr"})
     rev = _project(edges_ds, {"right_id": "node", "left_id": "nbr"})
@@ -186,7 +187,7 @@ def dedup_edge_pairs(edges_ds, buckets: int = 64):
             .groupby("_b").map_groups(dd, batch_format="pyarrow"))
 
 
-def _driver_union_find(edges_ds):
+def _driver_union_find(edges_ds, assume_unique: bool = False):
     """Small-graph path: collect only the two id columns and run a fully
     vectorized hook + pointer-jump connected components (numpy; no
     per-edge Python loop).  ``np.unique`` sorts node ids, so the minimum
@@ -210,9 +211,12 @@ def _driver_union_find(edges_ds):
         edges_ds.select_columns(["left_id", "right_id"]).to_arrow_refs())
         if t.num_rows]          # empty blocks may carry a degenerate schema
     ids = pl.from_arrow(pa.concat_tables(blocks))
-    # duplicate pairs are mostly collapsed DISTRIBUTED upstream
-    # (``dedup_edge_pairs``); a residual unique() here stays cheap
-    ids = ids.unique()
+    if not assume_unique:
+        # duplicate pairs are mostly collapsed DISTRIBUTED upstream
+        # (``dedup_edge_pairs``); a residual unique() here stays cheap.
+        # Callers that provably routed through ``dedup_edge_pairs``
+        # pass assume_unique=True and skip this serial hash pass.
+        ids = ids.unique()
     left = ids["left_id"].to_numpy().astype("uint64", copy=False)
     right = ids["right_id"].to_numpy().astype("uint64", copy=False)
     nodes = (pl.concat([ids["left_id"], ids["right_id"]])

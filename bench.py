@@ -88,7 +88,11 @@ def run_bench() -> dict:
     res = run_linkage(pages,
                       buckets=max(num_cpus * 4, 32),
                       num_partitions=max(num_cpus, 8),
-                      approx_rows=n_pages)
+                      approx_rows=n_pages,
+                      # column-pruned re-read: lets extract→keys fuse
+                      # into one streaming stage (see run_linkage)
+                      doc_universe=rd.read_parquet(pages_dir,
+                                                   columns=["doc_id"]))
     n_clusters = res.clusters.count()
     headline = time.time() - t0
     timings["linkage"] = round(headline, 3)
