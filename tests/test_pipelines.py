@@ -489,3 +489,34 @@ def test_ivf_topk_recall(ray_session):
     # rank-1 of each query should be its own perturbed source vector
     assert (approx[approx["rank"] == 1].sort_values("query_idx")
             .vec_id.tolist() == [0, 1, 2, 3])
+
+
+def test_dedup_family_golden_hashes(ray_session):
+    """Frozen content gate for the four near-dup queries that have no
+    SQL oracle (hash functions aren't DuckDB-reproducible): row count +
+    a content hash of the sorted kept-id set at sf0.001 must match the
+    values frozen in tests/golden/dedup_hashes.json.  Catches silent
+    behavior drift the rows-only driver check cannot."""
+    import hashlib
+    import json
+    import os
+
+    import __ray_entry__ as entry
+
+    golden_path = os.path.join(os.path.dirname(__file__), "golden",
+                               "dedup_hashes.json")
+    q = entry.queries()
+    got = {}
+    for name in ("minhash_dedup", "simhash_dedup", "ngram_dedup",
+                 "embedding_dedup"):
+        df = q[name]("/root/testdata/sf0.001").to_pandas()
+        id_col = "vec_id" if "vec_id" in df.columns else "doc_id"
+        ids = ",".join(map(str, sorted(df[id_col].tolist())))
+        got[name] = {"rows": int(len(df)),
+                     "sha256": hashlib.sha256(ids.encode()).hexdigest()}
+    if not os.path.exists(golden_path):     # first run freezes the golden
+        with open(golden_path, "w") as f:
+            json.dump(got, f, indent=1, sort_keys=True)
+    with open(golden_path) as f:
+        want = json.load(f)
+    assert got == want
