@@ -520,3 +520,46 @@ def test_dedup_family_golden_hashes(ray_session):
     with open(golden_path) as f:
         want = json.load(f)
     assert got == want
+
+
+def test_match_and_cluster_golden_hashes(ray_session):
+    """Frozen content gates for the two remaining deterministic
+    no-oracle query surfaces: linkage_clusters (doc_id→cluster_id at
+    sf0.001) and match_queries (query→best-record decisions).  Same
+    policy as the dedup golden file: the driver's rows-only check
+    cannot see silent content drift; this can."""
+    import hashlib
+    import json
+    import os
+
+    import __ray_entry__ as entry
+
+    golden_path = os.path.join(os.path.dirname(__file__), "golden",
+                               "match_cluster_hashes.json")
+    q = entry.queries()
+    got = {}
+
+    cl = q["linkage_clusters"]("/root/testdata/sf0.001").to_pandas()
+    cl = cl.sort_values("doc_id").reset_index(drop=True)
+    blob = ",".join(f"{d}:{c}" for d, c in zip(cl.doc_id, cl.cluster_id))
+    got["linkage_clusters"] = {
+        "rows": int(len(cl)),
+        "sha256": hashlib.sha256(blob.encode()).hexdigest()}
+
+    mq = q["match_queries"]("/root/testdata/sf0.001")
+    mq = (mq.to_pandas() if hasattr(mq, "to_pandas") else mq)
+    key_cols = [c for c in ("query_id", "pid", "confidence",
+                              "match_level", "reliability")
+                if c in mq.columns]
+    mq = mq.sort_values(key_cols[0]).reset_index(drop=True)
+    blob = mq[key_cols].astype(str).agg("|".join, axis=1).str.cat(sep=";")
+    got["match_queries"] = {
+        "rows": int(len(mq)), "cols": key_cols,
+        "sha256": hashlib.sha256(blob.encode()).hexdigest()}
+
+    if not os.path.exists(golden_path):     # first run freezes the golden
+        with open(golden_path, "w") as f:
+            json.dump(got, f, indent=1, sort_keys=True)
+    with open(golden_path) as f:
+        want = json.load(f)
+    assert got == want
