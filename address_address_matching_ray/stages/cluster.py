@@ -81,6 +81,26 @@ def connected_components(edges_ds, num_partitions: int = 16,
     if n_edges <= driver_threshold:
         return _driver_union_find(edges_ds, assume_unique=assume_unique)
 
+    # contraction prelude: two bucketed local union-find rounds shrink
+    # dup-/cycle-heavy edge lists geometrically for one slim-pair
+    # shuffle each (see ``condense_edges`` — label-identical by the
+    # spanning-forest-union argument).  Often the condensed set fits the
+    # driver path; otherwise the join fixpoint runs on far fewer rows.
+    condensed = condense_edges(edges_ds,
+                               buckets=max(2 * num_partitions, 32),
+                               num_partitions=num_partitions).materialize()
+    n_cond = condensed.count()
+    if n_cond == 0:
+        # degenerate: every edge was a self-loop
+        return _project(edges_ds.select_columns(["left_id"]),
+                        {"left_id": "doc_id"}).map_batches(
+            lambda t: pa.table({"doc_id": t["doc_id"],
+                                "cluster_id": t["doc_id"]}),
+            batch_format="pyarrow")
+    if n_cond <= driver_threshold:
+        return _driver_union_find(condensed, assume_unique=True)
+    edges_ds = condensed
+
     fwd = _project(edges_ds, {"left_id": "node", "right_id": "nbr"})
     rev = _project(edges_ds, {"right_id": "node", "left_id": "nbr"})
     adj = fwd.union(rev).materialize()
@@ -185,6 +205,85 @@ def dedup_edge_pairs(edges_ds, buckets: int = 64):
     return (slim.map_batches(add_b, batch_format="pyarrow")
             .repartition(shuffle_partitions())
             .groupby("_b").map_groups(dd, batch_format="pyarrow"))
+
+
+def _cc_arrays(left: np.ndarray, right: np.ndarray):
+    """Vectorized hook + pointer-jump connected components on raw id
+    arrays (the worker-side kernel behind ``condense_edges``; the
+    driver path keeps its polars-tuned variant).  Returns
+    ``(nodes_sorted, root_per_node)`` — both uint64; root = component's
+    minimum id because ``np.unique`` sorts and labels start as indices.
+    """
+    nodes = np.unique(np.concatenate([left, right]))
+    m = len(nodes)
+    li = np.searchsorted(nodes, left).astype(np.int64)
+    ri = np.searchsorted(nodes, right).astype(np.int64)
+    self_ix = np.arange(m, dtype=np.int64)
+    src = np.concatenate([li, ri, self_ix])
+    dst = np.concatenate([ri, li, self_ix])
+    order = np.argsort(src, kind="stable")
+    src_s = src[order]
+    dst_s = dst[order]
+    seg = np.flatnonzero(np.concatenate([[True], src_s[1:] != src_s[:-1]]))
+    label = np.arange(m, dtype=np.int64)
+    while True:
+        prev = label
+        label = np.minimum.reduceat(label[dst_s], seg)
+        while True:
+            nl = label[label]
+            if np.array_equal(nl, label):
+                break
+            label = nl
+        if np.array_equal(prev, label):
+            break
+    return nodes, nodes[label]
+
+
+def condense_edges(edges_ds, buckets: int = 64, rounds: int = 2,
+                   num_partitions: int = 16):
+    """Bucketed local union-find contraction (star contraction): each
+    round hash-partitions the slim (left_id, right_id) pairs by LEFT
+    endpoint, runs the vectorized CC kernel per bucket, and emits one
+    ``(node → local-min-root)`` star edge per non-root node.
+
+    The union of per-bucket spanning forests has exactly the input's
+    connected components (a spanning forest of each edge-subset
+    preserves connectivity of that subset, and the union restores the
+    rest), so ANY downstream CC on the condensed set yields identical
+    labels.  Duplicate, parallel and cyclic edges vanish locally;
+    chains that span buckets collapse across rounds
+    (pointer-doubling-like).  One cheap slim-pair shuffle per round —
+    the prelude that shrinks a >``driver_threshold`` edge list before
+    the join-per-iteration fixpoint (or below the threshold entirely,
+    onto the driver path)."""
+    from address_address_matching_ray.stages.pairs import shuffle_partitions
+
+    cur = edges_ds.select_columns(["left_id", "right_id"])
+
+    def add_b(t: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            h = (t["left_id"].to_numpy(zero_copy_only=False).astype("uint64")
+                 * np.uint64(0x9E3779B97F4A7C15))
+        return t.append_column(
+            "_b", pa.array((h % np.uint64(buckets)).astype("int64")))
+
+    def local_cc(t: pa.Table) -> pa.Table:
+        l = t["left_id"].to_numpy(zero_copy_only=False).astype("uint64")
+        r = t["right_id"].to_numpy(zero_copy_only=False).astype("uint64")
+        nodes, roots = _cc_arrays(l, r)
+        keep = nodes != roots                  # roots carry no edge
+        return pa.table({
+            "left_id": pa.array(nodes[keep], pa.uint64()),
+            "right_id": pa.array(roots[keep], pa.uint64()),
+        })
+
+    for _ in range(rounds):
+        cur = (cur.map_batches(add_b, batch_format="pyarrow")
+               .repartition(shuffle_partitions())
+               .groupby("_b").map_groups(
+                   lambda g: local_cc(g.drop(["_b"])),
+                   batch_format="pyarrow"))
+    return cur
 
 
 def _driver_union_find(edges_ds, assume_unique: bool = False):
