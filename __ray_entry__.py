@@ -334,6 +334,46 @@ def _q_media_frames(sf_dir: str):
         ["media_id", "frame_ts_ms"])
 
 
+def _q_purchase_attribution(sf_dir: str):
+    from address_address_matching_ray.pipelines.temporal import (
+        purchase_attribution,
+    )
+
+    return purchase_attribution(sf_dir)
+
+
+def _q_event_sessions(sf_dir: str):
+    from address_address_matching_ray.pipelines.temporal import event_sessions
+
+    return event_sessions(sf_dir)
+
+
+def _q_sliding_windows(sf_dir: str):
+    from address_address_matching_ray.pipelines.temporal import sliding_windows
+
+    return sliding_windows(sf_dir)
+
+
+def _q_distinct_users(sf_dir: str):
+    from address_address_matching_ray.pipelines.temporal import distinct_users
+
+    return distinct_users(sf_dir)
+
+
+def _q_approx_distinct_users(sf_dir: str):
+    from address_address_matching_ray.pipelines.temporal import (
+        approx_distinct_users,
+    )
+
+    return approx_distinct_users(sf_dir)
+
+
+def _q_value_percentiles(sf_dir: str):
+    from address_address_matching_ray.pipelines.temporal import value_percentiles
+
+    return value_percentiles(sf_dir)
+
+
 def _q_customers_without_orders(sf_dir: str):
     from address_address_matching_ray.pipelines.relational import (
         customers_without_orders,
@@ -388,6 +428,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority": _q_order_priority,
         "distinct_events": _q_distinct_events,
         "user_sessions": _q_sessions,
+        # temporal / ordered custom operators (asof, range join, hopping
+        # windows, distinct counts — pipelines/temporal.py)
+        "purchase_attribution": _q_purchase_attribution,
+        "event_sessions": _q_event_sessions,
+        "sliding_windows": _q_sliding_windows,
+        "distinct_users": _q_distinct_users,
+        "approx_distinct_users": _q_approx_distinct_users,
+        "value_percentiles": _q_value_percentiles,
         "customers_without_orders": _q_customers_without_orders,
         "parts_by_brand": _q_parts_by_brand,
         "region_supplier_balance": _q_region_supplier_balance,
@@ -818,6 +866,54 @@ def oracle_sql() -> dict[str, str]:
         "distinct_events": """
             SELECT event_type, count(*) AS n FROM events
             GROUP BY event_type ORDER BY event_type""",
+        "purchase_attribution": """
+            WITH p AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE event_type = 'purchase'),
+                 c AS (SELECT event_id AS click_event_id, user_id,
+                              ts AS click_ts, value AS click_value
+                       FROM events WHERE event_type = 'click')
+            SELECT p.event_id, p.user_id, p.ts, p.value,
+                   click_event_id, click_ts, click_value
+            FROM p ASOF JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.click_ts
+            ORDER BY p.event_id""",
+        "event_sessions": """
+            WITH g AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM g),
+            sess AS (
+              SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                     count(*) AS n_events
+              FROM s GROUP BY user_id, sid)
+            SELECT e.event_id, e.user_id, e.ts, session_start, session_end,
+                   n_events
+            FROM events e JOIN sess ON e.user_id = sess.user_id
+              AND e.ts >= session_start AND e.ts <= session_end
+            ORDER BY e.event_id""",
+        "sliding_windows": """
+            SELECT event_type, window_start, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM (SELECT event_type, value,
+                    make_timestamp(((floor(epoch(ts)/900)*900 - j*900)
+                                    *1000000)::BIGINT) AS window_start
+                  FROM events, unnest([0,1,2,3]) AS t(j))
+            GROUP BY 1, 2 ORDER BY 1, 2""",
+        "distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type""",
+        "value_percentiles": """
+            SELECT event_type,
+                   floor(quantile_cont(value, 0.5)*1e6)/1e6 AS p50_value,
+                   floor(quantile_cont(value, 0.95)*1e6)/1e6 AS p95_value,
+                   count(*) AS n
+            FROM events GROUP BY event_type ORDER BY event_type""",
         "user_sessions": """
             WITH g AS (
               SELECT user_id, ts, event_id,

@@ -263,11 +263,14 @@ def distinct_event_types(sf_dir: str):
         batch_format="pyarrow")
 
 
-def user_sessions(sf_dir: str, gap_minutes: int = 30, buckets: int = 64):
+def sessions_ds(sf_dir: str, gap_minutes: int = 30, buckets: int = 64):
     """Sessionization (stream-shaped op): gap-split per user, bucketed —
     one vectorized task handles all users of a hash bucket (per-user
     ``map_groups`` would pay a Python call per user).  Ordering contract:
-    sort within (user) inside the bucket, never globally (SURVEY §2.10)."""
+    sort within (user) inside the bucket, never globally (SURVEY §2.10).
+    Unsorted; ``user_sessions`` adds the presentation sort, and
+    ``temporal.event_sessions`` consumes this directly so the interval
+    join's shuffle isn't preceded by a wasted global sort."""
     ds = read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -287,8 +290,13 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30, buckets: int = 64):
             n_events=("event_id", "count"))
         return out.reset_index(drop=True)
 
-    out = (ds.map_batches(add_bucket, batch_format="pyarrow")
-           .groupby("_b").map_groups(
-               lambda g: sessions_bucket(g.drop(columns=["_b"])),
-               batch_format="pandas"))
-    return out.sort(["user_id", "session_start"])
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("_b").map_groups(
+                lambda g: sessions_bucket(g.drop(columns=["_b"])),
+                batch_format="pandas"))
+
+
+def user_sessions(sf_dir: str, gap_minutes: int = 30, buckets: int = 64):
+    """``sessions_ds`` + the deterministic presentation sort."""
+    return sessions_ds(sf_dir, gap_minutes=gap_minutes,
+                       buckets=buckets).sort(["user_id", "session_start"])

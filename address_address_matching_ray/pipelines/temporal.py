@@ -1,0 +1,306 @@
+"""Temporal / ordered operators Ray Data lacks natively: as-of join,
+interval (range) join, sliding (hopping) windows, exact + sketched
+distinct counts, per-group percentiles.
+
+The joins are built as ONE bucketed shuffle (SURVEY §2.11 extension
+surface; the brief's custom-operator list): tag each side, union into a
+padded common schema, hash-partition on the equality key ``by``, and
+run a vectorized ``pd.merge_asof`` per bucket.  Partitioning
+assumption, stated per the custom-operator contract: all rows of one
+``by`` key land in one task — true for per-user event streams (a user's
+history fits memory); a pathologically hot key would need the salting +
+re-merge treatment ``stages/pairs.py`` applies to hot blocks.
+
+Scale notes:
+- the union costs no extra shuffle — both sides stream into the same
+  ``groupby(_b)`` exchange a plain hash join would need anyway;
+- per-bucket work is one mergesort + one ``merge_asof`` (linear merge),
+  never an all-pairs product;
+- sliding windows expand rows by ``window/slide`` (the algebraic
+  minimum for overlap assignment) *after* column pruning, then feed the
+  same combiner-style aggregate as the tumbling path;
+- distinct counts pre-dedup inside every batch before shuffling, so the
+  exchange carries at most one row per (key, value) pair per batch, and
+  the KMV variant (``functions/sketch.py``) caps that at ``k`` rows per
+  key per batch with a bounded-error estimate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data.aggregate import Count, Sum
+
+from address_address_matching_ray.functions.sketch import (
+    hash_values, kmv_estimate, kmv_merge, kmv_partial,
+)
+from address_address_matching_ray.pipelines.relational import read, round_cols
+
+_US_PER_MIN = 60_000_000
+
+
+def _fields_of(ds) -> list[tuple[str, pa.DataType]]:
+    """(name, arrow type) pairs from a Dataset schema — normalizes the
+    PandasBlockSchema that pandas-block datasets report (numpy dtypes)
+    to Arrow types so both block kinds pad identically."""
+    s = ds.schema()
+    out = []
+    for n, t in zip(s.names, s.types):
+        if not isinstance(t, pa.DataType):
+            t = pa.from_numpy_dtype(np.dtype(t))
+        out.append((n, t))
+    return out
+
+
+def _bucket_ids(col: pa.ChunkedArray, buckets: int) -> np.ndarray:
+    if pa.types.is_integer(col.type):
+        h = hash_values(col.to_numpy(zero_copy_only=False))
+    else:
+        from pandas.util import hash_array
+        h = hash_array(col.to_pandas().to_numpy(dtype=object)).astype(np.uint64)
+    return (h % np.uint64(buckets)).astype("int64")
+
+
+def _pad_to(fields: list[tuple[str, pa.DataType]], side: int, by: str,
+            buckets: int):
+    """map_batches fn: project a side onto the union schema (missing
+    columns → typed nulls), tag ``_side`` and the ``_b`` hash bucket."""
+    def f(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        names, arrays = [], []
+        for name, typ in fields:
+            names.append(name)
+            if name in t.column_names:
+                arrays.append(t[name].combine_chunks().cast(typ))
+            else:
+                arrays.append(pa.nulls(n, typ))
+        names += ["_side", "_b"]
+        arrays += [pa.array(np.full(n, side, dtype=np.int8)),
+                   pa.array(_bucket_ids(t[by], buckets))]
+        return pa.table(dict(zip(names, arrays)))
+    return f
+
+
+def asof_join(left, right, *, on: str, right_on: str, by: str,
+              buckets: int = 64, how: str = "inner"):
+    """Distributed as-of join: for every left row, the right row of the
+    same ``by`` key with the greatest ``right_on`` <= left ``on``
+    (backward direction, exact matches allowed — DuckDB ``ASOF JOIN``
+    semantics).  Column names must already be disjoint apart from
+    ``by``.  Returns left+right columns; ``how='inner'`` drops left
+    rows with no match, ``how='left'`` keeps them (integer right
+    columns widen to float64 for the nulls, as in any pandas left
+    join)."""
+    lf = _fields_of(left)
+    rf = [(n, t) for n, t in _fields_of(right) if n != by]
+    union_fields = lf + rf
+    left_cols = [n for n, _ in lf]
+    right_cols = [by] + [n for n, _ in rf]
+    # integer dtypes fall to float64 through null-padding; restore per
+    # side after the split (each side's own columns are null-free)
+    restore = {n: np.dtype(t.to_pandas_dtype())
+               for n, t in union_fields if pa.types.is_integer(t)}
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["_side"] == 0, left_cols]
+        r = g.loc[g["_side"] == 1, right_cols]
+        for c in l.columns.intersection(restore):
+            l[c] = l[c].astype(restore[c])
+        for c in r.columns.intersection(restore):
+            r[c] = r[c].astype(restore[c])
+        l = l.sort_values(on, kind="mergesort")
+        r = r.sort_values(right_on, kind="mergesort")
+        out = pd.merge_asof(l, r, left_on=on, right_on=right_on, by=by,
+                            direction="backward", allow_exact_matches=True)
+        if how == "inner":
+            out = out[out[right_on].notna()]
+            for c in out.columns.intersection(restore):
+                out[c] = out[c].astype(restore[c])
+        return out.reset_index(drop=True)
+
+    tagged = (left.map_batches(_pad_to(union_fields, 0, by, buckets),
+                               batch_format="pyarrow")
+              .union(right.map_batches(_pad_to(union_fields, 1, by, buckets),
+                                       batch_format="pyarrow")))
+    return tagged.groupby("_b").map_groups(
+        lambda g: merge_bucket(g.drop(columns=["_b"])),
+        batch_format="pandas")
+
+
+def interval_join(points, intervals, *, on: str, start: str, end: str,
+                  by: str, buckets: int = 64):
+    """Range join of points to NON-OVERLAPPING per-key intervals
+    (``start <= on <= end``): the as-of join against ``start`` finds
+    the only candidate interval, then an end-bound filter keeps real
+    containment.  Overlapping intervals would need a flat-map expansion
+    instead — documented limit, matching DuckDB's own ASOF rewrite."""
+    j = asof_join(points, intervals, on=on, right_on=start, by=by,
+                  buckets=buckets, how="inner")
+
+    def within(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.less_equal(t[on], t[end]))
+
+    return j.map_batches(within, batch_format="pyarrow")
+
+
+def _cast_ts_us(cols: list[str]):
+    def f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        for c in cols:
+            i = t.column_names.index(c)
+            t = t.set_column(i, c, pc.cast(t[c], pa.timestamp("us")))
+        return t.replace_schema_metadata(None)
+    return f
+
+
+# ── query surfaces ────────────────────────────────────────────────
+
+
+def purchase_attribution(sf_dir: str, buckets: int = 64):
+    """Last-touch attribution: every purchase joined to the user's most
+    recent click at-or-before it (the canonical as-of workload)."""
+    ev = read(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "event_type", "value"])
+    p = (ev.filter(expr="event_type == 'purchase'")
+         .drop_columns(["event_type"]))
+    c = (ev.filter(expr="event_type == 'click'")
+         .drop_columns(["event_type"])
+         .map_batches(lambda t: t.rename_columns(
+             ["click_event_id", "user_id", "click_ts", "click_value"]),
+             batch_format="pyarrow"))
+    out = asof_join(p, c, on="ts", right_on="click_ts", by="user_id",
+                    buckets=buckets)
+    return (out.select_columns(["event_id", "user_id", "ts", "value",
+                                "click_event_id", "click_ts", "click_value"])
+            .map_batches(_cast_ts_us(["ts", "click_ts"]),
+                         batch_format="pyarrow")
+            .sort("event_id"))
+
+
+def event_sessions(sf_dir: str, gap_minutes: int = 30, buckets: int = 64):
+    """Interval join: each event attached to the session window that
+    contains it (sessions are non-overlapping per user by
+    construction)."""
+    from address_address_matching_ray.pipelines.relational import sessions_ds
+
+    ev = read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    sess = sessions_ds(sf_dir, gap_minutes=gap_minutes, buckets=buckets)
+    out = interval_join(ev, sess, on="ts", start="session_start",
+                        end="session_end", by="user_id", buckets=buckets)
+    return (out.select_columns(["event_id", "user_id", "ts",
+                                "session_start", "session_end", "n_events"])
+            .map_batches(_cast_ts_us(["ts", "session_start", "session_end"]),
+                         batch_format="pyarrow")
+            .sort("event_id"))
+
+
+def sliding_windows(sf_dir: str, window_minutes: int = 60,
+                    slide_minutes: int = 15):
+    """Hopping-window aggregate: 1 h windows advancing every 15 min —
+    each event lands in ``window/slide`` windows via one vectorized row
+    expansion, then the tumbling-window combiner aggregate."""
+    assert window_minutes % slide_minutes == 0
+    k = window_minutes // slide_minutes
+    slide_us = slide_minutes * _US_PER_MIN
+    ds = read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        us = pc.cast(t["ts"], pa.int64()).to_numpy()
+        base = (us // slide_us) * slide_us
+        ws = (base[:, None] - np.arange(k)[None, :] * slide_us).ravel()
+        idx = np.repeat(np.arange(len(us)), k)
+        return pa.table({
+            "event_type": t["event_type"].combine_chunks().take(idx),
+            "window_start": pa.array(ws).cast(pa.timestamp("us")),
+            "value": pa.array(t["value"].to_numpy(zero_copy_only=False)[idx]),
+        })
+
+    out = (ds.map_batches(expand, batch_format="pyarrow")
+           .groupby(["event_type", "window_start"])
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("value", alias_name="sum_value")))
+    out = round_cols(out, {"sum_value": 4})
+    return (out.map_batches(_cast_ts_us(["window_start"]),
+                            batch_format="pyarrow")
+            .sort(["event_type", "window_start"]))
+
+
+def distinct_users(sf_dir: str, buckets: int = 64):
+    """Exact COUNT(DISTINCT user_id) per event_type: per-batch pair
+    dedup (combiner) → hash-bucket shuffle keyed on user_id so each
+    pair dedups globally in one task → tiny per-type count sum."""
+    ds = read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pairs = t.group_by(["event_type", "user_id"]).aggregate([])
+        return pairs.append_column(
+            "_b", pa.array(_bucket_ids(pairs["user_id"], buckets)))
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates(["event_type", "user_id"])
+        vc = u["event_type"].value_counts()
+        return pd.DataFrame({"event_type": vc.index,
+                             "cnt": vc.to_numpy().astype("int64")})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("_b").map_groups(
+                lambda g: bucket_counts(g.drop(columns=["_b"])),
+                batch_format="pandas")
+            .groupby("event_type")
+            .aggregate(Sum("cnt", alias_name="n_users"))
+            .sort("event_type"))
+
+
+def approx_distinct_users(sf_dir: str, k: int = 64):
+    """KMV-sketched COUNT(DISTINCT): the shuffle carries at most ``k``
+    hash rows per (event_type, batch) regardless of input size — the
+    100-TB shape for distinct counting.  Deterministic (fixed hash), so
+    the row-level result is stable; the accuracy bound lives in
+    ``test_temporal.py`` (rel. err ~ 1/sqrt(k-2))."""
+    ds = read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = hash_values(df["user_id"].to_numpy())
+        parts = (df.assign(_h=h).groupby("event_type", sort=False)["_h"]
+                 .apply(lambda s: kmv_partial(s.to_numpy(), k)))
+        return pd.DataFrame({
+            "event_type": np.repeat(parts.index.to_numpy(),
+                                    [len(v) for v in parts]),
+            "_h": np.concatenate(list(parts)) if len(parts) else
+                  np.array([], dtype=np.uint64)})
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        sk = kmv_merge(g["_h"].to_numpy().astype(np.uint64), k)
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "n_users_est": [kmv_estimate(sk, k)]})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("event_type")
+            .map_groups(finalize, batch_format="pandas")
+            .sort("event_type"))
+
+
+def value_percentiles(sf_dir: str):
+    """Exact per-group percentiles (p50/p95, linear interpolation =
+    SQL ``quantile_cont``).  Group count is bounded (one per
+    event_type), so one task per group holding the group's values is
+    the right shape; unbounded-cardinality keys should use the KMV/
+    sketch route instead.  Floor-quantized to 1e-6 on both sides (same
+    tie-avoidance as text_annotate)."""
+    ds = read(sf_dir, "events", columns=["event_type", "value"])
+
+    def q(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy()
+        p50, p95 = np.quantile(v, [0.5, 0.95])
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "p50_value": [np.floor(p50 * 1e6) / 1e6],
+            "p95_value": [np.floor(p95 * 1e6) / 1e6],
+            "n": np.array([len(v)], dtype="int64")})
+
+    return (ds.groupby("event_type").map_groups(q, batch_format="pandas")
+            .sort("event_type"))

@@ -101,7 +101,8 @@ def run_bench() -> dict:
     Q = entrymod.queries()
     for name in ["exact_dedup", "minhash_dedup", "lineitem_agg",
                  "events_windowed", "ann_topk", "text_annotate",
-                 "user_sessions", "segment_revenue"]:
+                 "user_sessions", "segment_revenue",
+                 "purchase_attribution", "sliding_windows"]:
         t0 = time.time()
         out = Q[name](sf_dir)
         # consume without driver materialization of big data

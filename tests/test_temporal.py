@@ -1,0 +1,168 @@
+"""Temporal operators: as-of join, interval join, sliding windows,
+distinct counts (exact + KMV sketch), percentiles.
+
+Oracles here are direct pandas/numpy re-computations; the driver-side
+DuckDB oracles (ASOF JOIN / quantile_cont / count distinct) cover the
+same surfaces end-to-end at sf0.01.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(_table(rows))
+
+
+def _table(rows):
+    import pyarrow as pa
+
+    return pa.table(rows)
+
+
+def _ts(*secs):
+    return pd.to_datetime(list(secs), unit="s").as_unit("us")
+
+
+def test_asof_join_semantics(ray_session):
+    from address_address_matching_ray.pipelines.temporal import asof_join
+
+    left = _ds({"lid": np.arange(5, dtype=np.int64),
+                "user_id": np.array([1, 1, 1, 2, 3], dtype=np.int64),
+                "ts": _ts(100, 200, 300, 100, 100)})
+    right = _ds({"rid": np.arange(4, dtype=np.int64),
+                 "user_id": np.array([1, 1, 2, 2], dtype=np.int64),
+                 "rts": _ts(150, 300, 150, 90)})
+    out = (asof_join(left, right, on="ts", right_on="rts", by="user_id",
+                     buckets=4).to_pandas()
+           .sort_values("lid").reset_index(drop=True))
+    # lid0 (u1@100): no click <=100 → dropped (inner)
+    # lid1 (u1@200): rid0 (150);  lid2 (u1@300): rid1 (exact match kept)
+    # lid3 (u2@100): rid3 (90);   lid4 (u3): no right rows → dropped
+    assert out.lid.tolist() == [1, 2, 3]
+    assert out.rid.tolist() == [0, 1, 3]
+    assert out.rid.dtype == np.int64        # restored through null-padding
+    assert out.ts.tolist() == list(_ts(200, 300, 100))
+
+
+def test_asof_join_left_keeps_unmatched(ray_session):
+    from address_address_matching_ray.pipelines.temporal import asof_join
+
+    left = _ds({"lid": np.arange(2, dtype=np.int64),
+                "user_id": np.array([1, 9], dtype=np.int64),
+                "ts": _ts(100, 100)})
+    right = _ds({"rid": np.array([7], dtype=np.int64),
+                 "user_id": np.array([1], dtype=np.int64),
+                 "rts": _ts(50)})
+    out = (asof_join(left, right, on="ts", right_on="rts", by="user_id",
+                     buckets=4, how="left").to_pandas()
+           .sort_values("lid").reset_index(drop=True))
+    assert len(out) == 2
+    assert out.loc[0, "rid"] == 7
+    assert np.isnan(out.loc[1, "rid"])      # unmatched → null (float widen)
+
+
+def test_interval_join_containment(ray_session):
+    from address_address_matching_ray.pipelines.temporal import interval_join
+
+    points = _ds({"pid": np.arange(4, dtype=np.int64),
+                  "user_id": np.array([1, 1, 1, 1], dtype=np.int64),
+                  "ts": _ts(5, 15, 25, 40)})
+    ivals = _ds({"user_id": np.array([1, 1], dtype=np.int64),
+                 "start": _ts(0, 20), "end": _ts(10, 30),
+                 "tag": ["a", "b"]})
+    out = (interval_join(points, ivals, on="ts", start="start", end="end",
+                         by="user_id", buckets=4).to_pandas()
+           .sort_values("pid").reset_index(drop=True))
+    # ts=15 falls in the gap, ts=40 after the last interval → dropped
+    assert out.pid.tolist() == [0, 2]
+    assert out.tag.tolist() == ["a", "b"]
+
+
+def test_sliding_windows_against_bruteforce(ray_session):
+    from address_address_matching_ray.pipelines.temporal import sliding_windows
+
+    out = sliding_windows(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+    rows = []
+    for j in range(4):
+        w = ev.copy()
+        us = w.ts.astype("int64")
+        w["window_start"] = pd.Series(pd.to_datetime(
+            (us // 900_000_000) * 900_000_000 - j * 900_000_000,
+            unit="us"), index=w.index).dt.as_unit("us")
+        rows.append(w)
+    exp = (pd.concat(rows).groupby(["event_type", "window_start"])
+           .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+           .reset_index())
+    exp["sum_value"] = exp["sum_value"].round(4)
+    exp = exp.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    assert len(out) == len(exp)
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp, check_dtype=False)
+
+
+def test_distinct_users_exact(ray_session):
+    from address_address_matching_ray.pipelines.temporal import distinct_users
+
+    out = distinct_users(SF, buckets=8).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "user_id"])
+    exp = (ev.groupby("event_type")["user_id"].nunique()
+           .rename("n_users").reset_index()
+           .sort_values("event_type").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), exp,
+                                  check_dtype=False)
+
+
+def test_value_percentiles_exact(ray_session):
+    from address_address_matching_ray.pipelines.temporal import value_percentiles
+
+    out = value_percentiles(SF).to_pandas().set_index("event_type")
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "value"])
+    for et, g in ev.groupby("event_type"):
+        p50, p95 = np.quantile(g.value.to_numpy(), [0.5, 0.95])
+        assert out.loc[et, "p50_value"] == np.floor(p50 * 1e6) / 1e6
+        assert out.loc[et, "p95_value"] == np.floor(p95 * 1e6) / 1e6
+        assert out.loc[et, "n"] == len(g)
+
+
+def test_kmv_exact_below_k_and_error_bound():
+    from address_address_matching_ray.functions.sketch import (
+        hash_values, kmv_estimate, kmv_merge, kmv_partial,
+    )
+
+    # below k → exact
+    ids = np.arange(100, dtype=np.int64)
+    sk = kmv_partial(hash_values(np.repeat(ids, 3)), k=256)
+    assert kmv_estimate(sk, 256) == 100
+    # above k → bounded relative error (rse ~ 1/sqrt(k-2) ≈ 6% at k=256)
+    n = 50_000
+    h = hash_values(np.arange(n, dtype=np.int64))
+    est = kmv_estimate(kmv_partial(h, 256), 256)
+    assert abs(est - n) / n < 0.15
+    # merge associativity: sharded partials == single pass
+    parts = np.concatenate([kmv_partial(c, 256)
+                            for c in np.array_split(h, 13)])
+    assert kmv_estimate(kmv_merge(parts, 256), 256) == est
+
+
+def test_approx_distinct_users_pipeline(ray_session):
+    from address_address_matching_ray.pipelines.temporal import (
+        approx_distinct_users,
+    )
+
+    out = approx_distinct_users(SF, k=64).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "user_id"])
+    exact = ev.groupby("event_type")["user_id"].nunique()
+    # sf0.001 has < k distinct users per type → sketch is exact
+    for _, r in out.iterrows():
+        assert r.n_users_est == exact[r.event_type]
