@@ -374,6 +374,22 @@ def _q_value_percentiles(sf_dir: str):
     return value_percentiles(sf_dir)
 
 
+def _q_top_events_per_user(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import (
+        top_events_per_user,
+    )
+
+    return top_events_per_user(sf_dir)
+
+
+def _q_stratified_sample(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import (
+        stratified_sample,
+    )
+
+    return stratified_sample(sf_dir)
+
+
 def _q_customers_without_orders(sf_dir: str):
     from address_address_matching_ray.pipelines.relational import (
         customers_without_orders,
@@ -436,6 +452,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": _q_distinct_users,
         "approx_distinct_users": _q_approx_distinct_users,
         "value_percentiles": _q_value_percentiles,
+        "top_events_per_user": _q_top_events_per_user,
+        "stratified_sample": _q_stratified_sample,
         "customers_without_orders": _q_customers_without_orders,
         "parts_by_brand": _q_parts_by_brand,
         "region_supplier_balance": _q_region_supplier_balance,
@@ -908,6 +926,20 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type ORDER BY event_type""",
+        "top_events_per_user": """
+            SELECT user_id, event_id, value, rank FROM (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id) AS rank
+              FROM events)
+            WHERE rank <= 3 ORDER BY user_id, rank""",
+        "stratified_sample": """
+            SELECT event_type, event_id, user_id, value FROM (
+              SELECT event_type, event_id, user_id, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY event_id) AS rn
+              FROM events)
+            WHERE (rn - 1) % 10 = 0 ORDER BY event_type, event_id""",
         "value_percentiles": """
             SELECT event_type,
                    floor(quantile_cont(value, 0.5)*1e6)/1e6 AS p50_value,

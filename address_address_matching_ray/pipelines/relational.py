@@ -300,3 +300,51 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30, buckets: int = 64):
     """``sessions_ds`` + the deterministic presentation sort."""
     return sessions_ds(sf_dir, gap_minutes=gap_minutes,
                        buckets=buckets).sort(["user_id", "session_start"])
+
+
+def top_events_per_user(sf_dir: str, k: int = 3, buckets: int = 64):
+    """Per-GROUP top-k (the "top-N documents per domain" pattern): each
+    user's k highest-value events, deterministic tie-break on event_id.
+    Bucketed like ``top_users`` — every user lives wholly in one hash
+    bucket, so one vectorized sort + ``groupby.head`` per bucket is
+    exact and no per-user Ray group is ever created."""
+    ds = read(sf_dir, "events", columns=["user_id", "event_id", "value"])
+
+    def add_b(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = uid.astype("uint64") * np.uint64(0x9E3779B97F4A7C15)
+        return t.append_column(
+            "_b", pa.array((h % np.uint64(buckets)).astype("int64")))
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "value", "event_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        out = g.groupby("user_id", sort=False).head(k).copy()
+        out["rank"] = out.groupby("user_id", sort=False).cumcount() + 1
+        return out.reset_index(drop=True)
+
+    return (ds.map_batches(add_b, batch_format="pyarrow")
+            .groupby("_b").map_groups(
+                lambda g: bucket_topk(g.drop(columns=["_b"])),
+                batch_format="pandas")
+            .sort(["user_id", "rank"]))
+
+
+def stratified_sample(sf_dir: str, k: int = 10):
+    """Stratified systematic sample: every k-th event per event_type in
+    event_id order (deterministic, join-free — the training-data "take
+    1/k of each language/source" op).  Strata are bounded (one per
+    event_type) so one task per stratum is the right shape, like
+    ``value_percentiles``; per-batch counting would need a two-pass
+    prefix-sum for unbounded strata."""
+    ds = read(sf_dir, "events", columns=["event_type", "event_id",
+                                         "user_id", "value"])
+
+    def take_every_kth(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id", kind="mergesort")
+        return g.iloc[::k].reset_index(drop=True)
+
+    return (ds.groupby("event_type")
+            .map_groups(take_every_kth, batch_format="pandas")
+            .sort(["event_type", "event_id"]))

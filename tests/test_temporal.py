@@ -166,3 +166,41 @@ def test_approx_distinct_users_pipeline(ray_session):
     # sf0.001 has < k distinct users per type → sketch is exact
     for _, r in out.iterrows():
         assert r.n_users_est == exact[r.event_type]
+
+
+def test_top_events_per_user(ray_session):
+    from address_address_matching_ray.pipelines.relational import (
+        top_events_per_user,
+    )
+
+    out = top_events_per_user(SF, k=3, buckets=8).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "event_id", "value"])
+    exp = ev.sort_values(["user_id", "value", "event_id"],
+                         ascending=[True, False, True], kind="mergesort")
+    exp = exp.groupby("user_id", sort=False).head(3).copy()
+    exp["rank"] = exp.groupby("user_id", sort=False).cumcount() + 1
+    exp = exp.sort_values(["user_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), exp,
+                                  check_dtype=False)
+
+
+def test_stratified_sample(ray_session):
+    from address_address_matching_ray.pipelines.relational import (
+        stratified_sample,
+    )
+
+    out = stratified_sample(SF, k=10).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "event_id", "user_id", "value"])
+    exp = (ev.sort_values(["event_type", "event_id"])
+           .groupby("event_type", sort=False, group_keys=False)
+           .apply(lambda g: g.iloc[::10])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True),
+        exp[["event_type", "event_id", "user_id", "value"]],
+        check_dtype=False)
+    # every stratum sampled at ~1/10
+    n_types = ev.event_type.nunique()
+    assert len(out) <= len(ev) // 10 + n_types
