@@ -1,0 +1,86 @@
+"""Shard-granular resumable parquet sink."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+
+def _input_ds(n=500):
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "payload": [f"text-{i}" for i in range(n)]}))
+
+
+def test_resumable_write_and_partial_resume(ray_session, tmp_path):
+    from address_address_matching_ray.sources.sink import (
+        finished_shards, read_back, resumable_write,
+    )
+
+    root = str(tmp_path / "out")
+    fp = "run-abc"
+    s1 = resumable_write(_input_ds(), root, key_col="doc_id", buckets=8,
+                         fingerprint=fp)
+    assert s1["written"] == 8 and s1["skipped"] == 0
+    assert s1["rows_written"] == 500
+    assert finished_shards(root, 8, fp) == set(range(8))
+    assert read_back(root).count() == 500
+
+    # simulate a crash that lost 3 shards: markers gone → must rewrite
+    # exactly those, leaving finished shards untouched on disk
+    lost = [1, 4, 6]
+    for b in lost:
+        os.remove(os.path.join(root, f"shard={b:05d}", "_SUCCESS.json"))
+        os.remove(os.path.join(root, f"shard={b:05d}", "part.parquet"))
+    mtimes = {b: os.path.getmtime(os.path.join(root, f"shard={b:05d}",
+                                               "part.parquet"))
+              for b in range(8) if b not in lost}
+
+    s2 = resumable_write(_input_ds(), root, key_col="doc_id", buckets=8,
+                         fingerprint=fp)
+    assert s2["written"] == 3 and s2["skipped"] == 5
+    assert read_back(root).count() == 500
+    for b, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(
+            root, f"shard={b:05d}", "part.parquet")) == m  # untouched
+
+    # fully complete → next run is a no-op
+    s3 = resumable_write(_input_ds(), root, key_col="doc_id", buckets=8,
+                         fingerprint=fp)
+    assert s3 == {"written": 0, "skipped": 8, "rows_written": 0}
+
+    # new fingerprint (new input/config) → everything rewritten
+    s4 = resumable_write(_input_ds(), root, key_col="doc_id", buckets=8,
+                         fingerprint="run-def")
+    assert s4["written"] == 8 and s4["skipped"] == 0
+
+
+def test_resumable_write_marks_empty_shards(ray_session, tmp_path):
+    from address_address_matching_ray.sources.sink import (
+        finished_shards, read_back, resumable_write,
+    )
+
+    root = str(tmp_path / "out")
+    # 2 distinct keys over 16 buckets → most shards are empty; they must
+    # still be marked complete so resumes don't re-scan forever
+    import ray.data as rd
+
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.array([0, 0, 1, 1], dtype=np.int64),
+        "payload": ["a", "b", "c", "d"]}))
+    s = resumable_write(ds, root, key_col="doc_id", buckets=16,
+                        fingerprint="x")
+    assert s["written"] == 16 and s["rows_written"] == 4
+    assert finished_shards(root, 16, "x") == set(range(16))
+    assert read_back(root).count() == 4
+    # markers for empty shards carry rows=0
+    empties = [b for b in range(16)
+               if not os.path.exists(os.path.join(
+                   root, f"shard={b:05d}", "part.parquet"))]
+    assert empties
+    with open(os.path.join(root, f"shard={empties[0]:05d}",
+                           "_SUCCESS.json")) as f:
+        assert json.load(f)["rows"] == 0
