@@ -59,12 +59,20 @@ class MinHasher:
         vals = (self.a[:, None] * x + self.b[:, None]) % np.uint64(_MERSENNE)
         return (vals & _MAX_HASH).min(axis=1)
 
+    # tokens per doc-chunk: keeps the (num_perm, chunk) uint64
+    # intermediate ≈1 MB so it lives in L2 instead of streaming a
+    # (num_perm, T) matrix through DRAM — with 32 workers sharing one
+    # memory bus the unchunked version was bandwidth-bound ~10× slower
+    _CHUNK_TOKENS = 2048
+
     def batch_signatures(self, docs_tokens: list[list[str]]) -> np.ndarray:
         """(n_docs, num_perm) signatures for a batch.
 
         Vectorized as ONE flat hash array + ``np.minimum.reduceat`` over
-        document boundaries instead of a per-doc loop.
-        """
+        document boundaries instead of a per-doc loop; the permuted-hash
+        matrix is computed per doc-aligned token chunk with in-place ops
+        (identical values to the one-shot form, a fraction of the memory
+        traffic)."""
         lens = np.array([len(t) for t in docs_tokens], dtype=np.int64)
         n = len(docs_tokens)
         out = np.full((n, self.num_perm), int(_MAX_HASH), dtype=np.uint64)
@@ -72,12 +80,27 @@ class MinHasher:
         if not flat:
             return out
         hashes = _stable_token_hash(flat)  # (T,)
-        vals = (self.a[:, None] * hashes[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
-        vals &= _MAX_HASH  # (perm, T)
-        nonempty = lens > 0
-        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])[nonempty]
-        mins = np.minimum.reduceat(vals, starts, axis=1)  # (perm, n_nonempty)
-        out[nonempty] = mins.T
+        bounds = np.concatenate([[0], np.cumsum(lens)])
+        a_col = self.a[:, None]
+        b_col = self.b[:, None]
+        mers = np.uint64(_MERSENNE)
+        d0 = 0
+        while d0 < n:
+            d1 = d0 + 1
+            while d1 < n and bounds[d1 + 1] - bounds[d0] <= self._CHUNK_TOKENS:
+                d1 += 1
+            lo, hi = bounds[d0], bounds[d1]
+            if hi > lo:
+                vals = a_col * hashes[None, lo:hi]
+                vals += b_col
+                vals %= mers
+                vals &= _MAX_HASH  # (perm, chunk)
+                sub = lens[d0:d1]
+                ne = sub > 0
+                starts = (bounds[d0:d1] - lo)[ne]
+                mins = np.minimum.reduceat(vals, starts, axis=1)
+                out[d0:d1][ne] = mins.T
+            d0 = d1
         return out
 
 
@@ -93,6 +116,21 @@ def lsh_band_digests(signatures: np.ndarray, bands: int) -> np.ndarray:
         for r in range(rows):
             digest = (digest ^ sig[:, :, r]) * mult
     return digest
+
+
+def mix_band_keys_u64(digests: np.ndarray) -> np.ndarray:
+    """(n, bands) uint64 digests → (n, bands) uint64 blocking keys with
+    the band index folded in (splitmix-style finalizer).  Numeric keys
+    keep the blocking shuffle at 8 B/row vs ~25 B for the ``"b{j}:{hex}"``
+    strings AND sort numerically in the groupby; a cross-band key
+    collision (~2⁻⁶⁴) at worst adds one candidate pair that verification
+    rejects."""
+    bands = digests.shape[1]
+    with np.errstate(over="ignore"):
+        x = digests ^ (np.arange(1, bands + 1, dtype=np.uint64)
+                       * np.uint64(0xBF58476D1CE4E5B9))[None, :]
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
 
 
 def hex16(a: np.ndarray) -> np.ndarray:

@@ -39,8 +39,7 @@ import pyarrow as pa
 from address_address_matching_ray.config import PipelineConfig
 from address_address_matching_ray.functions.fuzzy import jaccard
 from address_address_matching_ray.functions.minhash import (
-    MinHasher, SimHasher, hamming_distance, lsh_band_keys, shingles,
-    simhash_band_keys,
+    MinHasher, SimHasher, hamming_distance, shingles,
 )
 from address_address_matching_ray.functions.textstats import char_ngrams
 from address_address_matching_ray.stages.cluster import (
@@ -101,7 +100,7 @@ class _NearDupKeyer:
 
     def __call__(self, df: pd.DataFrame) -> pa.Table:
         from address_address_matching_ray.functions.minhash import (
-            band_key_strings, hex16, lsh_band_digests,
+            lsh_band_digests, mix_band_keys_u64,
         )
 
         n = len(df)
@@ -111,25 +110,23 @@ class _NearDupKeyer:
             sh = [shingles(t, self.cfg.shingle_size) for t in toks]
             sigs = self.minhasher.batch_signatures(sh)
             bands = self.cfg.dedup_lsh_bands
-            keys_flat = band_key_strings(lsh_band_digests(sigs, bands))
+            keys = mix_band_keys_u64(lsh_band_digests(sigs, bands))
             rows = np.repeat(np.arange(n, dtype=np.int64), bands)
             return pa.table({
                 "doc_id": pa.array(ids[rows], pa.uint64()),
-                "band_key": pa.array(keys_flat, pa.string())})
-        # simhash: band slices of the 64-bit signature, vectorized flat
+                "band_key": pa.array(keys.ravel(), pa.uint64())})
+        # simhash: band slices of the 64-bit signature → numeric keys
         sigs = self.simhasher.batch_signatures(toks)
         bands = 4
         width = 64 // bands
         mask = np.uint64((1 << width) - 1)
-        # (n, bands) slice digests → row-major flat "sb{j}:{hex}" keys
         slices = np.stack([(sigs >> np.uint64(j * width)) & mask
                            for j in range(bands)], axis=1)
-        prefixes = np.array([f"sb{j}:" for j in range(bands)], dtype=object)
-        keys_flat = np.tile(prefixes, n) + hex16(slices.ravel())
+        keys = mix_band_keys_u64(slices)
         rows = np.repeat(np.arange(n, dtype=np.int64), bands)
         return pa.table({
             "doc_id": pa.array(ids[rows], pa.uint64()),
-            "band_key": pa.array(keys_flat, pa.string()),
+            "band_key": pa.array(keys.ravel(), pa.uint64()),
             "sig": pa.array(sigs[rows], pa.uint64())})
 
 
@@ -234,21 +231,120 @@ def _slim_texts(docs_ds, text_col: str, id_col: str):
     return docs_ds.map_batches(f, batch_format="pandas")
 
 
-def _pair_texts(cand_ds, texts_ds, buckets: int = 32):
-    """Attach ``l_text``/``r_text`` to candidate id pairs in TWO light
-    bucketed-groupby shuffles (no ``Dataset.join`` — its hash-shuffle
-    actor machinery costs seconds of fixed overhead that dwarfs small
-    candidate sets, and the groupby path is the same primitive every
-    other stage here uses):
+def _dedup_cand_pairs(cand_ds, buckets: int = 32):
+    """Global (left_id, right_id) dedup of candidate pairs.  LSH emits
+    the same pair once per agreeing band, and band-hash bucketing
+    scatters those copies across buckets where the in-bucket dedup
+    can't see them — measured ~10× duplication at 16 bands on a
+    near-dup-heavy corpus.  One bucketed shuffle of the slim 24-B pair
+    rows collapses them BEFORE the pairs are exploded against the text
+    table; ``dropped_pairs`` keeps the max across copies (each band
+    logged its own window drops — max is the conservative survivor)."""
+    def add_b(t: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            h = (t["left_id"].to_numpy(zero_copy_only=False).astype("uint64")
+                 * np.uint64(0x9E3779B97F4A7C15)
+                 ^ t["right_id"].to_numpy(zero_copy_only=False).astype("uint64"))
+        return t.append_column(
+            "_b", pa.array((h % np.uint64(buckets)).astype("int64")))
 
-    1. pairs explode to ``(left_id, right_id, side, probe_id)`` rows
-       and UNION with the slim text table (tagged ``side = -1``);
-       bucketing by ``hash(probe_id)`` co-locates each doc's text with
-       every pair-side probing it — one vectorized map-lookup per
-       bucket.  The corpus text crosses the wire ONCE.
-    2. matched pair-sides (2 rows per surviving pair) pivot back to
-       pair-per-row via a pair-hash bucketed groupby.
+    def dd(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_b"]).sort_by(
+            [("left_id", "ascending"), ("right_id", "ascending"),
+             ("dropped_pairs", "descending")])
+        l = t["left_id"].to_numpy(zero_copy_only=False)
+        r = t["right_id"].to_numpy(zero_copy_only=False)
+        if len(l) < 2:
+            return t
+        keep = np.concatenate([[True], (l[1:] != l[:-1]) | (r[1:] != r[:-1])])
+        return t.filter(pa.array(keep)) if not keep.all() else t
+
+    return (cand_ds.map_batches(add_b, batch_format="pyarrow")
+            .groupby("_b").map_groups(dd, batch_format="pyarrow"))
+
+
+def _pair_texts(cand_ds, texts_ds, buckets: int = 32,
+                probe_broadcast_threshold: int = 5_000_000):
+    """Attach ``l_text``/``r_text`` to candidate id pairs.
+
+    Pairs are first globally deduped (``_dedup_cand_pairs`` — LSH emits
+    each pair once per agreeing band and band-hash bucketing scatters
+    the copies across buckets, ~10× duplication at 16 bands).
+
+    **Broadcast path** (pair count ≤ threshold — the common case on a
+    near-dup-sparse corpus, same discipline as ``filter_out_ids``):
+    filter the slim text table to probed doc_ids with one sorted-array
+    membership test per batch, pull ONLY those texts, broadcast the
+    sorted ``(ids, texts)`` arrays once via ``ray.put``, and attach both
+    sides in a single ``map_batches`` over the pairs with two
+    ``searchsorted`` lookups — zero shuffles.
+
+    **Shuffle path** (huge candidate sets): pairs explode to
+    ``(left_id, right_id, side, probe_id)`` rows and UNION with the
+    slim text table (tagged ``side = -1``); bucketing by
+    ``hash(probe_id)`` co-locates each doc's text with every pair-side
+    probing it (the corpus text crosses the wire once), then matched
+    pair-sides pivot back to pair-per-row via a pair-hash bucketed
+    groupby.  No ``Dataset.join`` — its hash-shuffle actor machinery
+    costs seconds of fixed overhead that dwarfs small candidate sets.
     """
+    import ray
+
+    cand_ds = _dedup_cand_pairs(cand_ds, buckets).materialize()
+    n_pairs = cand_ds.count()
+
+    def _empty_out() -> pa.Table:
+        return pa.table({
+            "left_id": pa.array([], pa.uint64()),
+            "right_id": pa.array([], pa.uint64()),
+            "dropped_pairs": pa.array([], pa.uint64()),
+            "l_text": pa.array([], pa.string()),
+            "r_text": pa.array([], pa.string())})
+
+    if n_pairs == 0:
+        return cand_ds.map_batches(lambda t: _empty_out(),
+                                   batch_format="pyarrow")
+
+    if 2 * n_pairs <= probe_broadcast_threshold:
+        idt = cand_ds.select_columns(["left_id", "right_id"]).to_pandas()
+        probe_ids = np.unique(np.concatenate([
+            idt["left_id"].to_numpy(dtype="uint64"),
+            idt["right_id"].to_numpy(dtype="uint64")]))
+        ref = ray.put(probe_ids)
+
+        def keep_probed(t: pa.Table) -> pa.Table:
+            k = ray.get(ref)
+            v = t["doc_id"].to_numpy(zero_copy_only=False).astype("uint64")
+            pos = np.minimum(np.searchsorted(k, v), len(k) - 1)
+            return t.filter(pa.array(k[pos] == v))
+
+        tf = texts_ds.map_batches(keep_probed,
+                                  batch_format="pyarrow").to_pandas()
+        tids = tf["doc_id"].to_numpy(dtype="uint64")
+        order = np.argsort(tids, kind="stable")
+        text_ref = ray.put((tids[order],
+                            tf["norm_text"].to_numpy(dtype=object)[order]))
+
+        def attach_pairs(t: pa.Table) -> pa.Table:
+            k, txt = ray.get(text_ref)
+            if len(k) == 0 or t.num_rows == 0:
+                return _empty_out()
+            l = t["left_id"].to_numpy(zero_copy_only=False).astype("uint64")
+            r = t["right_id"].to_numpy(zero_copy_only=False).astype("uint64")
+            dp = t["dropped_pairs"].to_numpy(
+                zero_copy_only=False).astype("uint64")
+            lp = np.minimum(np.searchsorted(k, l), len(k) - 1)
+            rp = np.minimum(np.searchsorted(k, r), len(k) - 1)
+            m = (k[lp] == l) & (k[rp] == r)
+            return pa.table({
+                "left_id": pa.array(l[m], pa.uint64()),
+                "right_id": pa.array(r[m], pa.uint64()),
+                "dropped_pairs": pa.array(dp[m], pa.uint64()),
+                "l_text": pa.array(txt[lp[m]], pa.string()),
+                "r_text": pa.array(txt[rp[m]], pa.string())})
+
+        return cand_ds.map_batches(attach_pairs, batch_format="pyarrow")
+
     def explode(t: pa.Table) -> pa.Table:
         l = t["left_id"].to_numpy(zero_copy_only=False).astype("uint64")
         r = t["right_id"].to_numpy(zero_copy_only=False).astype("uint64")
