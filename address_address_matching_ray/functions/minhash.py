@@ -185,19 +185,38 @@ class SimHasher:
         votes = (2 * bits - 1).sum(axis=0)
         return int((np.uint64(1) << np.arange(self.bits, dtype=np.uint64))[votes > 0].sum())
 
+    # tokens per doc-chunk — same cache-blocking rationale as
+    # ``MinHasher.batch_signatures``: the (chunk, bits) ±1 matrix stays
+    # ~1 MB instead of streaming a (T, bits) matrix through DRAM
+    _CHUNK_TOKENS = 2048
+
     def batch_signatures(self, docs_tokens: list[list[str]]) -> np.ndarray:
         out = np.zeros(len(docs_tokens), dtype=np.uint64)
         flat = [tok for toks in docs_tokens for tok in toks]
         if not flat:
             return out
+        n = len(docs_tokens)
         lens = np.array([len(t) for t in docs_tokens], dtype=np.int64)
-        bits = self._token_bits(_stable_token_hash(flat))  # (T, bits)
-        votes = np.add.reduceat(2 * bits - 1,
-                                np.concatenate([[0], np.cumsum(lens)[:-1]])[lens > 0],
-                                axis=0)
-        sigs = ((votes > 0).astype(np.uint64)
-                * (np.uint64(1) << np.arange(self.bits, dtype=np.uint64))[None, :]).sum(axis=1)
-        out[lens > 0] = sigs
+        hashes = _stable_token_hash(flat)
+        bounds = np.concatenate([[0], np.cumsum(lens)])
+        powers = (np.uint64(1) << np.arange(self.bits, dtype=np.uint64))[None, :]
+        d0 = 0
+        while d0 < n:
+            d1 = d0 + 1
+            while d1 < n and bounds[d1 + 1] - bounds[d0] <= self._CHUNK_TOKENS:
+                d1 += 1
+            lo, hi = bounds[d0], bounds[d1]
+            if hi > lo:
+                bits = self._token_bits(hashes[lo:hi])  # (chunk, bits)
+                bits *= 2
+                bits -= 1
+                sub = lens[d0:d1]
+                ne = sub > 0
+                starts = (bounds[d0:d1] - lo)[ne]
+                votes = np.add.reduceat(bits, starts, axis=0)
+                out[d0:d1][ne] = ((votes > 0).astype(np.uint64)
+                                  * powers).sum(axis=1)
+            d0 = d1
         return out
 
 
