@@ -267,19 +267,21 @@ def _pair_texts(cand_ds, texts_ds, buckets: int = 32,
                 probe_broadcast_threshold: int = 5_000_000):
     """Attach ``l_text``/``r_text`` to candidate id pairs.
 
-    Pairs are first globally deduped (``_dedup_cand_pairs`` — LSH emits
-    each pair once per agreeing band and band-hash bucketing scatters
-    the copies across buckets, ~10× duplication at 16 bands).
+    Pairs arrive globally duplicated — LSH emits each pair once per
+    agreeing band and band-hash bucketing scatters the copies across
+    buckets (~10× duplication at 16 bands) — so they are deduped first.
 
-    **Broadcast path** (pair count ≤ threshold — the common case on a
-    near-dup-sparse corpus, same discipline as ``filter_out_ids``):
-    filter the slim text table to probed doc_ids with one sorted-array
+    **Broadcast path** (raw pair count ≤ threshold — the common case on
+    a near-dup-sparse corpus, same discipline as ``filter_out_ids``):
+    dedup the slim 24-B pair rows on the driver in one vectorized pass,
+    filter the text table to probed doc_ids with one sorted-array
     membership test per batch, pull ONLY those texts, broadcast the
     sorted ``(ids, texts)`` arrays once via ``ray.put``, and attach both
     sides in a single ``map_batches`` over the pairs with two
     ``searchsorted`` lookups — zero shuffles.
 
-    **Shuffle path** (huge candidate sets): pairs explode to
+    **Shuffle path** (huge candidate sets): pairs are deduped by a
+    bucketed shuffle (``_dedup_cand_pairs``), then explode to
     ``(left_id, right_id, side, probe_id)`` rows and UNION with the
     slim text table (tagged ``side = -1``); bucketing by
     ``hash(probe_id)`` co-locates each doc's text with every pair-side
@@ -290,8 +292,8 @@ def _pair_texts(cand_ds, texts_ds, buckets: int = 32,
     """
     import ray
 
-    cand_ds = _dedup_cand_pairs(cand_ds, buckets).materialize()
-    n_pairs = cand_ds.count()
+    cand_ds = cand_ds.materialize()
+    raw_pairs = cand_ds.count()
 
     def _empty_out() -> pa.Table:
         return pa.table({
@@ -301,15 +303,34 @@ def _pair_texts(cand_ds, texts_ds, buckets: int = 32,
             "l_text": pa.array([], pa.string()),
             "r_text": pa.array([], pa.string())})
 
-    if n_pairs == 0:
+    if raw_pairs == 0:
         return cand_ds.map_batches(lambda t: _empty_out(),
                                    batch_format="pyarrow")
 
-    if 2 * n_pairs <= probe_broadcast_threshold:
-        idt = cand_ds.select_columns(["left_id", "right_id"]).to_pandas()
-        probe_ids = np.unique(np.concatenate([
-            idt["left_id"].to_numpy(dtype="uint64"),
-            idt["right_id"].to_numpy(dtype="uint64")]))
+    if 2 * raw_pairs <= probe_broadcast_threshold:
+        # broadcast path: the raw (duplicated) pair table is slim
+        # (24 B/row) and bounded by the threshold, so dedup it on the
+        # driver in one numpy lexsort pass over zero-copy Arrow block
+        # pulls — skipping the pair-dedup shuffle entirely (a Ray
+        # groupby costs seconds of fixed latency regardless of size)
+        blocks = [b for b in ray.get(cand_ds.to_arrow_refs())
+                  if b.num_rows]
+        t = pa.concat_tables(blocks).combine_chunks()
+        l = t["left_id"].to_numpy(zero_copy_only=False).astype("uint64")
+        r = t["right_id"].to_numpy(zero_copy_only=False).astype("uint64")
+        dp = t["dropped_pairs"].to_numpy(
+            zero_copy_only=False).astype("uint64")
+        # one radix argsort on a combined pair hash instead of a 3-key
+        # lexsort (3× the passes); a 2⁻⁶⁴ hash collision at worst keeps
+        # one duplicate edge, which verification/CC absorb unchanged
+        with np.errstate(over="ignore"):
+            c = l * np.uint64(0x9E3779B97F4A7C15) ^ r
+        order = np.argsort(c, kind="stable")
+        l, r, dp, c = l[order], r[order], dp[order], c[order]
+        keep = np.concatenate(
+            [[True], (l[1:] != l[:-1]) | (r[1:] != r[:-1])])
+        l, r, dp = l[keep], r[keep], dp[keep]
+        probe_ids = np.unique(np.concatenate([l, r]))
         ref = ray.put(probe_ids)
 
         def keep_probed(t: pa.Table) -> pa.Table:
@@ -343,7 +364,15 @@ def _pair_texts(cand_ds, texts_ds, buckets: int = 32,
                 "l_text": pa.array(txt[lp[m]], pa.string()),
                 "r_text": pa.array(txt[rp[m]], pa.string())})
 
-        return cand_ds.map_batches(attach_pairs, batch_format="pyarrow")
+        import ray.data as _rd
+        pairs_tbl = pa.table({
+            "left_id": pa.array(l, pa.uint64()),
+            "right_id": pa.array(r, pa.uint64()),
+            "dropped_pairs": pa.array(dp, pa.uint64())})
+        return _rd.from_arrow(pairs_tbl).map_batches(
+            attach_pairs, batch_format="pyarrow")
+
+    cand_ds = _dedup_cand_pairs(cand_ds, buckets)
 
     def explode(t: pa.Table) -> pa.Table:
         l = t["left_id"].to_numpy(zero_copy_only=False).astype("uint64")
