@@ -21,9 +21,28 @@ from address_address_matching_ray.stages.cluster import connected_components
 
 
 def _to_matrix(col) -> np.ndarray:
-    """list<float> column → (n, d) float32 matrix."""
+    """list<float> column → (n, d) float32 matrix (driver-side samples
+    / pandas cells; worker batches use ``_matrix_from_arrow``)."""
     arrs = [np.asarray(v, dtype=np.float32) for v in col]
     return np.stack(arrs) if arrs else np.zeros((0, 0), dtype=np.float32)
+
+
+def _matrix_from_arrow(col) -> np.ndarray:
+    """Arrow list<float> / fixed_size_list<float> column → (n, d)
+    float32 matrix via one flatten+reshape of the contiguous values
+    buffer — no per-row Python (embeddings are uniform-length and
+    null-free; reshape raises on ragged input rather than misaligning).
+    """
+    arr = col.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float32)
+    if hasattr(arr, "flatten"):           # List / FixedSizeList
+        vals = np.asarray(arr.flatten(), dtype=np.float32)
+    else:                                 # Ray ArrowTensorArray extension
+        vals = np.asarray(arr.to_numpy(zero_copy_only=False),
+                          dtype=np.float32)
+    return vals.reshape(n, -1)
 
 
 def _normalize_rows(m: np.ndarray) -> np.ndarray:
@@ -47,10 +66,10 @@ def brute_force_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
         def __init__(self):
             self.q = ray.get(q_ref)          # broadcast: fetched once per actor
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            m = _normalize_rows(_to_matrix(df[vec_col]))
+        def __call__(self, t) -> pd.DataFrame:
+            m = _normalize_rows(_matrix_from_arrow(t[vec_col]))
             sims = self.q @ m.T              # (nq, batch)
-            ids = df[id_col].to_numpy()
+            ids = t[id_col].to_numpy(zero_copy_only=False)
             kk = min(k, sims.shape[1])
             part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
             rows = []
@@ -67,7 +86,7 @@ def brute_force_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
             out["score"] = out["score"].astype("float64")
             return out
 
-    partials = emb_ds.map_batches(Scorer, batch_format="pandas",
+    partials = emb_ds.map_batches(Scorer, batch_format="pyarrow",
                                   batch_size=4096, concurrency=concurrency)
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
@@ -124,14 +143,14 @@ def lsh_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
             self.wanted_keys = np.fromiter(self.wanted, dtype=np.int64,
                                            count=len(self.wanted))
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        def __call__(self, t) -> pd.DataFrame:
             # vectorized per-bucket scoring (mirrors ivf_topk's
             # per-centroid path): candidate rows are selected with ONE
             # isin mask, then each wanted bucket present in the batch
             # does one (nq_b, n_rows) matmul — no per-row Python loop.
-            m = _normalize_rows(_to_matrix(df[vec_col]))
+            m = _normalize_rows(_matrix_from_arrow(t[vec_col]))
             buckets = self.hasher.bucket(m)
-            ids = df[id_col].to_numpy()
+            ids = t[id_col].to_numpy(zero_copy_only=False)
             frames = []
             hit = np.isin(buckets, self.wanted_keys)
             for b in np.unique(buckets[hit]):
@@ -150,7 +169,7 @@ def lsh_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
                     "score": pd.array([], dtype="float64")})
             return pd.concat(frames, ignore_index=True)
 
-    partials = emb_ds.map_batches(Scorer, batch_format="pandas",
+    partials = emb_ds.map_batches(Scorer, batch_format="pyarrow",
                                   batch_size=4096, concurrency=(1, 8))
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
@@ -215,10 +234,10 @@ def ivf_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
         def __init__(self):
             self.q, self.centroids, self.wanted = ray.get(state)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            m = _normalize_rows(_to_matrix(df[vec_col]))
+        def __call__(self, t) -> pd.DataFrame:
+            m = _normalize_rows(_matrix_from_arrow(t[vec_col]))
             assign = (m @ self.centroids.T).argmax(axis=1)
-            ids = df[id_col].to_numpy()
+            ids = t[id_col].to_numpy(zero_copy_only=False)
             frames = []
             for c in np.unique(assign):
                 qis = self.wanted.get(int(c))
@@ -238,7 +257,7 @@ def ivf_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
                     "score": pd.array([], dtype="float64")})
             return pd.concat(frames, ignore_index=True)
 
-    partials = emb_ds.map_batches(Scorer, batch_format="pandas",
+    partials = emb_ds.map_batches(Scorer, batch_format="pyarrow",
                                   batch_size=4096, concurrency=(1, 8))
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
