@@ -14,18 +14,19 @@ linkage pipeline (hash-partitioned groupby; no driver-side loops):
                          LSH candidates (recall path for short texts)
 
 Shuffle-width discipline (the 100-TB constraint): the blocking shuffle
-carries ONLY ``(doc_id, band_key[, sig])`` — 8-byte ids and 20-byte
-keys, never document text.  Replicating ``norm_text`` once per LSH band
-row (the previous shape) made the keyed exchange ≥17× the corpus bytes
-at 16 bands; slim rows are a FIXED ~29 B/band-row regardless of doc
-length (measured 1.68× corpus bytes on sf0.01's ~300-B docs; on KB-scale
-webtext the ratio falls well under 1).  Verification text is attached
-AFTER blocking by one hash join of the exploded candidate sides against
-a slim ``(doc_id, norm_text)`` table (``_pair_texts``): the corpus is
-shuffled once by the join, and only the matched candidate texts (two
-rows per surviving pair) move through the pair-pivot shuffle.  SimHash
-needs no text at all — Hamming verification reads the two 64-bit
-signatures carried with the band rows.
+carries ONLY ``(doc_id, band_key[, sig])`` — 8-byte ids and 8-byte
+mixed-uint64 band keys (``mix_band_keys_u64``), never document text.
+Replicating ``norm_text`` once per LSH band row (the round-2 shape)
+made the keyed exchange ≥17× the corpus bytes at 16 bands; slim rows
+are a FIXED 16 B/band-row regardless of doc length (on KB-scale
+webtext the ratio falls far below 1).  Verification text is attached
+AFTER blocking (``_pair_texts``): candidate pairs are globally deduped
+(LSH emits each pair once per agreeing band), then below the broadcast
+threshold the probed-id-filtered texts are broadcast once and attached
+with vectorized ``searchsorted`` lookups (zero shuffles); above it one
+union-groupby join ships the corpus text across the wire exactly once.
+SimHash needs no text at all — Hamming verification reads the two
+64-bit signatures carried with the band rows.
 
 All decisions are deterministic (representative = min doc_id).
 """
