@@ -265,7 +265,8 @@ def _dedup_cand_pairs(cand_ds, buckets: int = 32):
 
 
 def _pair_texts(cand_ds, texts_ds, buckets: int = 32,
-                probe_broadcast_threshold: int = 5_000_000):
+                probe_broadcast_threshold: int = 5_000_000,
+                text_broadcast_bytes: int = 1 << 30):
     """Attach ``l_text``/``r_text`` to candidate id pairs.
 
     Pairs arrive globally duplicated — LSH emits each pair once per
@@ -330,7 +331,11 @@ def _pair_texts(cand_ds, texts_ds, buckets: int = 32,
         l, r, dp, c = l[order], r[order], dp[order], c[order]
         keep = np.concatenate(
             [[True], (l[1:] != l[:-1]) | (r[1:] != r[:-1])])
-        l, r, dp = l[keep], r[keep], dp[keep]
+        # max dropped_pairs across equal-(l,r) runs — the shuffle path
+        # (_dedup_cand_pairs) keeps the max as the conservative
+        # survivor, and both paths must report identical stats
+        dp = np.maximum.reduceat(dp, np.flatnonzero(keep))
+        l, r = l[keep], r[keep]
         probe_ids = np.unique(np.concatenate([l, r]))
         ref = ray.put(probe_ids)
 
@@ -340,8 +345,22 @@ def _pair_texts(cand_ds, texts_ds, buckets: int = 32,
             pos = np.minimum(np.searchsorted(k, v), len(k) - 1)
             return t.filter(pa.array(k[pos] == v))
 
-        tf = texts_ds.map_batches(keep_probed,
-                                  batch_format="pyarrow").to_pandas()
+        import ray.data as _rd
+        pairs_tbl = pa.table({
+            "left_id": pa.array(l, pa.uint64()),
+            "right_id": pa.array(r, pa.uint64()),
+            "dropped_pairs": pa.array(dp, pa.uint64())})
+        tf_ds = texts_ds.map_batches(keep_probed,
+                                     batch_format="pyarrow").materialize()
+        if tf_ds.size_bytes() > text_broadcast_bytes:
+            # pair COUNT fit the broadcast bar but the probed TEXT
+            # bytes don't (KB-scale webtext × millions of probed ids =
+            # multi-GB driver pull) — fall through to the shuffle
+            # attach, reusing the driver-deduped pairs and the
+            # already-filtered text table (both strictly smaller)
+            return _shuffle_attach(_rd.from_arrow(pairs_tbl), tf_ds,
+                                   buckets)
+        tf = tf_ds.to_pandas()
         tids = tf["doc_id"].to_numpy(dtype="uint64")
         order = np.argsort(tids, kind="stable")
         text_ref = ray.put((tids[order],
@@ -365,16 +384,18 @@ def _pair_texts(cand_ds, texts_ds, buckets: int = 32,
                 "l_text": pa.array(txt[lp[m]], pa.string()),
                 "r_text": pa.array(txt[rp[m]], pa.string())})
 
-        import ray.data as _rd
-        pairs_tbl = pa.table({
-            "left_id": pa.array(l, pa.uint64()),
-            "right_id": pa.array(r, pa.uint64()),
-            "dropped_pairs": pa.array(dp, pa.uint64())})
         return _rd.from_arrow(pairs_tbl).map_batches(
             attach_pairs, batch_format="pyarrow")
 
-    cand_ds = _dedup_cand_pairs(cand_ds, buckets)
+    return _shuffle_attach(_dedup_cand_pairs(cand_ds, buckets), texts_ds,
+                           buckets)
 
+
+def _shuffle_attach(cand_ds, texts_ds, buckets: int):
+    """Shuffle path of ``_pair_texts`` (see its docstring): explode
+    deduped pairs to per-side probe rows, union with the slim text
+    table, bucket by ``hash(probe_id)`` to co-locate, pivot back to
+    pair-per-row by pair-hash buckets."""
     def explode(t: pa.Table) -> pa.Table:
         l = t["left_id"].to_numpy(zero_copy_only=False).astype("uint64")
         r = t["right_id"].to_numpy(zero_copy_only=False).astype("uint64")

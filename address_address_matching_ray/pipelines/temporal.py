@@ -118,6 +118,17 @@ def asof_join(left, right, *, on: str, right_on: str, by: str,
             out = out[out[right_on].notna()]
             for c in out.columns.intersection(restore):
                 out[c] = out[c].astype(restore[c])
+        else:
+            # how='left': merge_asof widens right-side ints to float64
+            # only in buckets with unmatched left rows — cast them
+            # unconditionally so every bucket emits one block schema
+            # (mixed int64/float64 blocks break downstream Arrow
+            # unification; round-4 ADVICE)
+            for c in out.columns.intersection(restore):
+                if c in left_cols:
+                    out[c] = out[c].astype(restore[c])
+                else:
+                    out[c] = out[c].astype(np.float64)
         return out.reset_index(drop=True)
 
     tagged = (left.map_batches(_pad_to(union_fields, 0, by, buckets),
@@ -284,18 +295,39 @@ def approx_distinct_users(sf_dir: str, k: int = 64):
             .sort("event_type"))
 
 
+def quantile_cont(sorted_v: np.ndarray, q: float) -> float:
+    """SQL ``quantile_cont`` with DuckDB's exact interpolation
+    arithmetic: ``RN = (n-1)*q``, ``lo*(1-d) + hi*d`` where
+    ``d = RN - floor(RN)`` (duckdb quantile.cpp Interpolator).
+    Verified bit-identical to DuckDB on sf0.001/0.01/0.1 events;
+    ``lo + d*(hi-lo)`` (numpy's form) is NOT bit-identical."""
+    n = len(sorted_v)
+    if n == 0:
+        return float("nan")
+    rn = (n - 1) * q
+    frn = int(np.floor(rn))
+    crn = int(np.ceil(rn))
+    if frn == crn:
+        return float(sorted_v[frn])
+    d = rn - frn
+    return float(sorted_v[frn] * (1.0 - d) + sorted_v[crn] * d)
+
+
 def value_percentiles(sf_dir: str):
     """Exact per-group percentiles (p50/p95, linear interpolation =
     SQL ``quantile_cont``).  Group count is bounded (one per
     event_type), so one task per group holding the group's values is
     the right shape; unbounded-cardinality keys should use the KMV/
-    sketch route instead.  Floor-quantized to 1e-6 on both sides (same
-    tie-avoidance as text_annotate)."""
+    sketch route instead.  Interpolation reproduces DuckDB's
+    ``quantile_cont`` arithmetic bit-for-bit (``lo*(1-d) + hi*d`` with
+    ``d = (n-1)*q - floor((n-1)*q)``; numpy's lerp differs in the last
+    ulp and broke hash parity in round 3), then floor-quantizes to 1e-6
+    on both sides (same tie-avoidance as text_annotate)."""
     ds = read(sf_dir, "events", columns=["event_type", "value"])
 
     def q(g: pd.DataFrame) -> pd.DataFrame:
-        v = g["value"].to_numpy()
-        p50, p95 = np.quantile(v, [0.5, 0.95])
+        v = np.sort(g["value"].to_numpy())
+        p50, p95 = (quantile_cont(v, 0.5), quantile_cont(v, 0.95))
         return pd.DataFrame({
             "event_type": [g["event_type"].iloc[0]],
             "p50_value": [np.floor(p50 * 1e6) / 1e6],

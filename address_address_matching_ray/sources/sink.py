@@ -102,10 +102,13 @@ def resumable_write(ds, root: str, *, key_col: str, buckets: int = 64,
              .groupby("_shard")
              .map_groups(write_shard, batch_format="pandas")
              .to_pandas())           # O(buckets) rows — driver-safe
+    # an entirely-empty write yields a column-less frame — treat it as
+    # "no shard written" rather than KeyError'ing on the missing column
+    written_shards = set(stats["shard"]) if len(stats) else set()
     # shards that had no rows produce no group: mark them complete too,
     # else every resume would re-scan for them forever
     for b in pending:
-        if int(b) not in set(stats["shard"]):
+        if int(b) not in written_shards:
             d = _shard_dir(root, int(b))
             os.makedirs(d, exist_ok=True)
             with open(_marker_path(root, int(b)) + ".tmp", "w") as f:

@@ -563,3 +563,43 @@ def test_match_and_cluster_golden_hashes(ray_session):
     with open(golden_path) as f:
         want = json.load(f)
     assert got == want
+
+
+def test_pair_texts_paths_agree(ray_session):
+    """_pair_texts' three routes — driver-broadcast, text-bytes-gated
+    fall-through (pairs fit, probed text doesn't), and the full shuffle
+    path — must return identical pairs, texts AND dropped_pairs stats
+    (round-4 ADVICE: broadcast path kept first-copy dropped_pairs and
+    had no byte gate)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from address_address_matching_ray.pipelines.dedup import (
+        _pair_texts, _slim_texts,
+    )
+
+    texts = _slim_texts(
+        _docs_ds(ray_session, {
+            "doc_id": pd.array([1, 2, 3, 4], dtype="uint64"),
+            "text": ["aaa", "bbb", "ccc", "ddd"]}),
+        "text", "doc_id")
+    # duplicated candidate pairs with differing dropped_pairs copies —
+    # the survivor must carry the MAX on every path
+    cand = rd.from_arrow(pa.table({
+        "left_id": pa.array([1, 1, 1, 2], pa.uint64()),
+        "right_id": pa.array([2, 2, 3, 3], pa.uint64()),
+        "dropped_pairs": pa.array([5, 9, 0, 2], pa.uint64())}))
+
+    def run(**kw):
+        df = _pair_texts(cand, texts, buckets=4, **kw).to_pandas()
+        return (df.sort_values(["left_id", "right_id"])
+                [["left_id", "right_id", "dropped_pairs",
+                  "l_text", "r_text"]].reset_index(drop=True))
+
+    broadcast = run()
+    byte_gated = run(text_broadcast_bytes=0)
+    shuffle = run(probe_broadcast_threshold=0)
+    assert broadcast.equals(byte_gated)
+    assert broadcast.equals(shuffle)
+    assert list(broadcast["dropped_pairs"]) == [9, 0, 2]
+    assert list(broadcast["l_text"]) == ["aaa", "aaa", "bbb"]
+    assert list(broadcast["r_text"]) == ["bbb", "ccc", "ccc"]

@@ -84,3 +84,28 @@ def test_resumable_write_marks_empty_shards(ray_session, tmp_path):
     with open(os.path.join(root, f"shard={empties[0]:05d}",
                            "_SUCCESS.json")) as f:
         assert json.load(f)["rows"] == 0
+
+
+def test_resumable_write_empty_input(ray_session, tmp_path):
+    # an entirely-empty write (e.g. a filter that drops everything, or a
+    # resume where all pending shards are empty) must commit rows=0
+    # markers instead of crashing (round-4 ADVICE: column-less stats
+    # frame raised KeyError 'shard')
+    from address_address_matching_ray.sources.sink import (
+        finished_shards, read_back, resumable_write,
+    )
+    import ray.data as rd
+
+    root = str(tmp_path / "out")
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.array([], dtype=np.int64),
+        "payload": pd.Series([], dtype=object)}))
+    s = resumable_write(ds, root, key_col="doc_id", buckets=8,
+                        fingerprint="x")
+    assert s["rows_written"] == 0
+    assert finished_shards(root, 8, "x") == set(range(8))
+    assert read_back(root).count() == 0
+    # re-run skips everything
+    s2 = resumable_write(ds, root, key_col="doc_id", buckets=8,
+                         fingerprint="x")
+    assert s2 == {"written": 0, "skipped": 8, "rows_written": 0}

@@ -204,3 +204,28 @@ def test_stratified_sample(ray_session):
     # every stratum sampled at ~1/10
     n_types = ev.event_type.nunique()
     assert len(out) <= len(ev) // 10 + n_types
+
+
+def test_asof_join_left_uniform_block_schema(ray_session):
+    # every bucket must emit the same schema even when only some
+    # buckets contain unmatched left rows (round-4 ADVICE: mixed
+    # int64/float64 blocks for the same column break Arrow unification)
+    from address_address_matching_ray.pipelines.temporal import asof_join
+
+    # user 1 fully matched, user 2 unmatched -> different buckets would
+    # diverge without the unconditional float64 cast
+    left = _ds({"lid": np.arange(4, dtype=np.int64),
+                "user_id": np.array([1, 1, 2, 2], dtype=np.int64),
+                "ts": _ts(100, 200, 100, 200)})
+    right = _ds({"rid": np.array([7], dtype=np.int64),
+                 "user_id": np.array([1], dtype=np.int64),
+                 "rts": _ts(50)})
+    out = asof_join(left, right, on="ts", right_on="rts", by="user_id",
+                    buckets=8, how="left")
+    schemas = {str(b.schema) for b in out.iter_batches(
+        batch_format="pyarrow", batch_size=None)}
+    assert len(schemas) == 1, schemas
+    pdf = out.to_pandas().sort_values("lid").reset_index(drop=True)
+    assert pdf["rid"].dtype == np.float64
+    assert pdf["lid"].dtype == np.int64
+    assert pdf.loc[0, "rid"] == 7 and np.isnan(pdf.loc[2, "rid"])
