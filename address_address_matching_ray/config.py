@@ -40,6 +40,21 @@ LEVEL_ADJUSTMENTS: dict[str, float] = {
 
 TIER_NAMES: tuple[str, ...] = tuple(t[0] for t in TIER_TABLE)
 TIER_PRIORITY: dict[str, int] = {name: i for i, (name, _, _) in enumerate(TIER_TABLE)}
+TIER_CAPS: dict[str, int] = {name: cap for name, _, cap in TIER_TABLE}
+
+# Blocking-key family → retrieval tier.  Each key family in
+# ``match_queries`` plays the role of one tier's ES query
+# (ultimate_address_matcher.py:276-364), so candidate retrieval out of
+# its blocks is truncated at that tier's ``max_results`` (the K1/K3
+# per-tier caps): the recall/cost knob a reference user tunes per tier.
+KEY_FAMILY_TIER: dict[str, str] = {
+    "e": "exact",          # full normalized-address equality
+    "h": "relaxed",        # house | street | zip
+    "h2": "partial",       # house | street
+    "f": "geographic",     # house | street-first-token | zip
+    "s": "phonetic",       # house | soundex(street) | state
+    "k": "keyword",        # street keyword | zip-or-state scope
+}
 
 
 @dataclass

@@ -237,3 +237,43 @@ def simhash_band_keys(sigs: np.ndarray, bands: int = 4) -> list[list[str]]:
     for i in range(len(sigs)):
         out.append([f"s{j}:{int(slices[j][i]):x}" for j in range(bands)])
     return out
+
+
+def batch_set_jaccard(l_texts, r_texts, tokenize) -> np.ndarray:
+    """Token-SET Jaccard (in [0,100]) for aligned text pairs — the
+    dedup verify kernel.  Semantics are exactly the scalar
+    ``fuzzy.jaccard(tokenize(a), tokenize(b))`` spec (both-empty →
+    100); no hashing, so no collision caveat.
+
+    Shape: factorize pair sides to distinct docs (LSH pair tables
+    repeat docs ~cluster-size times), build each distinct doc's token
+    set ONCE, then one C-level ``set &`` per pair with the cyclic GC
+    paused (the burst of container allocations otherwise triggers
+    full collections — measured 2× on the set-build).  Replaces the
+    round-3 per-pair ``jaccard(a.split(), b.split())`` loop that
+    re-tokenized both sides for every pair: ~3× on a near-dup-heavy
+    corpus, approximately break-even when no doc repeats."""
+    import gc
+
+    import pandas as pd
+
+    l_texts = np.asarray(l_texts, dtype=object)
+    r_texts = np.asarray(r_texts, dtype=object)
+    npairs = len(l_texts)
+    if npairs == 0:
+        return np.array([], dtype=np.float64)
+    codes, uniques = pd.factorize(np.concatenate([l_texts, r_texts]))
+    lcode, rcode = codes[:npairs], codes[npairs:]
+    was_enabled = gc.isenabled()
+    gc.disable()
+    try:
+        sets = [set(tokenize(t)) for t in uniques]
+        inter = np.fromiter(
+            (len(sets[a] & sets[b]) for a, b in zip(lcode, rcode)),
+            np.int64, npairs)
+    finally:
+        if was_enabled:
+            gc.enable()
+    sizes = np.fromiter((len(s) for s in sets), np.int64, len(sets))
+    union = sizes[lcode] + sizes[rcode] - inter
+    return np.where(union > 0, 100.0 * inter / np.maximum(union, 1), 100.0)

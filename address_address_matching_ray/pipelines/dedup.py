@@ -38,9 +38,8 @@ import pandas as pd
 import pyarrow as pa
 
 from address_address_matching_ray.config import PipelineConfig
-from address_address_matching_ray.functions.fuzzy import jaccard
 from address_address_matching_ray.functions.minhash import (
-    MinHasher, SimHasher, hamming_distance, shingles,
+    MinHasher, SimHasher, batch_set_jaccard, hamming_distance, shingles,
 )
 from address_address_matching_ray.functions.textstats import char_ngrams
 from address_address_matching_ray.stages.cluster import (
@@ -501,10 +500,9 @@ def minhash_dedup(docs_ds, cfg: PipelineConfig | None = None,
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
             return df[["left_id", "right_id"]]
-        sims = np.fromiter(
-            (jaccard(a.split(), b.split())
-             for a, b in zip(df["l_text"], df["r_text"])),
-            dtype=np.float64, count=len(df))
+        sims = batch_set_jaccard(df["l_text"].to_numpy(dtype=object),
+                                 df["r_text"].to_numpy(dtype=object),
+                                 str.split)
         return df.loc[sims >= jaccard_threshold, ["left_id", "right_id"]]
 
     edges = with_text.map_batches(verify, batch_format="pandas")
@@ -560,10 +558,9 @@ def ngram_jaccard_dedup(docs_ds, cfg: PipelineConfig | None = None,
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
             return df[["left_id", "right_id"]]
-        sims = np.fromiter(
-            (jaccard(char_ngrams(a, n), char_ngrams(b, n))
-             for a, b in zip(df["l_text"], df["r_text"])),
-            dtype=np.float64, count=len(df))
+        sims = batch_set_jaccard(df["l_text"].to_numpy(dtype=object),
+                                 df["r_text"].to_numpy(dtype=object),
+                                 lambda t: char_ngrams(t, n))
         return df.loc[sims >= threshold, ["left_id", "right_id"]]
 
     edges = with_text.map_batches(verify, batch_format="pandas")

@@ -27,7 +27,9 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from address_address_matching_ray.config import PipelineConfig
+from address_address_matching_ray.config import (
+    KEY_FAMILY_TIER, TIER_CAPS, PipelineConfig,
+)
 from address_address_matching_ray.functions import scoring
 from address_address_matching_ray.functions.normalize import (
     normalize, normalize_array, phonetic_code, phonetic_code_array,
@@ -262,7 +264,13 @@ def match_queries(queries_ds, records_ds, cfg: PipelineConfig | None = None,
         df["bucket"] = (h % np.uint64(buckets)).astype("int64")
         return df
 
+    # per-tier retrieval caps (U:281-364): each key family is the
+    # blocking analog of one tier's ES query, so its blocks keep at
+    # most that tier's max_results candidates (1 exact … 50
+    # desperate); candidates_per_query stays the global ceiling
     cap = max(candidates_per_query, 50)
+    fam_cap = {fam: min(TIER_CAPS[tier], cap)
+               for fam, tier in KEY_FAMILY_TIER.items()}
 
     def cross_pairs(g: pd.DataFrame) -> pd.DataFrame:
         """All query×record pairs within each block of the bucket,
@@ -291,9 +299,13 @@ def match_queries(queries_ds, records_ds, cfg: PipelineConfig | None = None,
               .reset_index(drop=True))
         if not len(qs) or not len(rs):
             return pd.DataFrame(empty)
-        # per-pid-sorted rank within block → deterministic cap
+        # per-pid-sorted rank within block → deterministic cap at the
+        # block's tier max_results (reference retrieval truncation;
+        # pid order stands in for ES _score order — documented delta)
         r_rank = rs.groupby("block_key", sort=False).cumcount().to_numpy()
-        rs = rs[r_rank < cap].reset_index(drop=True)
+        fams = rs["block_key"].str.split(":", n=1).str[0]
+        r_caps = fams.map(fam_cap).fillna(cap).to_numpy(dtype=np.int64)
+        rs = rs[r_rank < r_caps].reset_index(drop=True)
         # align blocks present on both sides
         blocks, q_code = np.unique(qs["block_key"].to_numpy(dtype=object),
                                    return_inverse=True)

@@ -94,3 +94,36 @@ def test_batch_ratio_non_latin():
     got = fuzzy.batch_ratio(A, B)
     exp = [fuzzy.ratio(a, b) for a, b in zip(A, B)]
     np.testing.assert_allclose(got, exp, atol=1e-9)
+
+
+def test_batch_set_jaccard_matches_scalar_spec():
+    """Vectorized dedup-verify kernel ≡ scalar jaccard(tokenize(a),
+    tokenize(b)) on randomized corpora incl. empty/unicode/repeated
+    docs (the batch path factorizes distinct docs — repeats exercise
+    the CSR reuse)."""
+    import random
+
+    import numpy as np
+
+    from address_address_matching_ray.functions.fuzzy import jaccard
+    from address_address_matching_ray.functions.minhash import (
+        batch_set_jaccard,
+    )
+    from address_address_matching_ray.functions.textstats import char_ngrams
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "δélta", "eps", "zeta", "", "xx"]
+    docs = [" ".join(rng.choices(vocab, k=rng.randint(0, 10)))
+            for _ in range(12)] + ["", " "]
+    for _ in range(50):
+        l = [rng.choice(docs) for _ in range(23)]
+        r = [rng.choice(docs) for _ in range(23)]
+        got = batch_set_jaccard(l, r, str.split)
+        want = np.array([jaccard(a.split(), b.split())
+                         for a, b in zip(l, r)])
+        assert np.allclose(got, want)
+        got_n = batch_set_jaccard(l, r, lambda t: char_ngrams(t, 3))
+        want_n = np.array([jaccard(char_ngrams(a, 3), char_ngrams(b, 3))
+                           for a, b in zip(l, r)])
+        assert np.allclose(got_n, want_n)
+    assert batch_set_jaccard([], [], str.split).shape == (0,)

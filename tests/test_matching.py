@@ -157,3 +157,55 @@ def test_low_tier_match_carries_warnings(ray_session, records_ds):
     w = scoring.warning_strings(tier, sim)
     assert "Low confidence match level" in w[0]
     assert "Low similarity score" in w[0]
+
+
+def test_per_tier_max_results_caps(ray_session):
+    """Tier-k retrieval truncation (U:281-364): each key family keeps
+    at most its tier's max_results candidates per block, pid-ordered
+    (the deterministic stand-in for ES _score order).  Replays the
+    reference setup: a block stuffed past every shared family's cap
+    makes a late-pid perfect match unreachable — exactly what the
+    reference's per-tier `size` does — while lifting the caps restores
+    it."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from address_address_matching_ray.config import TIER_CAPS
+    from address_address_matching_ray.pipelines.matching import match_queries
+
+    # 32 fillers + one exact-unit record sorting LAST by pid.  All 33
+    # share the h:/h2:/f:/s: blocks (same HOUSE|STREET|ZIP|STATE); only
+    # z_best carries the query's unit (unit_exact is the top-priority
+    # sort key, U:938-939).  Caps: relaxed 3, partial 5, geographic 10,
+    # phonetic 30 → z_best (pid rank 32) is never retrieved.  ADDRESS
+    # strings are kept distinct from the query so no record co-blocks
+    # via the exact family.
+    fillers = [{"pid": f"a{i:02d}", "ADDRESS": f"100 Main St #{i}",
+                "HOUSE": "100", "STREET": "Main", "STRTYPE": "St",
+                "PREDIR": "", "CITY": "Springfield", "STATE": "IL",
+                "ZIP_CODE": "62701", "APTNBR": ""} for i in range(32)]
+    best = {"pid": "z_best", "ADDRESS": "100 Main St Apt 7",
+            "HOUSE": "100", "STREET": "Main", "STRTYPE": "St",
+            "PREDIR": "", "CITY": "Springfield", "STATE": "IL",
+            "ZIP_CODE": "62701", "APTNBR": "7"}
+    records = rd.from_arrow(pa.Table.from_pylist(fillers + [best]))
+    queries = rd.from_arrow(pa.table({
+        "query_id": pa.array([0], pa.uint64()),
+        "query": ["100 Main St Apt 7 Springfield IL 62701"]}))
+
+    capped = match_queries(queries, records, buckets=4).to_pandas()
+    assert len(capped) == 1
+    assert capped.iloc[0]["pid"] != "z_best"      # truncated away
+
+    # lifting the per-tier caps (the reference would set max_results
+    # high) makes the late-pid perfect match retrievable again
+    saved = dict(TIER_CAPS)
+    try:
+        for k in TIER_CAPS:
+            TIER_CAPS[k] = 64
+        uncapped = match_queries(queries, records, buckets=4).to_pandas()
+    finally:
+        TIER_CAPS.update(saved)
+    assert uncapped.iloc[0]["pid"] == "z_best"
+    assert bool(uncapped.iloc[0]["unit_exact"])
+    assert not bool(capped.iloc[0]["unit_exact"])
