@@ -149,6 +149,19 @@ def _q_ngram_dedup(sf_dir: str):
     return ngram_jaccard_dedup(_docs(sf_dir)).sort("doc_id")
 
 
+def _q_jaccard_verify(sf_dir: str):
+    # the dedup VERIFY arithmetic made DuckDB-checkable: all-pairs
+    # token-set Jaccard through batch_set_jaccard (the exact kernel
+    # minhash/ngram dedup accept edges with), vs a list_intersect SQL
+    # self-join — converts the verify half of the no-oracle LSH family
+    # into an oracled row
+    from address_address_matching_ray.pipelines.dedup import all_pairs_jaccard
+    from address_address_matching_ray.pipelines.relational import read
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    return all_pairs_jaccard(docs).sort(["left_id", "right_id"])
+
+
 def _q_embedding_dedup(sf_dir: str):
     from address_address_matching_ray.pipelines.similarity import embedding_dedup
 
@@ -306,8 +319,10 @@ def _q_match_queries(sf_dir: str):
 
     records = rd.from_arrow(fixture_records_table()).union(
         synth_records(400, seed=_SEED)).materialize()
-    rec_pdf = records.select_columns(["pid", "ADDRESS"]).to_pandas()
-    rec_pdf = rec_pdf.sort_values("pid").head(200)
+    # bounded driver pull: limit() truncates BEFORE materialization —
+    # only the 200 query rows ever reach the driver
+    rec_pdf = (records.select_columns(["pid", "ADDRESS"])
+               .sort("pid").limit(200).to_pandas())
     queries = rd.from_arrow(pa.table({
         "query_id": pa.array(range(len(rec_pdf)), pa.uint64()),
         "query": pa.array(rec_pdf["ADDRESS"].tolist(), pa.string())}))
@@ -424,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": _q_minhash_dedup,
         "simhash_dedup": _q_simhash_dedup,
         "ngram_dedup": _q_ngram_dedup,
+        "jaccard_verify": _q_jaccard_verify,
         "embedding_dedup": _q_embedding_dedup,
         # similarity search
         "ann_topk": _q_ann_topk,
@@ -809,6 +825,28 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT *, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
                     FROM documents) d)
             WHERE rn = 1 ORDER BY doc_id""",
+        # verify-math oracle for the LSH dedup family: same token-set
+        # Jaccard arithmetic as batch_set_jaccard (100.0*i/u doubles,
+        # floor-1e-6 quantize — verified bit-identical at sf0.01)
+        "jaccard_verify": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(
+                       string_split_regex(lower(text), '\s+'),
+                       x -> x <> '')) AS toks
+              FROM documents),
+            p AS (
+              SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                     len(list_intersect(a.toks, b.toks)) AS i,
+                     len(a.toks) AS la, len(b.toks) AS lb
+              FROM t a JOIN t b ON a.doc_id < b.doc_id)
+            SELECT left_id, right_id,
+                   floor(CASE WHEN la + lb - i = 0 THEN 100.0
+                              ELSE 100.0 * i / (la + lb - i) END * 1e6)
+                   / 1e6 AS sim
+            FROM p
+            WHERE la + lb - i = 0 OR 100.0 * i / (la + lb - i) >= 70.0
+            ORDER BY left_id, right_id""",
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_idx, embedding FROM embeddings WHERE vec_id < 3)
             SELECT query_idx, vec_id, rank FROM (

@@ -566,3 +566,60 @@ def ngram_jaccard_dedup(docs_ds, cfg: PipelineConfig | None = None,
     edges = with_text.map_batches(verify, batch_format="pandas")
     return _dedup_from_edges(docs_ds, edges, id_col,
                              broadcast_threshold=broadcast_threshold)
+
+
+def all_pairs_jaccard(docs_ds, threshold: float = 70.0,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      max_corpus_rows: int = 100_000):
+    """Brute-force all-pairs token-set Jaccard ≥ ``threshold`` — the
+    DuckDB-checkable oracle surface for the dedup VERIFY arithmetic
+    (``batch_set_jaccard``; SQL side: ``list_intersect`` over
+    ``string_split_regex`` token lists).
+
+    O(n²) pairs BY DESIGN: this exists to prove the verify math
+    against SQL at test scale, where LSH candidate generation itself
+    can't be expressed.  The production dedup pipelines
+    (minhash/simhash/ngram) bound pairs via LSH; this one refuses
+    corpora past ``max_corpus_rows`` instead of pretending to scale.
+
+    Per-batch shape is still the scale-correct one: the normalized
+    corpus is broadcast ONCE (``ray.put``), each batch pairs its rows
+    against the higher-id slice, and ``batch_set_jaccard`` factorizes
+    the corpus texts per batch."""
+    import ray
+
+    slim = _slim_texts(docs_ds, text_col, id_col)
+    n = slim.count()
+    if n > max_corpus_rows:
+        raise ValueError(
+            f"all_pairs_jaccard is the O(n²) verify-math oracle, not a "
+            f"dedup pipeline: corpus has {n} rows > {max_corpus_rows}; "
+            f"use minhash_dedup/ngram_jaccard_dedup instead")
+    corpus = slim.to_pandas().sort_values("doc_id")
+    ids = corpus["doc_id"].to_numpy(dtype="uint64")
+    txt = corpus["norm_text"].to_numpy(dtype=object)
+    ref = ray.put((ids, txt))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        k, tx = ray.get(ref)
+        l_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype("uint64")
+        l_txt = t["norm_text"].to_numpy(zero_copy_only=False)
+        # each left row pairs with every corpus doc of HIGHER id
+        pos = np.searchsorted(k, l_ids, side="right")
+        lens = len(k) - pos
+        total = int(lens.sum())
+        if total == 0:
+            return pa.table({"left_id": pa.array([], pa.int64()),
+                             "right_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        r_idx = (np.repeat(pos - np.concatenate([[0], np.cumsum(lens)[:-1]]),
+                           lens) + np.arange(total))
+        l_rep = np.repeat(np.arange(len(l_ids)), lens)
+        sims = batch_set_jaccard(l_txt[l_rep], tx[r_idx], str.split)
+        keep = sims >= threshold
+        return pa.table({
+            "left_id": pa.array(l_ids[l_rep[keep]].astype("int64")),
+            "right_id": pa.array(k[r_idx[keep]].astype("int64")),
+            "sim": pa.array(np.floor(sims[keep] * 1e6) / 1e6)})
+
+    return slim.map_batches(pairs, batch_format="pyarrow", batch_size=256)
