@@ -102,7 +102,15 @@ def extract_address(text: str) -> str:
     """First *valid* address-like window in the text: zip-anchored token
     window (validated — a bare 5-digit number like a listing id is not
     an address: the window must keep ≥3 tokens incl. a word after
-    trimming leading prose), else a house-number+street-type pattern."""
+    trimming leading prose), else a house-number+street-type pattern.
+
+    Deliberately a lazy scalar loop: round-4 measurement on 20k synth
+    pages — this early-exit loop 0.27-0.31 s vs 3.0 s for a pandas
+    ``str.extractall`` column pass (laziness dominates: all-windows
+    extraction scans every decoy number) and 0.37 s for a regex-based
+    lead-token trim (the token loop usually breaks at token 1-2, under
+    regex-engine setup cost).  Don't "vectorize" this without beating
+    those numbers on real extracted text."""
     for m in _ADDR_WINDOW_RE.finditer(text):
         tokens = m.group(1).split()
         start = 0
