@@ -383,6 +383,17 @@ def _q_approx_distinct_users(sf_dir: str):
     return approx_distinct_users(sf_dir)
 
 
+def _q_approx_value_percentiles(sf_dir: str):
+    # KLL-sketched per-group quantiles (unbounded-key-cardinality
+    # shape); approximate by nature → no SQL oracle, rows-only check +
+    # the rank-error/merge-order pytest gates
+    from address_address_matching_ray.pipelines.temporal import (
+        approx_value_percentiles,
+    )
+
+    return approx_value_percentiles(sf_dir)
+
+
 def _q_value_percentiles(sf_dir: str):
     from address_address_matching_ray.pipelines.temporal import value_percentiles
 
@@ -468,6 +479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": _q_distinct_users,
         "approx_distinct_users": _q_approx_distinct_users,
         "value_percentiles": _q_value_percentiles,
+        "approx_value_percentiles": _q_approx_value_percentiles,
         "top_events_per_user": _q_top_events_per_user,
         "stratified_sample": _q_stratified_sample,
         "customers_without_orders": _q_customers_without_orders,

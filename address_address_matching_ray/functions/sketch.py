@@ -51,3 +51,101 @@ def kmv_estimate(sketch: np.ndarray, k: int) -> int:
         return int(len(sketch))
     kth = np.float64(sketch[k - 1]) + 1.0       # normalize to (0, 1]
     return int(round((k - 1) * _FULL / kth))
+
+
+# ── KLL quantile sketch (Karnin-Lang-Liberty, FOCS 2016) ────────────
+#
+# Mergeable rank/quantile sketch: level l holds items of weight 2^l;
+# when a level overflows its capacity (k shrinking geometrically by
+# 2/3 per level below the top), it is sorted and every other item is
+# promoted to level l+1.  Partials from any batch/shuffle order merge
+# by concatenation + recompression.  Rank error is O(1/k) with the
+# standard construction; the compaction offset here is DETERMINISTIC
+# (parity of level + level count, not a coin flip) so results are
+# reproducible under retries — the randomized guarantee degrades to
+# an empirical bound, which the tests pin (same trade Apache
+# DataSketches' deterministic test mode makes).
+#
+# Wire format is two parallel arrays ``(values float64, levels uint8)``
+# — flat rows, so a per-key partial ships through an Arrow shuffle as
+# ≤ ~3k scalar rows regardless of input size (the 100-TB per-key
+# percentile shape; exact per-key percentiles need the whole group on
+# one task).
+
+_KLL_MIN_LEVEL_CAP = 2
+
+
+def _kll_caps(k: int, num_levels: int) -> np.ndarray:
+    """Capacity per level, top level = k, shrinking by 2/3 downward."""
+    caps = np.array([max(int(np.ceil(k * (2.0 / 3.0) ** d)),
+                         _KLL_MIN_LEVEL_CAP)
+                     for d in range(num_levels - 1, -1, -1)], dtype=np.int64)
+    return caps
+
+
+def kll_compress(values: np.ndarray, levels: np.ndarray, k: int):
+    """Compact ``(values, levels)`` until every level fits its cap."""
+    values = np.asarray(values, dtype=np.float64)
+    levels = np.asarray(levels, dtype=np.uint8)
+    while True:
+        num_levels = int(levels.max()) + 1 if len(levels) else 1
+        caps = _kll_caps(k, num_levels)
+        counts = np.bincount(levels, minlength=num_levels)
+        if len(values) <= caps.sum():
+            return values, levels
+        # sum(counts) > sum(caps) ⇒ some level exceeds its cap
+        # (pigeonhole), and that level holds ≥ cap+1 ≥ 3 items, so
+        # every iteration promotes ≥ 1 item — guaranteed progress
+        l = int(np.flatnonzero(counts > caps)[0])
+        sel = levels == l
+        lv = np.sort(values[sel])
+        offset = (l + len(lv)) & 1          # deterministic coin
+        leftover = lv[:0]
+        if len(lv) & 1:
+            # odd count: one item stays at this level so total mass is
+            # EXACTLY preserved (2m items of weight w → m of weight 2w)
+            leftover, lv = (lv[:1], lv[1:]) if offset else (lv[-1:], lv[:-1])
+        promoted = lv[offset::2]
+        values = np.concatenate([values[~sel], leftover, promoted])
+        levels = np.concatenate(
+            [levels[~sel], np.full(len(leftover), l, dtype=np.uint8),
+             np.full(len(promoted), l + 1, dtype=np.uint8)])
+
+
+def kll_partial(raw: np.ndarray, k: int = 200):
+    """Sketch of one batch of raw (weight-1) values."""
+    raw = np.asarray(raw, dtype=np.float64)
+    raw = raw[~np.isnan(raw)]
+    return kll_compress(raw, np.zeros(len(raw), dtype=np.uint8), k)
+
+
+def kll_merge(values: np.ndarray, levels: np.ndarray, k: int = 200):
+    """Merge concatenated partial rows into one sketch — associative/
+    commutative up to the deterministic compaction (tests pin the rank
+    error across merge orders, not bitwise equality)."""
+    return kll_compress(values, levels, k)
+
+
+def kll_weight(levels: np.ndarray) -> np.ndarray:
+    return (np.uint64(1) << levels.astype(np.uint64)).astype(np.float64)
+
+
+def kll_quantile(values: np.ndarray, levels: np.ndarray, q: float) -> float:
+    """Smallest sketch value whose cumulative weight reaches ``q`` of
+    the total — the standard rank query."""
+    if len(values) == 0:
+        return float("nan")
+    order = np.argsort(values, kind="stable")
+    v = np.asarray(values, dtype=np.float64)[order]
+    cw = np.cumsum(kll_weight(np.asarray(levels)[order]))
+    idx = int(np.searchsorted(cw, q * cw[-1], side="left"))
+    return float(v[min(idx, len(v) - 1)])
+
+
+def kll_rank(values: np.ndarray, levels: np.ndarray, x: float) -> float:
+    """Approximate normalized rank of ``x`` (fraction of mass < x)."""
+    if len(values) == 0:
+        return float("nan")
+    w = kll_weight(np.asarray(levels))
+    total = w.sum()
+    return float(w[np.asarray(values, dtype=np.float64) < x].sum() / total)

@@ -34,7 +34,8 @@ import pyarrow as pa
 from ray.data.aggregate import Count, Sum
 
 from address_address_matching_ray.functions.sketch import (
-    hash_values, kmv_estimate, kmv_merge, kmv_partial,
+    hash_values, kll_merge, kll_partial, kll_quantile, kll_weight,
+    kmv_estimate, kmv_merge, kmv_partial,
 )
 from address_address_matching_ray.pipelines.relational import read, round_cols
 
@@ -335,4 +336,40 @@ def value_percentiles(sf_dir: str):
             "n": np.array([len(v)], dtype="int64")})
 
     return (ds.groupby("event_type").map_groups(q, batch_format="pandas")
+            .sort("event_type"))
+
+
+def approx_value_percentiles(sf_dir: str, k: int = 200):
+    """KLL-sketched per-group percentiles — the 100-TB shape for
+    per-key quantiles at UNBOUNDED key cardinality: the shuffle
+    carries at most the sketch rows (~3k float64s) per (event_type,
+    batch) instead of the whole group, unlike ``value_percentiles``
+    which documents its bounded-group assumption.  Deterministic
+    compaction → stable rows; the rank-error bound lives in
+    ``test_temporal.py``."""
+    ds = read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for et, s in df.groupby("event_type", sort=False)["value"]:
+            v, l = kll_partial(s.to_numpy(), k)
+            outs.append(pd.DataFrame({
+                "event_type": et, "_v": v, "_l": l.astype("int64")}))
+        return (pd.concat(outs, ignore_index=True) if outs else
+                pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                              "_v": pd.Series([], dtype="float64"),
+                              "_l": pd.Series([], dtype="int64")}))
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        v, l = kll_merge(g["_v"].to_numpy(),
+                         g["_l"].to_numpy().astype(np.uint8), k)
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "p50_est": [kll_quantile(v, l, 0.5)],
+            "p95_est": [kll_quantile(v, l, 0.95)],
+            "n_est": np.array([kll_weight(l).sum()], dtype="int64")})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("event_type")
+            .map_groups(finalize, batch_format="pandas")
             .sort("event_type"))

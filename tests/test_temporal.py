@@ -229,3 +229,66 @@ def test_asof_join_left_uniform_block_schema(ray_session):
     assert pdf["rid"].dtype == np.float64
     assert pdf["lid"].dtype == np.int64
     assert pdf.loc[0, "rid"] == 7 and np.isnan(pdf.loc[2, "rid"])
+
+
+def test_kll_error_bound_and_merge_order():
+    """KLL quantile sketch: rank error stays within the k=200 bound on
+    random AND adversarially-sorted streams, for BOTH merge orders
+    (deterministic compaction makes the bound empirical — pinned
+    here, mirroring the KMV accuracy gate)."""
+    from address_address_matching_ray.functions.sketch import (
+        kll_merge, kll_partial, kll_quantile, kll_weight,
+    )
+
+    rng = np.random.default_rng(7)
+    k = 200
+    for dist in (rng.normal(0, 1, 80_000), rng.exponential(1, 80_000),
+                 np.arange(80_000, dtype="float64"),
+                 np.arange(80_000, dtype="float64")[::-1]):
+        exact = np.sort(dist)
+        chunks = np.array_split(dist, 37)
+        parts = [kll_partial(c, k) for c in chunks]
+        for order in (list(range(len(parts))),
+                      list(reversed(range(len(parts))))):
+            v = np.concatenate([parts[i][0] for i in order])
+            l = np.concatenate([parts[i][1] for i in order])
+            v, l = kll_merge(v, l, k)
+            assert len(v) < 3 * k            # bounded sketch rows
+            assert kll_weight(l).sum() == len(dist)   # mass preserved
+            for q in (0.05, 0.5, 0.95):
+                est = kll_quantile(v, l, q)
+                rank = np.searchsorted(exact, est) / len(exact)
+                assert abs(rank - q) < 0.01, (q, rank)
+
+
+def test_kll_small_stream_exact():
+    from address_address_matching_ray.functions.sketch import (
+        kll_partial, kll_quantile,
+    )
+
+    v, l = kll_partial(np.array([3.0, 1.0, 2.0]), k=200)
+    assert (l == 0).all()                    # below cap: no compaction
+    assert kll_quantile(v, l, 0.5) == 2.0
+    assert np.isnan(kll_quantile(np.array([]), np.array([]), 0.5))
+
+
+def test_approx_value_percentiles_close_to_exact(ray_session):
+    from address_address_matching_ray.pipelines.temporal import (
+        approx_value_percentiles, value_percentiles,
+    )
+
+    est = (approx_value_percentiles(SF).to_pandas()
+           .set_index("event_type"))
+    ex = value_percentiles(SF).to_pandas().set_index("event_type")
+    assert set(est.index) == set(ex.index)
+    assert (est["n_est"] == ex["n"]).all()   # weights sum exactly
+    for et in ex.index:
+        vals = ex.loc[et]
+        # sf0.001 groups are small (< k) → sketch is lossless: the rank
+        # query returns the order statistic flanking the interpolated
+        # exact quantile, so the difference is bounded by local spacing
+        spread = vals["p95_value"] - vals["p50_value"]
+        assert abs(est.loc[et, "p50_est"] - vals["p50_value"]) <= max(
+            0.05 * spread + 1e-6, 0.5)
+        assert abs(est.loc[et, "p95_est"] - vals["p95_value"]) <= max(
+            0.10 * spread + 1e-6, 0.5)
