@@ -8,10 +8,12 @@ module re-implements the exact metrics from their public definitions:
                          ``100 * 2*LCS(a,b) / (len(a)+len(b))``
 - ``token_sort_ratio`` = ``ratio`` on whitespace-split, sorted, re-joined
 - ``partial_ratio``    = best ``ratio`` of the shorter string against
-                         length-matched sliding windows of the longer
-                         (classic fuzzywuzzy semantics; rapidfuzz's
-                         block-anchored search can differ by a few
-                         points on rare inputs — documented delta)
+                         rapidfuzz's window set — leading prefixes,
+                         every full-length window, trailing suffixes,
+                         with the edge-char gate (the published
+                         short-needle algorithm; closes the round-3
+                         "few points on rare inputs" delta that
+                         full-window-only search had)
 
 Scalar functions are the spec (simple DP).  ``batch_ratio`` is the
 hot-path engine: a bit-parallel LCS (Allison–Dix/Hyyrö recurrence)
@@ -71,18 +73,40 @@ def token_sort_ratio(a: str, b: str) -> float:
     return ratio(" ".join(sorted(a.split())), " ".join(sorted(b.split())))
 
 
+def _partial_windows(s: str, l: str):
+    """rapidfuzz's ``_partial_ratio_short_needle`` window enumeration
+    (public pure-python fallback, rapidfuzz/fuzz_py.py): leading
+    prefixes ``l[:i]``, every full-length window, trailing suffixes
+    ``l[i:]`` — each gated by its edge character appearing in the
+    needle (dropping a non-matching edge char can only raise the
+    normalized score, and that shorter window is enumerated too)."""
+    m, n = len(s), len(l)
+    cs = set(s)
+    for i in range(1, m):
+        if l[i - 1] in cs:
+            yield l[:i]
+    for i in range(n - m + 1):
+        if l[i + m - 1] in cs:
+            yield l[i:i + m]
+    for i in range(n - m + 1, n):
+        if l[i] in cs:
+            yield l[i:]
+
+
 def partial_ratio(a: str, b: str) -> float:
-    """``fuzz.partial_ratio`` — used for city (optimized.py:676)."""
+    """``fuzz.partial_ratio`` — used for city (optimized.py:676).
+    Block-anchored search matching rapidfuzz's published algorithm
+    (prefix + full + suffix windows with the edge-char gate), not just
+    full-length sliding windows: e.g. ``("ab", "ba") → 66.67`` (best
+    alignment is ``"b"``), where a full-window-only search says 50."""
     if not a and not b:
         return 100.0
     if not a or not b:
         return 0.0
     s, l = (a, b) if len(a) <= len(b) else (b, a)
-    if len(s) == len(l):
-        return ratio(s, l)
     best = 0.0
-    for i in range(len(l) - len(s) + 1):
-        r = ratio(s, l[i:i + len(s)])
+    for w in _partial_windows(s, l):
+        r = ratio(s, w)
         if r > best:
             best = r
             if best == 100.0:
@@ -269,9 +293,8 @@ def batch_partial_ratio(a_strs, b_strs) -> np.ndarray:
     for i, (s, l) in enumerate(zip(shorts, longs)):
         if not s or not l:
             continue
-        ls = len(s)
-        for off in range(len(l) - ls + 1):
-            win_a.append(s); win_b.append(l[off:off + ls]); owner.append(i)
+        for w in _partial_windows(s, l):
+            win_a.append(s); win_b.append(w); owner.append(i)
     n = len(a_strs)
     out = np.zeros(n, dtype=np.float64)
     both_empty = [not a and not b for a, b in zip(a_strs, b_strs)]

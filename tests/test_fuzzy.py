@@ -127,3 +127,46 @@ def test_batch_set_jaccard_matches_scalar_spec():
                            for a, b in zip(l, r)])
         assert np.allclose(got_n, want_n)
     assert batch_set_jaccard([], [], str.split).shape == (0,)
+
+
+def test_partial_ratio_block_anchored_parity():
+    """rapidfuzz's short-needle window set, incl. the cases a
+    full-window-only slide gets wrong (published rapidfuzz values)."""
+    import numpy as np
+
+    from address_address_matching_ray.functions import fuzzy
+
+    # best alignment of "ab" in "ba" is the 1-char suffix/prefix "b"
+    assert abs(fuzzy.partial_ratio("ab", "ba") - 200.0 / 3) < 1e-9
+    assert fuzzy.partial_ratio("this is a test",
+                               "this is a test!") == 100.0
+    assert fuzzy.partial_ratio("similar", "somewhat similar") == 100.0
+    # symmetric
+    assert (fuzzy.partial_ratio("ba", "ab")
+            == fuzzy.partial_ratio("ab", "ba"))
+    # batch path enumerates the same windows
+    A = ["ab", "brook", "ny", "xyz", "", "springfield"]
+    B = ["ba", "brooklyn", "nyc", "abc", "", "sprngfield il"]
+    assert np.allclose(fuzzy.batch_partial_ratio(A, B),
+                       [fuzzy.partial_ratio(a, b) for a, b in zip(A, B)])
+
+
+def test_partial_ratio_windows_never_below_full_slide():
+    """The enriched window set is a superset of full-length windows, so
+    scores can only go up vs the round-3 implementation."""
+    import random
+
+    from address_address_matching_ray.functions import fuzzy
+
+    rng = random.Random(11)
+    alpha = "abcdef "
+    for _ in range(300):
+        a = "".join(rng.choices(alpha, k=rng.randint(0, 10)))
+        b = "".join(rng.choices(alpha, k=rng.randint(0, 14)))
+        if not a or not b:
+            continue
+        s, l = (a, b) if len(a) <= len(b) else (b, a)
+        full_only = max(
+            (fuzzy.ratio(s, l[i:i + len(s)])
+             for i in range(len(l) - len(s) + 1)), default=0.0)
+        assert fuzzy.partial_ratio(a, b) >= full_only - 1e-9
