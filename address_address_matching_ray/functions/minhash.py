@@ -247,14 +247,17 @@ def batch_set_jaccard(l_texts, r_texts, tokenize) -> np.ndarray:
 
     Shape: factorize pair sides to distinct docs (LSH pair tables
     repeat docs ~cluster-size times), build each distinct doc's token
-    set ONCE, then one C-level ``set &`` per pair with the cyclic GC
-    paused (the burst of container allocations otherwise triggers
-    full collections — measured 2× on the set-build).  Replaces the
+    set ONCE, then one C-level ``set &`` per pair.  Replaces the
     round-3 per-pair ``jaccard(a.split(), b.split())`` loop that
     re-tokenized both sides for every pair: ~3× on a near-dup-heavy
-    corpus, approximately break-even when no doc repeats."""
-    import gc
+    corpus, approximately break-even when no doc repeats.
 
+    Deliberately does NOT touch the cyclic GC: pausing it during the
+    set-build looked like a 2× win in a small-heap microbench, but in
+    a real Ray worker the re-enable forced a full gen-2 collection
+    over the worker's multi-million-object heap on EVERY block —
+    measured 172 s vs 10 s for the 1M-doc ngram verify stage
+    (round 4)."""
     import pandas as pd
 
     l_texts = np.asarray(l_texts, dtype=object)
@@ -264,16 +267,10 @@ def batch_set_jaccard(l_texts, r_texts, tokenize) -> np.ndarray:
         return np.array([], dtype=np.float64)
     codes, uniques = pd.factorize(np.concatenate([l_texts, r_texts]))
     lcode, rcode = codes[:npairs], codes[npairs:]
-    was_enabled = gc.isenabled()
-    gc.disable()
-    try:
-        sets = [set(tokenize(t)) for t in uniques]
-        inter = np.fromiter(
-            (len(sets[a] & sets[b]) for a, b in zip(lcode, rcode)),
-            np.int64, npairs)
-    finally:
-        if was_enabled:
-            gc.enable()
+    sets = [set(tokenize(t)) for t in uniques]
+    inter = np.fromiter(
+        (len(sets[a] & sets[b]) for a, b in zip(lcode, rcode)),
+        np.int64, npairs)
     sizes = np.fromiter((len(s) for s in sets), np.int64, len(sets))
     union = sizes[lcode] + sizes[rcode] - inter
     return np.where(union > 0, 100.0 * inter / np.maximum(union, 1), 100.0)

@@ -38,6 +38,7 @@ import pandas as pd
 import pyarrow as pa
 
 from address_address_matching_ray.config import PipelineConfig
+from address_address_matching_ray.functions.fuzzy import jaccard
 from address_address_matching_ray.functions.minhash import (
     MinHasher, SimHasher, batch_set_jaccard, hamming_distance, shingles,
 )
@@ -264,7 +265,7 @@ def _dedup_cand_pairs(cand_ds, buckets: int = 32):
 
 
 def _pair_texts(cand_ds, texts_ds, buckets: int = 32,
-                probe_broadcast_threshold: int = 5_000_000,
+                probe_broadcast_threshold: int = 16_000_000,
                 text_broadcast_bytes: int = 1 << 30):
     """Attach ``l_text``/``r_text`` to candidate id pairs.
 
@@ -273,7 +274,10 @@ def _pair_texts(cand_ds, texts_ds, buckets: int = 32,
     buckets (~10× duplication at 16 bands) — so they are deduped first.
 
     **Broadcast path** (raw pair count ≤ threshold — the common case on
-    a near-dup-sparse corpus, same discipline as ``filter_out_ids``):
+    a near-dup-sparse corpus, same discipline as ``filter_out_ids``;
+    the 16M default bounds the driver pull at ≤384 MB of 24-B pair
+    rows, and probed-TEXT bytes are gated separately by
+    ``text_broadcast_bytes``):
     dedup the slim 24-B pair rows on the driver in one vectorized pass,
     filter the text table to probed doc_ids with one sorted-array
     membership test per batch, pull ONLY those texts, broadcast the
@@ -366,7 +370,12 @@ def _pair_texts(cand_ds, texts_ds, buckets: int = 32,
                             tf["norm_text"].to_numpy(dtype=object)[order]))
 
         def attach_pairs(t: pa.Table) -> pa.Table:
-            k, txt = ray.get(text_ref)
+            # worker-cached: the (ids, OBJECT-array-of-texts) tuple is
+            # pickled, not zero-copy — a bare ray.get per batch
+            # re-deserialized 300k strings every 1024 rows (round-4
+            # regression hunt: minutes of pure unpickling)
+            from address_address_matching_ray.stages.bcast import get_cached
+            k, txt = get_cached(text_ref)
             if len(k) == 0 or t.num_rows == 0:
                 return _empty_out()
             l = t["left_id"].to_numpy(zero_copy_only=False).astype("uint64")
@@ -383,8 +392,15 @@ def _pair_texts(cand_ds, texts_ds, buckets: int = 32,
                 "l_text": pa.array(txt[lp[m]], pa.string()),
                 "r_text": pa.array(txt[rp[m]], pa.string())})
 
-        return _rd.from_arrow(pairs_tbl).map_batches(
-            attach_pairs, batch_format="pyarrow")
+        # split the deduped pair table into many driver-side slices —
+        # ONE Arrow table would become ONE block and serialize the
+        # whole attach+verify chain into a single task (round-4 hunt:
+        # the 1M-doc ngram verify ran serially for minutes)
+        nrows = pairs_tbl.num_rows
+        step = max(4096, -(-nrows // 64))
+        slices = [pairs_tbl.slice(s, step) for s in range(0, nrows, step)]
+        return _rd.from_arrow(slices).map_batches(
+            attach_pairs, batch_format="pyarrow", batch_size=None)
 
     return _shuffle_attach(_dedup_cand_pairs(cand_ds, buckets), texts_ds,
                            buckets)
@@ -498,14 +514,24 @@ def minhash_dedup(docs_ds, cfg: PipelineConfig | None = None,
                             buckets)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
+        # transient per-pair sets ON PURPOSE (round-4 measurement):
+        # pair-hash pivot buckets scatter a doc's pairs, so verify
+        # blocks have ~zero text repetition and the factorized
+        # batch_set_jaccard kernel has nothing to reuse — while its
+        # thousands of LIVE sets per task × 32 concurrent workers
+        # saturated the shared memory bus (word verify 4 s → ngram
+        # analog 196 s vs 10 s for this loop at 1M docs).  The
+        # per-pair loop's working set stays L2-sized.
         if not len(df):
             return df[["left_id", "right_id"]]
-        sims = batch_set_jaccard(df["l_text"].to_numpy(dtype=object),
-                                 df["r_text"].to_numpy(dtype=object),
-                                 str.split)
+        sims = np.fromiter(
+            (jaccard(a.split(), b.split())
+             for a, b in zip(df["l_text"], df["r_text"])),
+            dtype=np.float64, count=len(df))
         return df.loc[sims >= jaccard_threshold, ["left_id", "right_id"]]
 
-    edges = with_text.map_batches(verify, batch_format="pandas")
+    edges = with_text.map_batches(verify, batch_format="pandas",
+                                  batch_size=None)
     return _dedup_from_edges(docs_ds, edges, id_col,
                              broadcast_threshold=broadcast_threshold)
 
@@ -533,7 +559,8 @@ def simhash_dedup(docs_ds, cfg: PipelineConfig | None = None,
                              df["r_sig"].to_numpy(dtype="uint64"))
         return df.loc[d <= max_hamming, ["left_id", "right_id"]]
 
-    edges = cand.map_batches(verify, batch_format="pandas")
+    edges = cand.map_batches(verify, batch_format="pandas",
+                             batch_size=None)
     return _dedup_from_edges(docs_ds, edges, id_col,
                              broadcast_threshold=broadcast_threshold)
 
@@ -556,14 +583,20 @@ def ngram_jaccard_dedup(docs_ds, cfg: PipelineConfig | None = None,
                             buckets)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
+        # transient per-pair sets on purpose — see minhash_dedup's
+        # verify: factorization has nothing to reuse on pair-hash-
+        # scattered blocks, and live set pools thrash the memory bus
+        # (196 s vs 10 s at 1M docs, 32 workers)
         if not len(df):
             return df[["left_id", "right_id"]]
-        sims = batch_set_jaccard(df["l_text"].to_numpy(dtype=object),
-                                 df["r_text"].to_numpy(dtype=object),
-                                 lambda t: char_ngrams(t, n))
+        sims = np.fromiter(
+            (jaccard(char_ngrams(a, n), char_ngrams(b, n))
+             for a, b in zip(df["l_text"], df["r_text"])),
+            dtype=np.float64, count=len(df))
         return df.loc[sims >= threshold, ["left_id", "right_id"]]
 
-    edges = with_text.map_batches(verify, batch_format="pandas")
+    edges = with_text.map_batches(verify, batch_format="pandas",
+                                  batch_size=None)
     return _dedup_from_edges(docs_ds, edges, id_col,
                              broadcast_threshold=broadcast_threshold)
 

@@ -168,7 +168,8 @@ def nation_order_counts(sf_dir: str):
 
     def attach(df: pd.DataFrame) -> pa.Table:
         # Arrow out: the downstream hash join shuffles these blocks
-        d = ray.get(lookup)
+        from address_address_matching_ray.stages.bcast import get_cached
+        d = get_cached(lookup)
         return pa.table({
             "c_custkey": pa.array(df["c_custkey"].to_numpy()),
             "n_name": pa.array(df["c_nationkey"].map(d), pa.string())})
@@ -242,7 +243,8 @@ def region_supplier_balance(sf_dir: str):
     lookup = ray.put(nation_region)
 
     def attach(df: pd.DataFrame) -> pa.Table:
-        d = ray.get(lookup)
+        from address_address_matching_ray.stages.bcast import get_cached
+        d = get_cached(lookup)
         return pa.table({
             "r_name": pa.array(df["s_nationkey"].map(d), pa.string()),
             "s_acctbal": pa.array(df["s_acctbal"].to_numpy(), pa.float64())})
