@@ -240,24 +240,26 @@ def simhash_band_keys(sigs: np.ndarray, bands: int = 4) -> list[list[str]]:
 
 
 def batch_set_jaccard(l_texts, r_texts, tokenize) -> np.ndarray:
-    """Token-SET Jaccard (in [0,100]) for aligned text pairs — the
-    dedup verify kernel.  Semantics are exactly the scalar
-    ``fuzzy.jaccard(tokenize(a), tokenize(b))`` spec (both-empty →
-    100); no hashing, so no collision caveat.
+    """Token-SET Jaccard (in [0,100]) for aligned text pairs —
+    the ``jaccard_verify`` ORACLE kernel (``dedup.all_pairs_jaccard``).
+    Semantics are exactly the scalar ``fuzzy.jaccard(tokenize(a),
+    tokenize(b))`` spec (both-empty → 100); no hashing, so no
+    collision caveat.
 
-    Shape: factorize pair sides to distinct docs (LSH pair tables
-    repeat docs ~cluster-size times), build each distinct doc's token
-    set ONCE, then one C-level ``set &`` per pair.  Replaces the
-    round-3 per-pair ``jaccard(a.split(), b.split())`` loop that
-    re-tokenized both sides for every pair: ~3× on a near-dup-heavy
-    corpus, approximately break-even when no doc repeats.
+    Shape: factorize pair sides to distinct docs, build each distinct
+    doc's token set ONCE, one C-level ``set &`` per pair.  Wins only
+    when sides genuinely repeat within the batch (the all-pairs oracle
+    probes each doc against the whole corpus slice — heavy reuse).
 
-    Deliberately does NOT touch the cyclic GC: pausing it during the
-    set-build looked like a 2× win in a small-heap microbench, but in
-    a real Ray worker the re-enable forced a full gen-2 collection
-    over the worker's multi-million-object heap on EVERY block —
-    measured 172 s vs 10 s for the 1M-doc ngram verify stage
-    (round 4)."""
+    NOT used on the LSH dedup verify path, by measurement (round 4):
+    pair-hash pivot buckets scatter a doc's pairs across blocks, so
+    real verify blocks have ~zero repetition to factorize, and the
+    thousands of LIVE sets this kernel keeps per task saturated the
+    shared memory bus under 32 concurrent workers — 196 s vs 10 s for
+    the transient per-pair loop on the 1M-doc ngram verify stage.
+    (Also measured: pausing the cyclic GC here looked 2× in a
+    small-heap microbench and lost badly in real workers — full gen-2
+    collections over multi-million-object heaps per block.)"""
     import pandas as pd
 
     l_texts = np.asarray(l_texts, dtype=object)
