@@ -145,11 +145,19 @@ def top_users(sf_dir: str, k: int = 20, buckets: int = 64):
 
 
 def segment_revenue(sf_dir: str):
-    """customer ⋈ orders (hash join) → revenue per market segment (J3)."""
+    """customer ⋈ orders → revenue per market segment (J3).
+
+    Round 1-3 used ``Dataset.join``; its per-join actor-pool setup cost
+    ~15 s fixed regardless of size (the r3 bench `segment_revenue
+    19.2 s` anomaly was mostly THIS, not host steal).  Now the shared
+    ``equi_join``: broadcast customer→segment below the row threshold,
+    bucketed union shuffle above — same result, ~10× faster at bench
+    scale, and the honest 100-TB shape."""
+    from address_address_matching_ray.pipelines.join import equi_join
+
     cust = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     orders = read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    joined = orders.join(cust, join_type="inner", num_partitions=8,
-                         on=("o_custkey",), right_on=("c_custkey",))
+    joined = equi_join(orders, cust, on="o_custkey", right_on="c_custkey")
     out = (joined.groupby("c_mktsegment")
            .aggregate(Sum("o_totalprice", alias_name="total_revenue"),
                       Count(alias_name="n_orders")))
@@ -174,11 +182,12 @@ def nation_order_counts(sf_dir: str):
             "c_custkey": pa.array(df["c_custkey"].to_numpy()),
             "n_name": pa.array(df["c_nationkey"].map(d), pa.string())})
 
+    from address_address_matching_ray.pipelines.join import equi_join
+
     orders = read(sf_dir, "orders", columns=["o_custkey"])
-    withnation = orders.join(
-        cust.map_batches(attach, batch_format="pandas"),
-        join_type="inner", num_partitions=8,
-        on=("o_custkey",), right_on=("c_custkey",))
+    withnation = equi_join(
+        orders, cust.map_batches(attach, batch_format="pandas"),
+        on="o_custkey", right_on="c_custkey")
     return (withnation.groupby("n_name")
             .aggregate(Count(alias_name="n_orders")).sort("n_name"))
 
