@@ -424,6 +424,14 @@ def _q_customers_without_orders(sf_dir: str):
     return customers_without_orders(sf_dir)
 
 
+def _q_orders_with_returns(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import (
+        orders_with_returns,
+    )
+
+    return orders_with_returns(sf_dir)
+
+
 def _q_parts_by_brand(sf_dir: str):
     from address_address_matching_ray.pipelines.relational import parts_by_brand
 
@@ -483,6 +491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_per_user": _q_top_events_per_user,
         "stratified_sample": _q_stratified_sample,
         "customers_without_orders": _q_customers_without_orders,
+        "orders_with_returns": _q_orders_with_returns,
         "parts_by_brand": _q_parts_by_brand,
         "region_supplier_balance": _q_region_supplier_balance,
         "match_queries": _q_match_queries,
@@ -889,6 +898,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_custkey NOT IN
               (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
             ORDER BY c_custkey""",
+        "orders_with_returns": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_orderkey IN
+              (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+            ORDER BY o_orderkey""",
         "parts_by_brand": """
             SELECT p_brand, count(*) AS n_parts,
                    round(avg(p_retailprice), 4) AS avg_price

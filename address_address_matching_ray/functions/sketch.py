@@ -149,3 +149,76 @@ def kll_rank(values: np.ndarray, levels: np.ndarray, x: float) -> float:
     w = kll_weight(np.asarray(levels))
     total = w.sum()
     return float(w[np.asarray(values, dtype=np.float64) < x].sum() / total)
+
+
+# ── Bloom filter (mergeable membership sketch) ──────────────────────
+#
+# Standard Bloom construction (Bloom 1970; k probe positions via the
+# Kirsch-Mitzenmacher double-hashing scheme h1 + i*h2, which preserves
+# the asymptotic false-positive rate with only two base hashes).  The
+# filter is a dense uint64 word array, so partials built over disjoint
+# batches merge with a bitwise OR — associative, commutative,
+# idempotent — and ``ray.put`` of the merged array is zero-copy
+# shareable (numeric buffer) for every probe task.
+#
+# Used as the probe-side PREFILTER of the tiered semi-join
+# (``pipelines/join.py:semi_join_ids``): it never decides membership
+# on its own (false positives are rescued by an exact bucketed join on
+# the survivors), so correctness never depends on the fpp.
+
+_LN2 = 0.6931471805599453
+
+
+def bloom_params(n_keys: int, fpp: float = 0.01) -> tuple[int, int]:
+    """(m_words, k): filter size in 64-bit words and probe count for an
+    expected ``fpp`` at ``n_keys`` distinct keys."""
+    n = max(1, int(n_keys))
+    m_bits = int(np.ceil(-n * np.log(fpp) / (_LN2 * _LN2)))
+    m_words = max(1, (m_bits + 63) // 64)
+    k = int(round(m_words * 64 / n * _LN2))
+    return m_words, min(16, max(1, k))
+
+
+def _bloom_positions(hashes: np.ndarray, m_words: int, k: int):
+    """(k, len(hashes)) bit positions via double hashing."""
+    h1 = hashes.astype(np.uint64, copy=False)
+    h2 = hash_values(h1) | np.uint64(1)
+    m_bits = np.uint64(m_words * 64)
+    with np.errstate(over="ignore"):
+        return [(h1 + np.uint64(i) * h2) % m_bits for i in range(k)]
+
+
+def bloom_partial(hashes: np.ndarray, m_words: int, k: int) -> np.ndarray:
+    """Dense partial filter (uint64 words) for one batch of hashes."""
+    words = np.zeros(m_words, dtype=np.uint64)
+    bloom_add(words, hashes, k)
+    return words
+
+
+def bloom_add(words: np.ndarray, hashes: np.ndarray, k: int) -> None:
+    """Set the bits of ``hashes`` in-place (driver-side streaming
+    build: OR batch after batch into one array, no per-batch 
+    allocation)."""
+    if len(hashes) == 0:
+        return
+    for pos in _bloom_positions(hashes, len(words), k):
+        np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+
+
+def bloom_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.bitwise_or(a, b)
+
+
+def bloom_contains(words: np.ndarray, hashes: np.ndarray,
+                   k: int) -> np.ndarray:
+    """Vectorized membership mask (true = possibly present)."""
+    if len(hashes) == 0:
+        return np.zeros(0, dtype=bool)
+    mask = np.ones(len(hashes), dtype=bool)
+    w = np.uint64(1)
+    for pos in _bloom_positions(hashes, len(words), k):
+        bit = (words[(pos >> np.uint64(6)).astype(np.int64)]
+               >> (pos & np.uint64(63))) & w
+        mask &= bit.astype(bool)
+    return mask

@@ -135,3 +135,106 @@ def _shuffle_join(left, right, *, on: str, right_on: str, how: str,
     return tagged.groupby("_b").map_groups(
         lambda g: merge_bucket(g.drop(columns=["_b"])),
         batch_format="pandas")
+
+
+def semi_join_ids(ds, ids_ds, *, id_col: str, ids_col: str | None = None,
+                  broadcast_threshold: int = 5_000_000,
+                  bloom_max_bytes: int = 64 << 20,
+                  bloom_fpp: float = 0.01, buckets: int = 64):
+    """Scale-safe LEFT SEMI join: keep ``ds`` rows whose integer
+    ``id_col`` appears in ``ids_ds[ids_col]`` (the mirror of
+    ``stages.cluster.filter_out_ids``).  Three tiers by key-side size:
+
+    1. **broadcast exact** (≤ ``broadcast_threshold`` key rows): sorted
+       uint64 key array ``ray.put`` once, searchsorted per probe batch —
+       zero shuffle.
+    2. **Bloom prefilter + bucketed exact** (filter fits
+       ``bloom_max_bytes``, ~55M keys at 1% fpp per 64 MB): key hashes
+       stream to the driver (8 B/distinct key, no text), build one
+       dense filter, broadcast it (numeric → zero-copy), drop ~99 % of
+       non-matching probe rows BEFORE the shuffle, then an exact
+       bucketed semi-join on the survivors.  False positives are
+       rescued by the exact stage, so correctness never depends on fpp.
+    3. **bucketed exact** (huge key side): hash-bucket both sides on
+       the key, per-bucket vectorized ``np.isin`` — one union shuffle
+       of probe + key rows.
+    """
+    from address_address_matching_ray.functions import sketch as sk
+
+    ids_col = ids_col or id_col
+    n = ids_ds.count()
+    if n == 0:
+        return ds.filter(expr=f"{id_col} != {id_col}")  # typed empty
+
+    import ray
+
+    if n <= broadcast_threshold:
+        arr = np.sort(ids_ds.to_pandas()[ids_col].to_numpy(dtype="uint64"))
+        ref = ray.put(np.unique(arr))
+
+        def keep(df: pd.DataFrame) -> pd.DataFrame:
+            kk = ray.get(ref)
+            v = df[id_col].to_numpy(dtype="uint64")
+            pos = np.minimum(np.searchsorted(kk, v), len(kk) - 1)
+            return df[kk[pos] == v]
+
+        return ds.map_batches(keep, batch_format="pandas")
+
+    m_words, k = sk.bloom_params(n, bloom_fpp)
+    probe = ds
+    if m_words * 8 <= bloom_max_bytes:
+        # stream distinct key hashes to the driver (slim uint64 rows),
+        # OR them into one filter — driver cost is vectorized hashing,
+        # ~n*k bit sets, no text and no unbounded Python state
+        def key_hashes(t: pa.Table) -> pa.Table:
+            v = t[ids_col].to_numpy(zero_copy_only=False).astype("uint64")
+            return pa.table({"h": pa.array(np.unique(sk.hash_values(v)),
+                                           pa.uint64())})
+
+        words = np.zeros(m_words, dtype=np.uint64)
+        slim = ids_ds.map_batches(key_hashes, batch_format="pyarrow")
+        for b in slim.iter_batches(batch_format="pyarrow",
+                                   batch_size=1 << 20):
+            sk.bloom_add(words, b["h"].to_numpy(zero_copy_only=False), k)
+        fref = ray.put(words)
+
+        def prefilter(df: pd.DataFrame) -> pd.DataFrame:
+            w = ray.get(fref)           # numeric → zero-copy view
+            h = sk.hash_values(df[id_col].to_numpy(dtype="uint64"))
+            return df[sk.bloom_contains(w, h, k)]
+
+        probe = ds.map_batches(prefilter, batch_format="pandas")
+
+    # exact bucketed semi-join on (possibly prefiltered) probe rows
+    pf = _fields_of(probe)
+    union_fields = pf if ids_col == id_col and any(
+        nm == ids_col for nm, _ in pf) else pf + [
+        (ids_col, pa.uint64())]
+    probe_cols = [nm for nm, _ in pf]
+
+    def keep_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g.loc[g["_side"] == 1, ids_col].to_numpy(dtype="uint64")
+        l = g.loc[g["_side"] == 0, probe_cols]
+        v = l[id_col].to_numpy(dtype="uint64")
+        keys = np.unique(keys)
+        if len(keys) == 0:
+            return l.iloc[:0]
+        pos = np.minimum(np.searchsorted(keys, v), len(keys) - 1)
+        return l[keys[pos] == v].reset_index(drop=True)
+
+    keyed = ids_ds.select_columns([ids_col])
+    tagged = (probe.map_batches(_pad_to(union_fields, 0, id_col, buckets),
+                                batch_format="pyarrow")
+              .union(keyed.map_batches(
+                  _pad_to(union_fields, 1, ids_col, buckets),
+                  batch_format="pyarrow")))
+    restore = {nm: np.dtype(t.to_pandas_dtype())
+               for nm, t in pf if pa.types.is_integer(t)}
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = keep_bucket(g.drop(columns=["_b"]))
+        for c in out.columns.intersection(restore):
+            out[c] = out[c].astype(restore[c])
+        return out
+
+    return tagged.groupby("_b").map_groups(finish, batch_format="pandas")

@@ -359,3 +359,24 @@ def stratified_sample(sf_dir: str, k: int = 10):
     return (ds.groupby("event_type")
             .map_groups(take_every_kth, batch_format="pandas")
             .sort(["event_type", "event_id"]))
+
+
+def orders_with_returns(sf_dir: str, broadcast_threshold: int = 5_000_000,
+                        bloom_max_bytes: int = 64 << 20):
+    """Semi-join demo: orders that have at least one returned line item
+    (``l_returnflag = 'R'``).  Uses the tiered ``semi_join_ids`` —
+    broadcast exact at bench scale, Bloom-prefiltered bucketed exact at
+    crawl scale (``pipelines/join.py``); a pytest pins all three tiers
+    to the same result."""
+    from address_address_matching_ray.pipelines.join import semi_join_ids
+
+    orders = read(sf_dir, "orders",
+                  columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    rkeys = (read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+             .filter(expr="l_returnflag == 'R'")
+             .select_columns(["l_orderkey"]))
+    out = semi_join_ids(orders, rkeys, id_col="o_orderkey",
+                        ids_col="l_orderkey",
+                        broadcast_threshold=broadcast_threshold,
+                        bloom_max_bytes=bloom_max_bytes)
+    return out.repartition(1).sort("o_orderkey")

@@ -50,7 +50,10 @@ def _fields_of(ds) -> list[tuple[str, pa.DataType]]:
     out = []
     for n, t in zip(s.names, s.types):
         if not isinstance(t, pa.DataType):
-            t = pa.from_numpy_dtype(np.dtype(t))
+            dt = np.dtype(t)
+            # pandas blocks report strings as numpy object dtype
+            t = pa.string() if dt == np.dtype("O") \
+                else pa.from_numpy_dtype(dt)
         out.append((n, t))
     return out
 
