@@ -424,6 +424,36 @@ def _q_customers_without_orders(sf_dir: str):
     return customers_without_orders(sf_dir)
 
 
+def _q_window_functions(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import (
+        window_functions,
+    )
+
+    return window_functions(sf_dir)
+
+
+def _q_user_paths(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import user_paths
+
+    return user_paths(sf_dir)
+
+
+def _q_event_type_pivot(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import (
+        event_type_pivot,
+    )
+
+    return event_type_pivot(sf_dir)
+
+
+def _q_doc_repetition(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import read
+    from address_address_matching_ray.pipelines.text import doc_repetition
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    return doc_repetition(docs).sort("doc_id")
+
+
 def _q_orders_with_returns(sf_dir: str):
     from address_address_matching_ray.pipelines.relational import (
         orders_with_returns,
@@ -492,6 +522,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "customers_without_orders": _q_customers_without_orders,
         "orders_with_returns": _q_orders_with_returns,
+        "window_functions": _q_window_functions,
+        "user_paths": _q_user_paths,
+        "event_type_pivot": _q_event_type_pivot,
+        "doc_repetition": _q_doc_repetition,
         "parts_by_brand": _q_parts_by_brand,
         "region_supplier_balance": _q_region_supplier_balance,
         "match_queries": _q_match_queries,
@@ -903,6 +937,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderkey IN
               (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
             ORDER BY o_orderkey""",
+        "window_functions": """
+            SELECT user_id, event_id,
+                   CAST(row_number() OVER w AS BIGINT) AS row_no,
+                   round(sum(value) OVER w, 2) AS cum_value,
+                   value - coalesce(lag(value) OVER w, value) AS delta
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY user_id, row_no""",
+        "user_paths": """
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+                   count(*)::BIGINT AS n_events
+            FROM events GROUP BY user_id ORDER BY user_id""",
+        "event_type_pivot": """
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view,
+                   count(*)::BIGINT AS n_total
+            FROM events GROUP BY user_id ORDER BY user_id""",
+        "doc_repetition": """
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+              FROM documents WHERE trim(text) <> ''),
+            cnt AS (SELECT doc_id, w, count(*) AS c
+                    FROM words GROUP BY doc_id, w)
+            SELECT doc_id, sum(c)::BIGINT AS n_words,
+                   round(1.0 - (count(*)::DOUBLE / sum(c)), 6) AS dup_word_frac,
+                   round(max(c)::DOUBLE / sum(c), 6) AS top_word_frac
+            FROM cnt GROUP BY doc_id ORDER BY doc_id""",
         "parts_by_brand": """
             SELECT p_brand, count(*) AS n_parts,
                    round(avg(p_retailprice), 4) AS avg_price

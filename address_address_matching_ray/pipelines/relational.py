@@ -380,3 +380,109 @@ def orders_with_returns(sf_dir: str, broadcast_threshold: int = 5_000_000,
                         broadcast_threshold=broadcast_threshold,
                         bloom_max_bytes=bloom_max_bytes)
     return out.repartition(1).sort("o_orderkey")
+
+
+def window_functions(sf_dir: str, buckets: int = 64):
+    """SQL window functions over a partitioned log (the §2.10 family
+    extended): per-user ROW_NUMBER, running SUM and LAG delta, ordered
+    by (ts, event_id).  Bucketed like ``sessions_ds`` — each user's
+    history lives wholly in one hash bucket, one vectorized pandas
+    pass per bucket, never a per-user Ray group.  Running sums are
+    rounded(2) on BOTH sides: DuckDB's windowed SUM accumulates in
+    segment-tree order, ours sequentially — same multiset, ±1e-11
+    association noise."""
+    ds = read(sf_dir, "events",
+              columns=["user_id", "event_id", "ts", "value"])
+
+    def add_b(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = uid.astype("uint64") * np.uint64(0x9E3779B97F4A7C15)
+        return t.append_column(
+            "_b", pa.array((h % np.uint64(buckets)).astype("int64")))
+
+    def bucket_window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        grp = g.groupby("user_id", sort=False)
+        lag = grp["value"].shift()
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(),
+            "event_id": g["event_id"].to_numpy(),
+            "row_no": (grp.cumcount() + 1).astype("int64").to_numpy(),
+            "cum_value": grp["value"].cumsum().round(2).to_numpy(),
+            "delta": (g["value"] - lag.fillna(g["value"])).to_numpy(),
+        })
+
+    return (ds.map_batches(add_b, batch_format="pyarrow")
+            .groupby("_b").map_groups(
+                lambda g: bucket_window(g.drop(columns=["_b"])),
+                batch_format="pandas")
+            .sort(["user_id", "row_no"]))
+
+
+def user_paths(sf_dir: str, buckets: int = 64):
+    """Per-group ordered collect/string_agg (the "assemble a training
+    sequence per entity" op): each user's event-type path in
+    (ts, event_id) order plus its length.  Bucketed; assumes one
+    user's sequence fits a task (same contract as sessionization)."""
+    ds = read(sf_dir, "events", columns=["user_id", "event_id", "ts",
+                                         "event_type"])
+
+    def add_b(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = uid.astype("uint64") * np.uint64(0x9E3779B97F4A7C15)
+        return t.append_column(
+            "_b", pa.array((h % np.uint64(buckets)).astype("int64")))
+
+    def bucket_paths(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        grp = g.groupby("user_id", sort=False)
+        out = grp["event_type"].agg(">".join).reset_index()
+        out.columns = ["user_id", "path"]
+        out["n_events"] = grp.size().to_numpy().astype("int64")
+        return out
+
+    return (ds.map_batches(add_b, batch_format="pyarrow")
+            .groupby("_b").map_groups(
+                lambda g: bucket_paths(g.drop(columns=["_b"])),
+                batch_format="pandas")
+            .sort("user_id"))
+
+
+def event_type_pivot(sf_dir: str):
+    """Pivot / one-hot conditional aggregate: per-user event counts as
+    WIDE columns.  The category set is an enum (bounded by nature);
+    per-batch crosstab pre-aggregation (combiner) shrinks the shuffle
+    to one wide row per (user, batch) before the vectorized hash
+    aggregate — the "features per entity" layout trainers consume."""
+    ds = read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    types = sorted(
+        r["event_type"]
+        for r in read(sf_dir, "events", columns=["event_type"])
+        .groupby("event_type").count().take_all())
+    cols = [f"n_{t}" for t in types]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["user_id", "event_type"], sort=False)
+             .size().unstack(fill_value=0)
+             .reindex(columns=types, fill_value=0))
+        g.columns = [f"n_{c}" for c in g.columns]
+        out = g.reset_index()
+        for c in cols:
+            out[c] = out[c].astype("int64")
+        return out
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("user_id")
+           .aggregate(*[Sum(c, alias_name=c) for c in cols]))
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for c in cols:
+            df[c] = df[c].astype("int64")
+        df["n_total"] = df[cols].sum(axis=1).astype("int64")
+        return df
+
+    return out.map_batches(total, batch_format="pandas").sort("user_id")

@@ -79,3 +79,50 @@ def word_frequencies(docs_ds, text_col: str = "text", top_k: int = 50,
                lambda g: bucket_topk(g.drop(columns=["_b"])),
                batch_format="pandas"))
     return agg.sort(["n", "word"], descending=[True, False]).limit(top_k)
+
+
+def doc_repetition(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style repetition quality stats per document (Rae et al.
+    2021 §A1.1 "repetition" filters, word-level): total words,
+    duplicate-word fraction (1 − distinct/total) and top-word fraction
+    (count of the most frequent word / total).  Web-crawl dedup
+    pipelines drop docs above thresholds on these BEFORE the expensive
+    near-dup stages.
+
+    Fully vectorized per batch: explode → factorize → one ``np.unique``
+    over packed (row, word) codes → ``reduceat`` per row.  Empty /
+    whitespace-only docs are excluded (same as the SQL oracle's
+    ``WHERE trim(text) <> ''``).
+    """
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        toks = df[text_col].fillna("").str.lower().str.strip().str.split()
+        lengths = toks.str.len().fillna(0).astype("int64").to_numpy()
+        ex = toks.explode()
+        ex = ex[ex.notna()]
+        empty = pd.DataFrame({
+            id_col: pd.Series([], dtype=df[id_col].dtype),
+            "n_words": pd.Series([], dtype="int64"),
+            "dup_word_frac": pd.Series([], dtype="float64"),
+            "top_word_frac": pd.Series([], dtype="float64")})
+        if len(ex) == 0:
+            return empty
+        rows = ex.index.to_numpy(dtype=np.int64)
+        codes, uniq = pd.factorize(ex.to_numpy())
+        # pack (row, word) into one int64 key; np.unique sorts it
+        # row-major, so per-row runs are contiguous for reduceat
+        key = rows * np.int64(len(uniq)) + codes
+        uk, cnt = np.unique(key, return_counts=True)
+        docs_of = uk // np.int64(len(uniq))
+        starts = np.flatnonzero(np.diff(docs_of, prepend=-1))
+        n_distinct = np.diff(np.append(starts, len(docs_of)))
+        top = np.maximum.reduceat(cnt, starts)
+        present = docs_of[starts]
+        total = lengths[present].astype(np.float64)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy()[present],
+            "n_words": lengths[present],
+            "dup_word_frac": np.round(1.0 - (n_distinct / total), 6),
+            "top_word_frac": np.round(top / total, 6)})
+
+    return docs_ds.map_batches(f, batch_format="pandas")
