@@ -424,6 +424,16 @@ def _q_customers_without_orders(sf_dir: str):
     return customers_without_orders(sf_dir)
 
 
+def _q_approx_word_frequencies(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import read
+    from address_address_matching_ray.pipelines.text import (
+        approx_word_frequencies,
+    )
+
+    docs = read(sf_dir, "documents", columns=["text"])
+    return approx_word_frequencies(docs)
+
+
 def _q_window_functions(sf_dir: str):
     from address_address_matching_ray.pipelines.relational import (
         window_functions,
@@ -523,6 +533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": _q_customers_without_orders,
         "orders_with_returns": _q_orders_with_returns,
         "window_functions": _q_window_functions,
+        "approx_word_frequencies": _q_approx_word_frequencies,
         "user_paths": _q_user_paths,
         "event_type_pivot": _q_event_type_pivot,
         "doc_repetition": _q_doc_repetition,
@@ -937,6 +948,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderkey IN
               (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
             ORDER BY o_orderkey""",
+        "approx_word_frequencies": """
+            -- exact in the below-sketch-capacity regime (vocab < k):
+            -- same ground truth as word_frequencies
+            SELECT word, count(*) AS n FROM (
+              SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+              FROM documents)
+            WHERE word <> '' GROUP BY word
+            ORDER BY n DESC, word LIMIT 50""",
         "window_functions": """
             SELECT user_id, event_id,
                    CAST(row_number() OVER w AS BIGINT) AS row_no,

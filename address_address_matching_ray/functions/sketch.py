@@ -222,3 +222,39 @@ def bloom_contains(words: np.ndarray, hashes: np.ndarray,
                >> (pos & np.uint64(63))) & w
         mask &= bit.astype(bool)
     return mask
+
+
+# ── Misra-Gries heavy hitters (mergeable frequency sketch) ──────────
+#
+# The k-counter frequent-items summary (Misra & Gries 1982) with the
+# mergeable-summaries combine rule of Agarwal et al. (PODS 2012):
+# merging two summaries = sum counters per key, then subtract the
+# (k+1)-th largest counter from all and drop the non-positive.  After
+# any merge tree over a stream of N items, every surviving counter
+# undercounts its key by at most N/(k+1) — so every key with true
+# frequency > N/(k+1) is guaranteed present.  This is the bounded-state
+# "approximate top words over 100 TB" shape: each batch contributes at
+# most k rows to the merge, regardless of vocabulary size.
+
+def mg_prune(keys: np.ndarray, counts: np.ndarray, k: int):
+    """Keep at most ``k`` counters: subtract the (k+1)-th largest count
+    and drop non-positive counters (the MG decrement step, applied in
+    bulk)."""
+    if len(keys) <= k:
+        return keys, counts
+    d = np.partition(counts, len(counts) - k - 1)[len(counts) - k - 1]
+    kept = counts - d
+    m = kept > 0
+    return keys[m], kept[m]
+
+
+def mg_merge(keys: np.ndarray, counts: np.ndarray, k: int):
+    """Combine concatenated summaries (duplicate keys allowed): sum
+    counts per key, then prune to ``k`` — associative up to the shared
+    error bound (tests pin the bound, not bitwise layout)."""
+    order = np.argsort(keys, kind="stable")
+    sk, sc = keys[order], counts[order]
+    starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+    uk = sk[starts]
+    uc = np.add.reduceat(sc, starts)
+    return mg_prune(uk, uc, k)

@@ -126,3 +126,42 @@ def doc_repetition(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
             "top_word_frac": np.round(top / total, 6)})
 
     return docs_ds.map_batches(f, batch_format="pandas")
+
+
+def approx_word_frequencies(docs_ds, text_col: str = "text",
+                            top_k: int = 50, k: int = 4096):
+    """Approximate corpus top words via mergeable Misra-Gries summaries
+    (``functions/sketch.py:mg_*``): each batch contributes at most
+    ``k`` counter rows regardless of vocabulary size — the bounded-
+    state alternative to ``word_frequencies``' per-word shuffle when
+    the vocabulary itself is web-scale.  Counts are lower bounds that
+    undercount by ≤ N_words/(k+1); every word more frequent than that
+    is guaranteed present.  With fewer than ``k`` distinct words the
+    summary is EXACT (the sf0.01 oracle regime).
+
+    Merge topology: slim ≤k-row partials stream to the driver and fold
+    left — same associative combine a tree/shuffle merge would use, so
+    the driver holds O(k) state, never the vocabulary.
+    """
+    from address_address_matching_ray.functions import sketch as sk
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].fillna("").str.lower().str.split().explode()
+        vc = s.dropna().value_counts()
+        keys, counts = sk.mg_prune(vc.index.to_numpy(dtype=object),
+                                   vc.to_numpy().astype("int64"), k)
+        return pd.DataFrame({"word": keys.astype(str),
+                             "cnt": counts.astype("int64")})
+
+    parts = docs_ds.map_batches(partial, batch_format="pandas")
+    keys = np.array([], dtype=object)
+    counts = np.array([], dtype="int64")
+    for b in parts.iter_batches(batch_format="pandas", batch_size=None):
+        keys = np.concatenate([keys, b["word"].to_numpy(dtype=object)])
+        counts = np.concatenate([counts, b["cnt"].to_numpy()])
+        keys, counts = sk.mg_merge(keys, counts, k)
+
+    out = pd.DataFrame({"word": keys.astype(str), "n": counts})
+    return (out.sort_values(["n", "word"], ascending=[False, True],
+                            kind="mergesort")
+            .head(top_k).reset_index(drop=True))

@@ -101,3 +101,45 @@ def test_doc_repetition_oracle_and_edges(ray_session):
     assert e["n_words"].tolist() == [4, 4]
     assert e["dup_word_frac"].tolist() == [0.75, 0.0]
     assert e["top_word_frac"].tolist() == [1.0, 0.25]
+
+
+def test_misra_gries_bound_and_merge():
+    from address_address_matching_ray.functions import sketch as sk
+
+    rng = np.random.default_rng(3)
+    stream = rng.zipf(1.5, 200_000)
+    stream = stream[stream < 10_000].astype(np.uint64)
+    N, k = len(stream), 256
+    keys = np.array([], dtype=np.uint64)
+    counts = np.array([], dtype=np.int64)
+    for i in range(0, N, 10_000):
+        uk, uc = np.unique(stream[i:i + 10_000], return_counts=True)
+        pk, pc = sk.mg_prune(uk, uc.astype(np.int64), k)
+        keys, counts = sk.mg_merge(np.concatenate([keys, pk]),
+                                   np.concatenate([counts, pc]), k)
+    true_k, true_c = np.unique(stream, return_counts=True)
+    bound = N / (k + 1)
+    hot = true_k[true_c > bound]
+    assert np.isin(hot, keys).all()              # no hot key lost
+    est = dict(zip(keys.tolist(), counts.tolist()))
+    for tk, tc in zip(true_k.tolist(), true_c.tolist()):
+        e = est.get(tk, 0)
+        assert e <= tc and tc - e <= bound       # one-sided bound
+
+    # exact below capacity
+    uk, uc = np.unique(stream[:5_000], return_counts=True)
+    ek, ec = sk.mg_merge(uk, uc.astype(np.int64), k=100_000)
+    assert np.array_equal(ek, uk) and np.array_equal(ec, uc)
+
+
+def test_approx_word_frequencies_exact_below_capacity(ray_session):
+    from address_address_matching_ray.pipelines.relational import read
+    from address_address_matching_ray.pipelines.text import (
+        approx_word_frequencies, word_frequencies,
+    )
+
+    docs = read(SF, "documents", columns=["text"])
+    exact = word_frequencies(docs).to_pandas().reset_index(drop=True)
+    approx = approx_word_frequencies(
+        read(SF, "documents", columns=["text"]))
+    pd.testing.assert_frame_equal(approx, exact)
