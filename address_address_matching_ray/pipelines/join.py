@@ -206,21 +206,36 @@ def semi_join_ids(ds, ids_ds, *, id_col: str, ids_col: str | None = None,
         probe = ds.map_batches(prefilter, batch_format="pandas")
 
     # exact bucketed semi-join on (possibly prefiltered) probe rows
+    return membership_join(probe, ids_ds, id_col=id_col, ids_col=ids_col,
+                           keep=True, buckets=buckets)
+
+
+def membership_join(probe, ids_ds, *, id_col: str,
+                    ids_col: str | None = None, keep: bool = True,
+                    buckets: int = 64):
+    """Exact bucketed membership join: keep (semi) or drop (anti) the
+    probe rows whose ``id_col`` appears in ``ids_ds[ids_col]`` — one
+    union shuffle of probe + slim key rows, a vectorized searchsorted
+    test per bucket.  The shared large-side backend of
+    ``semi_join_ids`` and ``stages.cluster.filter_out_ids``."""
+    ids_col = ids_col or id_col
     pf = _fields_of(probe)
     union_fields = pf if ids_col == id_col and any(
         nm == ids_col for nm, _ in pf) else pf + [
         (ids_col, pa.uint64())]
     probe_cols = [nm for nm, _ in pf]
 
-    def keep_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def test_bucket(g: pd.DataFrame) -> pd.DataFrame:
         keys = g.loc[g["_side"] == 1, ids_col].to_numpy(dtype="uint64")
         l = g.loc[g["_side"] == 0, probe_cols]
         v = l[id_col].to_numpy(dtype="uint64")
         keys = np.unique(keys)
         if len(keys) == 0:
-            return l.iloc[:0]
-        pos = np.minimum(np.searchsorted(keys, v), len(keys) - 1)
-        return l[keys[pos] == v].reset_index(drop=True)
+            hit = np.zeros(len(l), dtype=bool)
+        else:
+            pos = np.minimum(np.searchsorted(keys, v), len(keys) - 1)
+            hit = keys[pos] == v
+        return l[hit if keep else ~hit].reset_index(drop=True)
 
     keyed = ids_ds.select_columns([ids_col])
     tagged = (probe.map_batches(_pad_to(union_fields, 0, id_col, buckets),
@@ -232,7 +247,7 @@ def semi_join_ids(ds, ids_ds, *, id_col: str, ids_col: str | None = None,
                for nm, t in pf if pa.types.is_integer(t)}
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
-        out = keep_bucket(g.drop(columns=["_b"]))
+        out = test_bucket(g.drop(columns=["_b"]))
         for c in out.columns.intersection(restore):
             out[c] = out[c].astype(restore[c])
         return out

@@ -377,10 +377,12 @@ def filter_out_ids(ds, ids_ds, id_col: str = "doc_id",
     sorted numpy array (zero-copy from the object store, searchsorted
     membership test per batch) — never a Python set, whose per-task
     deserialization and driver residency are unbounded at crawl scale.
-    Above it, a hash left-outer join with a marker column + null filter
-    (no driver materialization at all).  Both paths produce identical
-    output; a pytest runs one dedup with ``broadcast_threshold=0`` to
-    assert it.
+    Above it, the shared bucketed anti-membership shuffle
+    (``pipelines.join.membership_join``, keep=False) — one union
+    exchange of probe + slim key rows, no driver materialization, and
+    none of ``Dataset.join``'s fixed actor-pool setup cost.  Both
+    paths produce identical output; a pytest runs one dedup with
+    ``broadcast_threshold=0`` to assert it.
     """
     ids_col = ids_col or id_col
     n = ids_ds.count()
@@ -400,28 +402,10 @@ def filter_out_ids(ds, ids_ds, id_col: str = "doc_id",
 
         return ds.map_batches(drop, batch_format="pandas")
 
-    marker = _project(ids_ds, {ids_col: "_anti_id"})
+    from address_address_matching_ray.pipelines.join import membership_join
 
-    def add_flag(t: pa.Table) -> pa.Table:
-        return t.append_column("_anti_hit",
-                               pa.array(np.ones(t.num_rows, dtype=np.int8)))
-
-    marker = marker.map_batches(add_flag, batch_format="pyarrow")
-
-    def cast_key(t: pa.Table) -> pa.Table:
-        i = t.column_names.index(id_col)
-        return t.set_column(i, id_col, pc.cast(t[id_col], pa.uint64()))
-
-    joined = ds.map_batches(cast_key, batch_format="pyarrow").join(
-        marker, join_type="left_outer", num_partitions=num_partitions,
-        on=(id_col,), right_on=("_anti_id",))
-
-    def keep_misses(t: pa.Table) -> pa.Table:
-        out = t.filter(pc.is_null(t["_anti_hit"]))
-        return out.drop([c for c in ("_anti_hit", "_anti_id")
-                         if c in out.column_names])
-
-    return joined.map_batches(keep_misses, batch_format="pyarrow")
+    return membership_join(ds, ids_ds, id_col=id_col, ids_col=ids_col,
+                           keep=False, buckets=max(num_partitions, 16))
 
 
 def attach_singletons(extracted_ds, labels_ds, num_partitions: int = 16,
