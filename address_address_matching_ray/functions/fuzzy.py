@@ -104,6 +104,12 @@ def partial_ratio(a: str, b: str) -> float:
     if not a or not b:
         return 0.0
     s, l = (a, b) if len(a) <= len(b) else (b, a)
+    # exact-containment fast path (rapidfuzz does the same): a verbatim
+    # occurrence of the needle IS a full window with ratio 100, so the
+    # answer is already known — equal/contained pairs dominate real
+    # blocked candidate batches
+    if s in l:
+        return 100.0
     best = 0.0
     for w in _partial_windows(s, l):
         r = ratio(s, w)
@@ -289,14 +295,17 @@ def batch_partial_ratio(a_strs, b_strs) -> np.ndarray:
     for a, b in zip(a_strs, b_strs):
         s, l = (a, b) if len(a) <= len(b) else (b, a)
         shorts.append(s); longs.append(l)
+    n = len(a_strs)
+    out = np.zeros(n, dtype=np.float64)
     win_a, win_b, owner = [], [], []
     for i, (s, l) in enumerate(zip(shorts, longs)):
         if not s or not l:
             continue
+        if s in l:            # verbatim occurrence → a full window
+            out[i] = 100.0    # with ratio 100 exists (scalar parity)
+            continue
         for w in _partial_windows(s, l):
             win_a.append(s); win_b.append(w); owner.append(i)
-    n = len(a_strs)
-    out = np.zeros(n, dtype=np.float64)
     both_empty = [not a and not b for a, b in zip(a_strs, b_strs)]
     out[np.array(both_empty, dtype=bool)] = 100.0 if any(both_empty) else 0.0
     if win_a:
