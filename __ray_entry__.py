@@ -464,6 +464,83 @@ def _q_doc_repetition(sf_dir: str):
     return doc_repetition(docs).sort("doc_id")
 
 
+def _q_revenue_rollup(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import (
+        revenue_rollup,
+    )
+
+    return revenue_rollup(sf_dir)
+
+
+def _q_value_stats(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import value_stats
+
+    return value_stats(sf_dir)
+
+
+def _q_window_ranks(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import window_ranks
+
+    return window_ranks(sf_dir)
+
+
+def _q_daily_user_activity(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import (
+        daily_user_activity,
+    )
+
+    return daily_user_activity(sf_dir)
+
+
+def _q_returning_users(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import (
+        returning_users,
+    )
+
+    return returning_users(sf_dir)
+
+
+def _q_props_extract(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import (
+        props_extract,
+    )
+
+    return props_extract(sf_dir)
+
+
+def _q_value_median_mode(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import (
+        value_median_mode,
+    )
+
+    return value_median_mode(sf_dir)
+
+
+def _q_tfidf_top_terms(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import read
+    from address_address_matching_ray.pipelines.text import tfidf_top_terms
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_top_terms(docs)
+
+
+def _q_bigram_counts(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import read
+    from address_address_matching_ray.pipelines.text import bigram_counts
+
+    return bigram_counts(read(sf_dir, "documents", columns=["text"]))
+
+
+def _q_host_page_counts(sf_dir: str):
+    """Over the deterministic synthetic pages table (same input the
+    oracle materializes at ``_ORACLE_PAGES_PATH``)."""
+    from address_address_matching_ray.pipelines.text import host_page_counts
+    from address_address_matching_ray.sources.synth import synth_pages
+
+    pages = synth_pages(_n_pages_for(sf_dir), seed=_SEED)
+    return host_page_counts(pages.select_columns(["url", "html"]))
+
+
 def _q_orders_with_returns(sf_dir: str):
     from address_address_matching_ray.pipelines.relational import (
         orders_with_returns,
@@ -537,6 +614,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_paths": _q_user_paths,
         "event_type_pivot": _q_event_type_pivot,
         "doc_repetition": _q_doc_repetition,
+        "revenue_rollup": _q_revenue_rollup,
+        "value_stats": _q_value_stats,
+        "window_ranks": _q_window_ranks,
+        "daily_user_activity": _q_daily_user_activity,
+        "returning_users": _q_returning_users,
+        "props_extract": _q_props_extract,
+        "value_median_mode": _q_value_median_mode,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "bigram_counts": _q_bigram_counts,
+        "host_page_counts": _q_host_page_counts,
         "parts_by_brand": _q_parts_by_brand,
         "region_supplier_balance": _q_region_supplier_balance,
         "match_queries": _q_match_queries,
@@ -989,6 +1076,116 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 - (count(*)::DOUBLE / sum(c)), 6) AS dup_word_frac,
                    round(max(c)::DOUBLE / sum(c), 6) AS top_word_frac
             FROM cnt GROUP BY doc_id ORDER BY doc_id""",
+        "revenue_rollup": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   count(*)::BIGINT AS n_rows
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            ORDER BY 1, 2""",
+        "value_stats": """
+            SELECT event_type, count(*)::BIGINT AS n_events,
+                   round(avg(value), 6) AS avg_value,
+                   round(var_samp(value), 6) AS var_value,
+                   round(stddev_samp(value), 6) AS std_value,
+                   min(value) AS min_value, max(value) AS max_value
+            FROM events GROUP BY event_type ORDER BY event_type""",
+        "window_ranks": """
+            SELECT event_id, event_type, floor(value)::BIGINT AS vb,
+                   rank() OVER w AS rnk,
+                   dense_rank() OVER w AS drnk,
+                   percent_rank() OVER w AS pct_rank,
+                   ntile(4) OVER (PARTITION BY event_type
+                                  ORDER BY floor(value)::BIGINT, event_id)
+                       AS tile4
+            FROM events
+            WINDOW w AS (PARTITION BY event_type
+                         ORDER BY floor(value)::BIGINT)
+            ORDER BY event_type, vb, event_id""",
+        "daily_user_activity": """
+            WITH c AS (
+              SELECT user_id,
+                     floor(epoch(date_trunc('day', ts)) / 86400)::BIGINT
+                         AS day_id,
+                     sum(value) AS click_value
+              FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+            p AS (
+              SELECT user_id,
+                     floor(epoch(date_trunc('day', ts)) / 86400)::BIGINT
+                         AS day_id,
+                     sum(value) AS purchase_value
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+            SELECT coalesce(c.user_id, p.user_id) AS user_id,
+                   coalesce(c.day_id, p.day_id) AS day_id,
+                   round(coalesce(click_value, 0), 4) AS click_value,
+                   round(coalesce(purchase_value, 0), 4) AS purchase_value
+            FROM c FULL OUTER JOIN p
+              ON c.user_id = p.user_id AND c.day_id = p.day_id
+            ORDER BY 1, 2""",
+        "returning_users": """
+            SELECT user_id FROM events
+            WHERE ts < TIMESTAMP '2024-01-04'
+            INTERSECT
+            SELECT user_id FROM events
+            WHERE ts >= TIMESTAMP '2024-01-28'
+            ORDER BY user_id""",
+        "props_extract": """
+            SELECT event_type, count(*)::BIGINT AS n_events,
+                   round(avg(json_extract(props, '$.k')::BIGINT), 6) AS avg_k,
+                   max(json_extract(props, '$.k')::BIGINT) AS max_k
+            FROM events GROUP BY event_type ORDER BY event_type""",
+        "value_median_mode": """
+            SELECT q.event_type, q.n_events, q.median_disc, q.p90_disc,
+                   md.mode_vb
+            FROM (SELECT event_type, count(*)::BIGINT AS n_events,
+                         quantile_disc(value, 0.5) AS median_disc,
+                         quantile_disc(value, 0.9) AS p90_disc
+                  FROM events GROUP BY 1) q
+            JOIN (SELECT event_type, vb AS mode_vb FROM (
+                    SELECT event_type, floor(value)::BIGINT AS vb,
+                           row_number() OVER (PARTITION BY event_type
+                                              ORDER BY count(*) DESC, vb)
+                               AS rn
+                    FROM events GROUP BY 1, 2) WHERE rn = 1) md
+              USING (event_type)
+            ORDER BY event_type""",
+        "tfidf_top_terms": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       string_split_regex(lower(text), '\s+'),
+                       x -> x <> '')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM tok GROUP BY 1, 2),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df
+                   FROM tok GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents),
+            s AS (SELECT tf.doc_id, tf.term,
+                         round(tf.tf * ln(n.n / df.df), 6) AS score,
+                         row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY round(tf.tf * ln(n.n / df.df), 6) DESC,
+                                    tf.term) AS rank
+                  FROM tf, df, n WHERE tf.term = df.term)
+            SELECT doc_id, term, score, CAST(rank AS BIGINT) AS rank
+            FROM s WHERE rank <= 3 ORDER BY doc_id, rank""",
+        "bigram_counts": r"""
+            WITH t AS (
+              SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            b AS (SELECT unnest([toks[i] || ' ' || toks[i+1]
+                                 for i in range(1, len(toks))]) AS bigram
+                  FROM t)
+            SELECT bigram, count(*)::BIGINT AS n FROM b
+            GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""",
+        "host_page_counts": f"""
+            SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                   count(*)::BIGINT AS n_pages,
+                   sum(octet_length(html))::BIGINT AS html_bytes
+            FROM read_parquet('{_ORACLE_PAGES_PATH}')
+            GROUP BY 1 ORDER BY n_pages DESC, host LIMIT 20""",
         "parts_by_brand": """
             SELECT p_brand, count(*) AS n_parts,
                    round(avg(p_retailprice), 4) AS avg_price

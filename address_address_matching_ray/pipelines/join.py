@@ -43,17 +43,26 @@ def equi_join(left, right, *, on: str, right_on: str | None = None,
     disjoint apart from the key; ``right_on`` defaults to ``on`` (when
     they differ, both key columns are kept, like pandas/DuckDB).
 
-    ``how``: ``'inner'`` or ``'left'``.  Left joins widen right-side
-    integer columns to float64 unconditionally so every bucket emits
-    one block schema (the asof-join ADVICE lesson).
+    ``how``: ``'inner'``, ``'left'`` or ``'outer'`` (full outer).
+    Left/outer joins widen nullable-side integer columns to float64
+    unconditionally so every bucket emits one block schema (the
+    asof-join ADVICE lesson).  Full outer requires ``on == right_on``
+    (one shared key column, filled from whichever side matched) and
+    always takes the bucketed path: a streaming broadcast probe cannot
+    know which build rows went unmatched globally.
 
     Build side = ``right``; callers put the smaller table there.  Below
     ``broadcast_threshold`` build rows it is broadcast once and probed
     per batch (no shuffle); above, one bucketed union shuffle.
     """
     right_on = right_on or on
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "outer"):
         raise ValueError(f"how={how!r}")
+    if how == "outer":
+        if on != right_on:
+            raise ValueError("full outer join requires a shared key column")
+        return _shuffle_join(left, right, on=on, right_on=right_on,
+                             how=how, buckets=buckets)
 
     n_right = right.count()
     if n_right <= broadcast_threshold:
@@ -69,11 +78,15 @@ def _widen_right_ints(out: pd.DataFrame, right_cols: list[str],
     """Post-merge dtype policy: left columns return to their exact
     dtypes (null-free by construction); right columns also do under
     ``inner``, but under ``left`` integer right columns stay float64
-    in EVERY bucket so block schemas never diverge."""
+    in EVERY bucket so block schemas never diverge.  Under ``outer``
+    every non-key integer column can be null on either side, so all
+    of them widen; the shared key column is filled from whichever
+    side matched and keeps its exact dtype."""
     for c, dt in restore.items():
         if c not in out.columns:
             continue
-        if c in right_cols and c != on and how == "left":
+        if c != on and (how == "outer"
+                        or (c in right_cols and how == "left")):
             out[c] = out[c].astype(np.float64)
         else:
             out[c] = out[c].astype(dt)
@@ -123,7 +136,12 @@ def _shuffle_join(left, right, *, on: str, right_on: str, how: str,
             l[c] = l[c].astype(restore[c])
         for c in r.columns.intersection(restore):
             r[c] = r[c].astype(restore[c])
-        out = l.merge(r, how=how, left_on=on, right_on=right_on)
+        if on == right_on:
+            # one shared key column, coalesced from both sides (the
+            # full-outer contract; inner/left are identical either way)
+            out = l.merge(r, how=how, on=on)
+        else:
+            out = l.merge(r, how=how, left_on=on, right_on=right_on)
         out = _widen_right_ints(out, right_cols, restore, how, on)
         return out.reset_index(drop=True)
 

@@ -486,3 +486,259 @@ def event_type_pivot(sf_dir: str):
         return df
 
     return out.map_batches(total, batch_format="pandas").sort("user_id")
+
+
+def revenue_rollup(sf_dir: str):
+    """ROLLUP / subtotal aggregate (GROUP BY ROLLUP(flag, status)):
+    detail rows + per-flag subtotals + a grand total, with the sentinel
+    'ALL' instead of SQL NULL so value hashes are collation-free.
+
+    Scale shape: ONE distributed groupby produces the bounded detail
+    aggregate (≤ flag×status rows); every coarser rollup level is an
+    exact re-aggregation of that tiny table in a single final task —
+    subtotals never touch the fact table again."""
+    ds = read(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    base = (ds.groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                       Count(alias_name="n_rows")))
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        detail = df[["l_returnflag", "l_linestatus", "sum_qty", "n_rows"]]
+        sub = (df.groupby("l_returnflag", as_index=False)
+               .agg(sum_qty=("sum_qty", "sum"), n_rows=("n_rows", "sum")))
+        sub["l_linestatus"] = "ALL"
+        grand = pd.DataFrame({
+            "l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+            "sum_qty": [df["sum_qty"].sum()],
+            "n_rows": [df["n_rows"].sum()]})
+        out = pd.concat([detail, sub, grand], ignore_index=True)
+        out["sum_qty"] = out["sum_qty"].round(2)
+        out["n_rows"] = out["n_rows"].astype("int64")
+        return (out.sort_values(["l_returnflag", "l_linestatus"])
+                .reset_index(drop=True))
+
+    return base.repartition(1).map_batches(rollup, batch_format="pandas")
+
+
+def value_stats(sf_dir: str):
+    """Statistical aggregates per event_type: mean / sample variance /
+    sample stddev / min / max via the moments combiner — each batch
+    ships one (n, Σv, Σv²) row per group, the groupby reduces ~5 rows
+    per batch, and the final task turns moments into stats.  At 100 TB
+    this is the canonical one-pass shape (never a per-group sort)."""
+    ds = read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        d = pd.DataFrame({"event_type": df["event_type"].to_numpy(object),
+                          "v": v, "v2": v * v})
+        g = (d.groupby("event_type", as_index=False, sort=False)
+             .agg(n=("v", "size"), s=("v", "sum"), ss=("v2", "sum"),
+                  mn=("v", "min"), mx=("v", "max")))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                      Sum("ss", alias_name="ss"),
+                      Min("mn", alias_name="mn"), Max("mx", alias_name="mx")))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.float64)
+        s = df["s"].to_numpy(np.float64)
+        var = (df["ss"].to_numpy(np.float64) - s * s / n) / (n - 1)
+        return pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(object),
+            "n_events": df["n"].astype("int64").to_numpy(),
+            "avg_value": np.round(s / n, 6),
+            "var_value": np.round(var, 6),
+            "std_value": np.round(np.sqrt(var), 6),
+            "min_value": df["mn"].to_numpy(),
+            "max_value": df["mx"].to_numpy()})
+
+    return (agg.map_batches(finish, batch_format="pandas")
+            .repartition(1).sort("event_type"))
+
+
+def window_ranks(sf_dir: str, tiles: int = 4):
+    """Rank-family window functions per event_type over the quantized
+    value (``floor(value)`` — real ties, so RANK vs DENSE_RANK differ):
+    rank, dense_rank, percent_rank, and NTILE(4) ordered by
+    (value-bucket, event_id).  percent_rank = (rank-1)/(n-1) — integer
+    operands, so the float is bit-identical to the SQL oracle.
+
+    One task per event_type (bounded-cardinality contract, like
+    ``value_percentiles``); for unbounded partitions use the hash-
+    bucketed layout of ``window_functions``."""
+    ds = read(sf_dir, "events", columns=["event_type", "event_id", "value"])
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["vb"] = np.floor(g["value"].to_numpy(np.float64)).astype("int64")
+        g = g.sort_values(["vb", "event_id"], kind="mergesort") \
+             .reset_index(drop=True)
+        n = len(g)
+        vb = g["vb"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, vb[1:] != vb[:-1]])
+        runs = np.diff(np.append(starts, n))
+        rnk = np.repeat(starts, runs) + 1
+        drnk = np.repeat(np.arange(len(starts)) + 1, runs)
+        pct = (rnk - 1) / (n - 1) if n > 1 else np.zeros(n)
+        idx = np.arange(n)
+        big = n % tiles
+        size_big = n // tiles + 1
+        size_small = max(n // tiles, 1)
+        boundary = big * size_big
+        tile = np.where(idx < boundary, idx // size_big,
+                        big + (idx - boundary) // size_small) + 1
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "event_type": g["event_type"].to_numpy(object),
+            "vb": vb,
+            "rnk": rnk.astype("int64"), "drnk": drnk.astype("int64"),
+            "pct_rank": pct,
+            "tile4": tile.astype("int64")})
+
+    return (ds.groupby("event_type")
+            .map_groups(per_type, batch_format="pandas")
+            .sort(["event_type", "vb", "event_id"]))
+
+
+def daily_user_activity(sf_dir: str, buckets: int = 64):
+    """FULL OUTER join of two sparse aggregates: per (user, day) click
+    value vs purchase value — the "align two feature streams per
+    entity" op where either side can be missing.  Key = packed
+    (user_id, day) int64; ``equi_join(how='outer')`` takes the bucketed
+    union-shuffle path (a streaming broadcast probe can't know which
+    build rows went globally unmatched).  Missing sides coalesce to 0."""
+    from address_address_matching_ray.pipelines.join import equi_join
+
+    ds = read(sf_dir, "events", columns=["user_id", "ts", "event_type",
+                                         "value"])
+
+    def prep(event_type: str, out_col: str):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["event_type"] == event_type]
+            day = df["ts"].to_numpy().astype("datetime64[D]").astype("int64")
+            uk = df["user_id"].to_numpy(np.int64) * np.int64(100_000) + day
+            g = (pd.DataFrame({"uk": uk, out_col: df["value"].to_numpy()})
+                 .groupby("uk", as_index=False).sum())
+            return g
+
+        return (ds.map_batches(f, batch_format="pandas")
+                .groupby("uk").aggregate(Sum(out_col, alias_name=out_col)))
+
+    j = equi_join(prep("click", "click_value"),
+                  prep("purchase", "purchase_value"),
+                  on="uk", how="outer", buckets=buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        uk = df["uk"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "user_id": uk // 100_000,
+            "day_id": uk % 100_000,
+            "click_value": df["click_value"].fillna(0.0).round(4).to_numpy(),
+            "purchase_value":
+                df["purchase_value"].fillna(0.0).round(4).to_numpy()})
+
+    return (j.map_batches(finish, batch_format="pandas")
+            .sort(["user_id", "day_id"]))
+
+
+def returning_users(sf_dir: str, first_end: str = "2024-01-04",
+                    second_start: str = "2024-01-28",
+                    broadcast_threshold: int = 5_000_000):
+    """Set INTERSECTION of two derived id sets (users active in the
+    first window AND the last): per-batch distinct → distinct groupby
+    per side, then the scale-tiered ``semi_join_ids`` (broadcast exact
+    below threshold, Bloom + bucketed exact above).  The EXCEPT mirror
+    is ``customers_without_orders``."""
+    from address_address_matching_ray.pipelines.join import semi_join_ids
+
+    ev = read(sf_dir, "events", columns=["user_id", "ts"])
+    lo = np.datetime64(first_end)
+    hi = np.datetime64(second_start)
+
+    def side(first: bool):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            ts = df["ts"].to_numpy()
+            m = ts < lo if first else ts >= hi
+            return pd.DataFrame({
+                "user_id": np.unique(df["user_id"].to_numpy(np.int64)[m])})
+
+        return (ev.map_batches(f, batch_format="pandas")
+                .groupby("user_id").count().select_columns(["user_id"]))
+
+    out = semi_join_ids(side(True), side(False), id_col="user_id",
+                        broadcast_threshold=broadcast_threshold)
+    return out.repartition(1).sort("user_id")
+
+
+def props_extract(sf_dir: str):
+    """Semi-structured (JSON) column extraction + aggregate: pull the
+    integer ``k`` field out of the ``props`` JSON string per event,
+    aggregate per type.  Extraction is one vectorized regex pass per
+    batch (the fixed-shape fast path; a general nested-JSON op would
+    be an actor-pool stage with a real parser), then the moments
+    combiner as in ``value_stats``."""
+    ds = read(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = (df["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
+             .astype("float64"))
+        d = pd.DataFrame({"event_type": df["event_type"].to_numpy(object),
+                          "k": k.to_numpy()})
+        g = (d.groupby("event_type", as_index=False, sort=False)
+             .agg(n=("k", "size"), s=("k", "sum"), mx=("k", "max")))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                      Max("mx", alias_name="mx")))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(object),
+            "n_events": df["n"].astype("int64").to_numpy(),
+            "avg_k": np.round(df["s"].to_numpy() / df["n"].to_numpy(), 6),
+            "max_k": df["mx"].astype("int64").to_numpy()})
+
+    return (agg.map_batches(finish, batch_format="pandas")
+            .repartition(1).sort("event_type"))
+
+
+def value_median_mode(sf_dir: str):
+    """Discrete order statistics per event_type: quantile_disc median /
+    p90 (an ACTUAL element — hash-exact, no interpolation arithmetic)
+    and the mode of the value bucket (max count, smallest-bucket tie-
+    break).  DuckDB's quantile_disc(q) is the sorted element at index
+    ceil(q·n)−1 (verified empirically at n∈{2..20}).  One task per
+    event_type (bounded groups, same contract as value_percentiles);
+    the unbounded-key shape is the KLL sketch (approx_value_percentiles)."""
+    import math
+
+    ds = read(sf_dir, "events", columns=["event_type", "value"])
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy(np.float64))
+        n = len(v)
+
+        def qd(q: float) -> float:
+            return float(v[min(max(math.ceil(q * n) - 1, 0), n - 1)])
+
+        vb = np.floor(g["value"].to_numpy(np.float64)).astype("int64")
+        uk, cnt = np.unique(vb, return_counts=True)   # sorted keys →
+        mode = uk[np.argmax(cnt)]                     # argmax = smallest tie
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_events": np.array([n], dtype="int64"),
+            "median_disc": [qd(0.5)], "p90_disc": [qd(0.9)],
+            "mode_vb": np.array([mode], dtype="int64")})
+
+    return (ds.groupby("event_type")
+            .map_groups(per_type, batch_format="pandas")
+            .repartition(1).sort("event_type"))

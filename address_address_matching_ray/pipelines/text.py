@@ -165,3 +165,148 @@ def approx_word_frequencies(docs_ds, text_col: str = "text",
     return (out.sort_values(["n", "word"], ascending=[False, True],
                             kind="mergesort")
             .head(top_k).reset_index(drop=True))
+
+
+def tfidf_top_terms(docs_ds, n_docs: int | None = None,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    k: int = 3, max_vocab: int = 50_000_000):
+    """Per-doc top-k TF-IDF terms (the corpus keyword-extraction op):
+    tf = in-doc count, idf = ln(N/df), score rounded to 1e-6, ties
+    broken term-ascending.
+
+    Two passes, both vectorized:
+
+    1. document frequencies — per-batch distinct (doc, term) explode →
+       partial term counts (each doc lives wholly in one batch, so
+       partials sum exactly) → one groupby; the df table is broadcast
+       via ``ray.put`` (``max_vocab`` guards the driver pull — beyond
+       it, bucket terms as in ``word_frequencies`` and attach idf with
+       a bucketed join instead).
+    2. fused tf + per-doc top-k inside ONE map_batches call, so a doc's
+       terms are never split across tasks and no per-doc shuffle exists.
+    """
+    import ray
+
+    from address_address_matching_ray.stages.bcast import get_cached
+
+    if n_docs is None:
+        n_docs = docs_ds.count()
+
+    def df_batch(df: pd.DataFrame) -> pd.DataFrame:
+        ex = (df[text_col].fillna("").str.lower().str.split()
+              .explode().dropna())
+        pairs = pd.DataFrame({"_r": ex.index.to_numpy(np.int64),
+                              "term": ex.to_numpy(object)}).drop_duplicates()
+        vc = pairs["term"].value_counts()
+        return pd.DataFrame({"term": vc.index.to_numpy(object),
+                             "df": vc.to_numpy().astype("int64")})
+
+    from ray.data.aggregate import Sum
+    dfreq = (docs_ds.map_batches(df_batch, batch_format="pandas")
+             .groupby("term").aggregate(Sum("df", alias_name="df")))
+    n_vocab = dfreq.count()
+    if n_vocab > max_vocab:
+        raise NotImplementedError(
+            f"vocabulary {n_vocab} exceeds the broadcast gate {max_vocab}; "
+            "use the bucketed-join idf attach")
+    dfp = dfreq.to_pandas()
+    idf = pd.Series(np.log(n_docs / dfp["df"].to_numpy(np.float64)),
+                    index=dfp["term"].to_numpy(object))
+    lookup = ray.put(idf)
+
+    def topk_batch(df: pd.DataFrame) -> pd.DataFrame:
+        s = get_cached(lookup)
+        df = df.reset_index(drop=True)
+        ex = (df[text_col].fillna("").str.lower().str.split()
+              .explode().dropna())
+        t = pd.DataFrame({"_r": ex.index.to_numpy(np.int64),
+                          "term": ex.to_numpy(object)})
+        g = t.groupby(["_r", "term"], sort=False).size().reset_index(name="tf")
+        g["score"] = np.round(
+            g["tf"].to_numpy(np.float64)
+            * s.reindex(g["term"].to_numpy(object)).to_numpy(np.float64), 6)
+        g = g.sort_values(["_r", "score", "term"],
+                          ascending=[True, False, True], kind="mergesort")
+        top = g.groupby("_r", sort=False).head(k).copy()
+        top["rank"] = top.groupby("_r", sort=False).cumcount() + 1
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy()[top["_r"].to_numpy()],
+            "term": top["term"].to_numpy(object),
+            "score": top["score"].to_numpy(),
+            "rank": top["rank"].astype("int64").to_numpy()})
+
+    return (docs_ds.map_batches(topk_batch, batch_format="pandas")
+            .sort([id_col, "rank"]))
+
+
+def bigram_counts(docs_ds, text_col: str = "text", top_k: int = 20,
+                  buckets: int = 64):
+    """Corpus top-k adjacent-word bigrams — same bucketed combiner
+    shape as ``word_frequencies`` (per-batch partial counts, each
+    bigram wholly in one hash bucket, per-bucket top-k, tiny global
+    merge); the n-gram statistics pass of an LM data pipeline."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = (df[text_col].fillna("").str.lower().str.split()
+              .explode().dropna())
+        r = ex.index.to_numpy(np.int64)
+        w = ex.to_numpy(object)
+        if len(w) < 2:
+            return pd.DataFrame({"bigram": pd.Series([], dtype=object),
+                                 "cnt": pd.Series([], dtype="int64"),
+                                 "_b": pd.Series([], dtype="int64")})
+        same = r[1:] == r[:-1]          # explode preserves in-doc order
+        bg = w[:-1][same] + " " + w[1:][same]
+        vc = pd.Series(bg).value_counts()
+        out = pd.DataFrame({"bigram": vc.index.to_numpy(object),
+                            "cnt": vc.to_numpy().astype("int64")})
+        h = pd.util.hash_array(out["bigram"].to_numpy(dtype=object))
+        out["_b"] = (h % np.uint64(buckets)).astype("int64")
+        return out
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        sums = g.groupby("bigram", sort=False)["cnt"].sum().reset_index()
+        sums = sums.sort_values(["cnt", "bigram"], ascending=[False, True],
+                                kind="mergesort").head(top_k)
+        return pd.DataFrame({"bigram": sums["bigram"].to_numpy(object),
+                             "n": sums["cnt"].to_numpy()})
+
+    agg = (docs_ds.map_batches(partial, batch_format="pandas")
+           .groupby("_b").map_groups(
+               lambda g: bucket_topk(g.drop(columns=["_b"])),
+               batch_format="pandas"))
+    return agg.sort(["n", "bigram"], descending=[True, False]).limit(top_k)
+
+
+def host_page_counts(pages_ds, top_k: int = 20, buckets: int = 64):
+    """Crawl-shaped URL analytics: pages + raw html bytes per host,
+    top-k hosts.  Host extraction is one vectorized regex per batch
+    over the pruned (url, html) columns; aggregation is the bucketed
+    top-k (hosts are ~100M-cardinality at crawl scale — never one Ray
+    group per host)."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        host = (df["url"].str.extract(r"^[a-z]+://([^/]+)", expand=False)
+                .fillna(""))
+        nb = df["html"].str.len().fillna(0).astype("int64")
+        d = pd.DataFrame({"host": host.to_numpy(object), "nb": nb})
+        g = (d.groupby("host", as_index=False, sort=False)
+             .agg(n_pages=("nb", "size"), html_bytes=("nb", "sum")))
+        g["n_pages"] = g["n_pages"].astype("int64")
+        h = pd.util.hash_array(g["host"].to_numpy(dtype=object))
+        g["_b"] = (h % np.uint64(buckets)).astype("int64")
+        return g
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        sums = (g.groupby("host", sort=False)
+                .agg(n_pages=("n_pages", "sum"),
+                     html_bytes=("html_bytes", "sum")).reset_index())
+        sums["n_pages"] = sums["n_pages"].astype("int64")
+        sums["html_bytes"] = sums["html_bytes"].astype("int64")
+        return (sums.sort_values(["n_pages", "host"],
+                                 ascending=[False, True], kind="mergesort")
+                .head(top_k).reset_index(drop=True))
+
+    agg = (pages_ds.map_batches(partial, batch_format="pandas")
+           .groupby("_b").map_groups(
+               lambda g: bucket_topk(g.drop(columns=["_b"])),
+               batch_format="pandas"))
+    return agg.sort(["n_pages", "host"], descending=[True, False]).limit(top_k)
