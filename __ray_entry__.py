@@ -541,6 +541,32 @@ def _q_host_page_counts(sf_dir: str):
     return host_page_counts(pages.select_columns(["url", "html"]))
 
 
+def _q_moving_avg(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import moving_avg
+
+    return moving_avg(sf_dir)
+
+
+def _q_doc_unigram_logprob(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import read
+    from address_address_matching_ray.pipelines.text import (
+        doc_unigram_logprob,
+    )
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    return doc_unigram_logprob(docs)
+
+
+def _q_url_dedup(sf_dir: str):
+    """Canonical-url exact dedup over the deterministic synthetic
+    pages (same input the oracle materializes)."""
+    from address_address_matching_ray.pipelines.dedup import url_dedup
+    from address_address_matching_ray.sources.synth import synth_pages
+
+    pages = synth_pages(_n_pages_for(sf_dir), seed=_SEED)
+    return url_dedup(pages.select_columns(["doc_id", "url"]))
+
+
 def _q_orders_with_returns(sf_dir: str):
     from address_address_matching_ray.pipelines.relational import (
         orders_with_returns,
@@ -624,6 +650,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "bigram_counts": _q_bigram_counts,
         "host_page_counts": _q_host_page_counts,
+        "moving_avg": _q_moving_avg,
+        "doc_unigram_logprob": _q_doc_unigram_logprob,
+        "url_dedup": _q_url_dedup,
         "parts_by_brand": _q_parts_by_brand,
         "region_supplier_balance": _q_region_supplier_balance,
         "match_queries": _q_match_queries,
@@ -1186,6 +1215,80 @@ def oracle_sql() -> dict[str, str]:
                    sum(octet_length(html))::BIGINT AS html_bytes
             FROM read_parquet('{_ORACLE_PAGES_PATH}')
             GROUP BY 1 ORDER BY n_pages DESC, host LIMIT 20""",
+        "moving_avg": """
+            SELECT user_id, event_id,
+                   CAST(row_number() OVER w AS BIGINT) AS row_no,
+                   round(avg(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS BETWEEN 3 PRECEDING
+                                          AND CURRENT ROW), 6) AS mov_avg,
+                   first_value(value) OVER w AS first_v
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY user_id, row_no""",
+        "doc_unigram_logprob": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       string_split_regex(lower(text), '\s+'),
+                       x -> x <> '')) AS term
+              FROM documents),
+            freq AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+            total AS (SELECT sum(cnt)::DOUBLE AS n FROM freq)
+            SELECT tok.doc_id, count(*)::BIGINT AS n_tokens,
+                   round(avg(-ln(freq.cnt / total.n)), 6) AS xent
+            FROM tok, freq, total WHERE tok.term = freq.term
+            GROUP BY tok.doc_id ORDER BY tok.doc_id""",
+        # canonical_url re-expressed as a DuckDB regex/list chain —
+        # verified equal to stages.keys.canonical_url on 5k synth urls
+        # + adversarial cases (scheme/www/fragment/trailing-slash/
+        # tracking-param/param-sort edges) in test_relational_ext2
+        "url_dedup": f"""
+            WITH s AS (
+              SELECT doc_id, url, regexp_replace(regexp_replace(trim(url),
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '#.*$', '') AS x
+              FROM read_parquet('{_ORACLE_PAGES_PATH}')),
+            parts AS (
+              SELECT doc_id, url,
+                CASE WHEN position('?' IN x) > 0
+                     THEN substr(x, 1, position('?' IN x) - 1)
+                     ELSE x END AS base,
+                CASE WHEN position('?' IN x) > 0
+                     THEN substr(x, position('?' IN x) + 1)
+                     ELSE '' END AS query
+              FROM s),
+            hp AS (
+              SELECT doc_id, url, query,
+                regexp_replace(lower(regexp_extract(base, '^([^/]*)', 1)),
+                               '^www\\.', '') AS host,
+                '/' || CASE WHEN position('/' IN base) > 0
+                            THEN substr(base, position('/' IN base) + 1)
+                            ELSE '' END AS path0
+              FROM parts),
+            cp AS (
+              SELECT doc_id, url, host, query,
+                CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+                     ELSE regexp_replace(path0, '/+$', '') END AS path
+              FROM hp),
+            kq AS (
+              SELECT doc_id, url, host, path,
+                array_to_string(list_sort(list_filter(
+                  string_split(query, '&'),
+                  p -> regexp_extract(p, '^([^=]*)', 1) <> ''
+                       AND NOT regexp_matches(
+                             regexp_extract(p, '^([^=]*)', 1),
+                             '^(utm_[a-z]+|ref|fbclid|gclid|mc_cid|mc_eid)$',
+                             'i'))), '&') AS q
+              FROM cp),
+            canon AS (
+              SELECT doc_id,
+                CASE WHEN trim(url) = '' THEN ''
+                     ELSE host || path ||
+                          CASE WHEN q <> '' THEN '?' || q ELSE '' END
+                END AS curl
+              FROM kq)
+            SELECT curl, min(doc_id) AS keep_id, count(*)::BIGINT AS n_pages
+            FROM canon GROUP BY curl ORDER BY curl""",
         "parts_by_brand": """
             SELECT p_brand, count(*) AS n_parts,
                    round(avg(p_retailprice), 4) AS avg_price

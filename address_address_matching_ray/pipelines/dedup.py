@@ -656,3 +656,47 @@ def all_pairs_jaccard(docs_ds, threshold: float = 70.0,
             "sim": pa.array(np.floor(sims[keep] * 1e6) / 1e6)})
 
     return slim.map_batches(pairs, batch_format="pyarrow", batch_size=256)
+
+
+def url_dedup(pages_ds, buckets: int = 64):
+    """Exact dedup of crawl pages by CANONICAL URL (scheme/www/
+    trailing-slash/fragment dropped, tracking params removed, surviving
+    params sorted — ``stages.keys.canonical_url``): one row per
+    canonical url with the smallest doc_id as the keeper and the
+    duplicate count.  This is the first dedup pass a crawl pipeline
+    runs — it removes re-crawls of the same resource before any
+    content hashing.
+
+    Shape: vectorized canonicalization per batch (pruned url column
+    only) → per-batch partial (min, count) per curl → one hash-bucketed
+    shuffle of the PARTIALS (slim rows, not pages) → vectorized
+    per-bucket final reduce.  Canonical urls are corpus-cardinality, so
+    no per-key Ray groups and no driver pull."""
+    import pandas as pd
+
+    from address_address_matching_ray.stages.keys import (
+        canonical_url_series,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "curl": canonical_url_series(df["url"]).to_numpy(object),
+            "doc_id": df["doc_id"].to_numpy()})
+        g = (d.groupby("curl", as_index=False)
+             .agg(keep_id=("doc_id", "min"), n_pages=("doc_id", "size")))
+        g["n_pages"] = g["n_pages"].astype("int64")
+        h = pd.util.hash_array(g["curl"].to_numpy(dtype=object))
+        g["_b"] = (h % np.uint64(buckets)).astype("int64")
+        return g
+
+    def bucket_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("curl", as_index=False)
+               .agg(keep_id=("keep_id", "min"), n_pages=("n_pages", "sum")))
+        out["n_pages"] = out["n_pages"].astype("int64")
+        return out
+
+    return (pages_ds.map_batches(partial, batch_format="pandas")
+            .groupby("_b").map_groups(
+                lambda g: bucket_final(g.drop(columns=["_b"])),
+                batch_format="pandas")
+            .sort("curl"))

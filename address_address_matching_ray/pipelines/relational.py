@@ -742,3 +742,41 @@ def value_median_mode(sf_dir: str):
     return (ds.groupby("event_type")
             .map_groups(per_type, batch_format="pandas")
             .repartition(1).sort("event_type"))
+
+
+def moving_avg(sf_dir: str, frame: int = 3, buckets: int = 64):
+    """Window FRAMES over a partitioned log: per-user moving average of
+    the last ``frame``+1 rows (ROWS BETWEEN frame PRECEDING AND CURRENT
+    ROW), plus FIRST_VALUE of the partition, ordered by (ts, event_id).
+    Same hash-bucketed layout as ``window_functions`` — every user's
+    history lives wholly in one bucket, one vectorized pandas pass per
+    bucket, never a per-user Ray group.  Averages round(6) on both
+    sides (pandas' sliding-sum rolling kernel vs the oracle's per-frame
+    sum associate differently at the last ulp)."""
+    ds = read(sf_dir, "events",
+              columns=["user_id", "event_id", "ts", "value"])
+
+    def add_b(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = uid.astype("uint64") * np.uint64(0x9E3779B97F4A7C15)
+        return t.append_column(
+            "_b", pa.array((h % np.uint64(buckets)).astype("int64")))
+
+    def bucket_frame(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        grp = g.groupby("user_id", sort=False)
+        mov = (grp["value"].rolling(frame + 1, min_periods=1).mean()
+               .reset_index(level=0, drop=True))
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(),
+            "event_id": g["event_id"].to_numpy(),
+            "row_no": (grp.cumcount() + 1).astype("int64").to_numpy(),
+            "mov_avg": mov.round(6).to_numpy(),
+            "first_v": grp["value"].transform("first").to_numpy()})
+
+    return (ds.map_batches(add_b, batch_format="pyarrow")
+            .groupby("_b").map_groups(
+                lambda g: bucket_frame(g.drop(columns=["_b"])),
+                batch_format="pandas")
+            .sort(["user_id", "row_no"]))

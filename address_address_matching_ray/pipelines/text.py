@@ -310,3 +310,67 @@ def host_page_counts(pages_ds, top_k: int = 20, buckets: int = 64):
                lambda g: bucket_topk(g.drop(columns=["_b"])),
                batch_format="pandas"))
     return agg.sort(["n_pages", "host"], descending=[True, False]).limit(top_k)
+
+
+def doc_unigram_logprob(docs_ds, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        max_vocab: int = 50_000_000):
+    """Per-doc cross-entropy under the corpus unigram LM (the classic
+    cheap LM-quality score): xent = mean over tokens of
+    −ln(count(w)/total_words).  Two vectorized passes, both reusing the
+    ``word_frequencies`` combiner shape:
+
+    1. corpus term counts (per-batch partials → one groupby) →
+       broadcast log-probability table via ``ray.put`` (``max_vocab``
+       gated; beyond it attach with a bucketed join);
+    2. per-doc token explode + reindex against the worker-cached table,
+       ``reduceat`` mean per doc — one map_batches, no per-doc state.
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from address_address_matching_ray.stages.bcast import get_cached
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = (df[text_col].fillna("").str.lower().str.split()
+              .explode().dropna().value_counts())
+        return pd.DataFrame({"term": vc.index.to_numpy(object),
+                             "cnt": vc.to_numpy().astype("int64")})
+
+    freq = (docs_ds.map_batches(partial, batch_format="pandas")
+            .groupby("term").aggregate(Sum("cnt", alias_name="cnt")))
+    n_vocab = freq.count()
+    if n_vocab > max_vocab:
+        raise NotImplementedError(
+            f"vocabulary {n_vocab} exceeds the broadcast gate {max_vocab}; "
+            "attach log-probs with a bucketed join instead")
+    fp = freq.to_pandas()
+    total = float(fp["cnt"].sum())
+    logp = pd.Series(np.log(fp["cnt"].to_numpy(np.float64) / total),
+                     index=fp["term"].to_numpy(object))
+    lookup = ray.put(logp)
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        lp = get_cached(lookup)
+        df = df.reset_index(drop=True)
+        ex = (df[text_col].fillna("").str.lower().str.split()
+              .explode().dropna())
+        if len(ex) == 0:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype=df[id_col].dtype),
+                "n_tokens": pd.Series([], dtype="int64"),
+                "xent": pd.Series([], dtype="float64")})
+        rows = ex.index.to_numpy(np.int64)
+        v = -lp.reindex(ex.to_numpy(object)).to_numpy(np.float64)
+        starts = np.flatnonzero(np.diff(rows, prepend=-1))
+        sums = np.add.reduceat(v, starts)
+        n = np.diff(np.append(starts, len(v))).astype("int64")
+        present = rows[starts]
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy()[present],
+            "n_tokens": n,
+            "xent": np.round(sums / n, 6)})
+
+    return (docs_ds.map_batches(per_doc, batch_format="pandas")
+            .sort(id_col))

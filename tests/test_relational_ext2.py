@@ -250,3 +250,130 @@ def test_equi_join_outer_matches_duckdb(ray_session):
     exp["k"] = exp["k"].astype("int64")
     pd.testing.assert_frame_equal(got, exp)
     assert got["lv"].isna().any() and got["rv"].isna().any()
+
+
+def test_moving_avg_oracle(ray_session):
+    from address_address_matching_ray.pipelines.relational import moving_avg
+
+    got = moving_avg(SF).to_pandas().reset_index(drop=True)
+    exp = _con().execute("""
+        SELECT user_id, event_id,
+               CAST(row_number() OVER w AS BIGINT) AS row_no,
+               round(avg(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN 3 PRECEDING
+                                      AND CURRENT ROW), 6) AS mov_avg,
+               first_value(value) OVER w AS first_v
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, row_no""").fetchdf()
+    pd.testing.assert_frame_equal(got, exp)
+    # row 1 of every user: moving avg over one row == first value
+    first = got[got["row_no"] == 1]
+    assert np.allclose(first["mov_avg"], first["first_v"].round(6))
+
+
+def test_doc_unigram_logprob_oracle(ray_session):
+    from address_address_matching_ray.pipelines.relational import read
+    from address_address_matching_ray.pipelines.text import (
+        doc_unigram_logprob,
+    )
+
+    docs = read(SF, "documents", columns=["doc_id", "text"])
+    got = doc_unigram_logprob(docs).to_pandas().reset_index(drop=True)
+    exp = _con().execute(r"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS term
+          FROM documents),
+        freq AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+        total AS (SELECT sum(cnt)::DOUBLE AS n FROM freq)
+        SELECT tok.doc_id, count(*)::BIGINT AS n_tokens,
+               round(avg(-ln(freq.cnt / total.n)), 6) AS xent
+        FROM tok, freq, total WHERE tok.term = freq.term
+        GROUP BY tok.doc_id ORDER BY tok.doc_id""").fetchdf()
+    pd.testing.assert_frame_equal(got, exp)
+    assert (got["xent"] > 0).all()
+
+
+def test_url_canonicalization_sql_matches_python_spec():
+    """The url_dedup oracle's regex/list chain must equal the Python
+    spec (stages.keys.canonical_url) — adversarial cases included."""
+    import duckdb as dd
+
+    from address_address_matching_ray.sources.synth import pages_batch
+    from address_address_matching_ray.stages.keys import canonical_url
+
+    urls = pages_batch(np.arange(3000), 42)["url"].to_pylist()
+    urls += ["", "  http://WWW.Ex.com//a//b///?utm_source=x&b=2&a=1#frag",
+             "https://ex.com/?ref=z", "ex.com/path/", "http://ex.com",
+             "http://ex.com/?=bad&a=1&&b=2", "HTTPS://A.B/p?gclid=1",
+             "http://ex.com/p?zz=1&aa=2&mm=3", "http://ex.com/#only",
+             "http://ex.com/p?UTM_SOURCE=a", "www.ex.com"]
+    exp = [canonical_url(u) for u in urls]
+    con = dd.connect()
+    con.register("u", pd.DataFrame({"url": urls}))
+    got = con.execute(r"""
+        WITH s AS (
+          SELECT url, regexp_replace(regexp_replace(trim(url),
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '#.*$', '') AS x
+          FROM u),
+        parts AS (
+          SELECT url,
+            CASE WHEN position('?' IN x) > 0
+                 THEN substr(x, 1, position('?' IN x) - 1) ELSE x END AS base,
+            CASE WHEN position('?' IN x) > 0
+                 THEN substr(x, position('?' IN x) + 1) ELSE '' END AS query
+          FROM s),
+        hp AS (
+          SELECT url, query,
+            regexp_replace(lower(regexp_extract(base, '^([^/]*)', 1)),
+                           '^www\.', '') AS host,
+            '/' || CASE WHEN position('/' IN base) > 0
+                        THEN substr(base, position('/' IN base) + 1)
+                        ELSE '' END AS path0
+          FROM parts),
+        cp AS (
+          SELECT url, host, query,
+            CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+                 ELSE regexp_replace(path0, '/+$', '') END AS path
+          FROM hp),
+        kq AS (
+          SELECT url, host, path,
+            array_to_string(list_sort(list_filter(string_split(query, '&'),
+              p -> regexp_extract(p, '^([^=]*)', 1) <> ''
+                   AND NOT regexp_matches(regexp_extract(p, '^([^=]*)', 1),
+                        '^(utm_[a-z]+|ref|fbclid|gclid|mc_cid|mc_eid)$',
+                        'i'))), '&') AS q
+          FROM cp)
+        SELECT CASE WHEN trim(url) = '' THEN ''
+                    ELSE host || path ||
+                         CASE WHEN q <> '' THEN '?' || q ELSE '' END
+               END AS curl
+        FROM kq""").fetchdf()["curl"].tolist()
+    assert got == exp
+
+
+def test_url_dedup_oracle(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from address_address_matching_ray.pipelines.dedup import url_dedup
+    from address_address_matching_ray.sources.synth import pages_batch
+    from address_address_matching_ray.stages.keys import canonical_url
+
+    n = 3_000
+    pages = pages_batch(np.arange(n), 42).select(["doc_id", "url"])
+    path = "/tmp/graft_test_urldedup.parquet"
+    pq.write_table(pages, path)
+    got = url_dedup(rd.read_parquet(path)).to_pandas().reset_index(drop=True)
+    # oracle: python spec canonicalization + pandas dedup semantics
+    df = pages.to_pandas()
+    df["curl"] = df["url"].map(canonical_url)
+    exp = (df.groupby("curl", as_index=False)
+           .agg(keep_id=("doc_id", "min"), n_pages=("doc_id", "size")))
+    exp["n_pages"] = exp["n_pages"].astype("int64")
+    exp = exp.sort_values("curl").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    assert (got["n_pages"] > 1).any()      # real recrawl collapses
