@@ -567,6 +567,26 @@ def _q_url_dedup(sf_dir: str):
     return url_dedup(pages.select_columns(["doc_id", "url"]))
 
 
+def _q_embedding_norms(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import read
+    from address_address_matching_ray.pipelines.similarity import (
+        embedding_norms,
+    )
+
+    return embedding_norms(read(sf_dir, "embeddings",
+                                columns=["vec_id", "embedding"]))
+
+
+def _q_label_centroids(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import read
+    from address_address_matching_ray.pipelines.similarity import (
+        label_centroids,
+    )
+
+    return label_centroids(read(sf_dir, "embeddings",
+                                columns=["label", "embedding"]))
+
+
 def _q_orders_with_returns(sf_dir: str):
     from address_address_matching_ray.pipelines.relational import (
         orders_with_returns,
@@ -653,6 +673,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moving_avg": _q_moving_avg,
         "doc_unigram_logprob": _q_doc_unigram_logprob,
         "url_dedup": _q_url_dedup,
+        "embedding_norms": _q_embedding_norms,
+        "label_centroids": _q_label_centroids,
         "parts_by_brand": _q_parts_by_brand,
         "region_supplier_balance": _q_region_supplier_balance,
         "match_queries": _q_match_queries,
@@ -1289,6 +1311,20 @@ def oracle_sql() -> dict[str, str]:
               FROM kq)
             SELECT curl, min(doc_id) AS keep_id, count(*)::BIGINT AS n_pages
             FROM canon GROUP BY curl ORDER BY curl""",
+        "embedding_norms": """
+            SELECT vec_id, len(embedding)::BIGINT AS dim,
+                   round(sqrt(list_sum(list_transform(
+                     embedding, x -> x::DOUBLE * x::DOUBLE))), 6) AS l2_norm
+            FROM embeddings ORDER BY vec_id""",
+        "label_centroids": """
+            WITH e AS (
+              SELECT label::BIGINT AS label,
+                     unnest(range(len(embedding)))::BIGINT AS dim_j,
+                     unnest(list_transform(embedding, x -> x::DOUBLE)) AS v
+              FROM embeddings)
+            SELECT label, dim_j, count(*)::BIGINT AS n_vecs,
+                   round(avg(v), 6) + 0.0 AS mean_val
+            FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
         "parts_by_brand": """
             SELECT p_brand, count(*) AS n_parts,
                    round(avg(p_retailprice), 4) AS avg_price

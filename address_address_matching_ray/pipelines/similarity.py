@@ -350,3 +350,66 @@ def embedding_dedup(emb_ds, threshold: float = 0.98,
                      .select_columns(["doc_id"])
     return filter_out_ids(emb_ds, dupe_ids, id_col=id_col, ids_col="doc_id",
                           broadcast_threshold=broadcast_threshold)
+
+
+def embedding_norms(emb_ds):
+    """Per-vector L2 norm + dimension (the sanity/QA pass before any
+    ANN stage; also the first DuckDB-oracled surface for the embedding
+    family).  Zero-copy Arrow matrix extraction per batch, float64
+    accumulation (the list elements are float32 — both sides upcast
+    BEFORE squaring so the arithmetic matches), norms rounded 1e-6."""
+    import pyarrow as pa
+
+    def f(t: pa.Table) -> pd.DataFrame:
+        m = _matrix_from_arrow(t["embedding"]).astype(np.float64)
+        return pd.DataFrame({
+            "vec_id": t["vec_id"].to_numpy(zero_copy_only=False),
+            "dim": np.full(len(m), m.shape[1], dtype="int64"),
+            "l2_norm": np.round(np.sqrt((m * m).sum(axis=1)), 6)})
+
+    return emb_ds.map_batches(f, batch_format="pyarrow").sort("vec_id")
+
+
+def label_centroids(emb_ds):
+    """Per-label centroid, exploded to (label, dim_j, mean_val) scalar
+    rows (hash-comparable — no list columns through the compare).  The
+    combiner keeps the shuffle tiny: each batch ships ONE (Σvec, n) row
+    per label as labels×dim scalar rows, the groupby reduces those, and
+    the mean happens after — at 100 TB this is the only shape that
+    works (per-vector rows never reach the shuffle)."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        m = _matrix_from_arrow(t["embedding"]).astype(np.float64)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype("int64")
+        order = np.argsort(lab, kind="stable")
+        sl = lab[order]
+        starts = np.flatnonzero(np.r_[True, sl[1:] != sl[:-1]])
+        sums = np.add.reduceat(m[order], starts, axis=0)
+        cnt = np.diff(np.append(starts, len(sl)))
+        uniq = sl[starts]
+        d = m.shape[1]
+        return pd.DataFrame({
+            "label": np.repeat(uniq, d),
+            "dim_j": np.tile(np.arange(d, dtype="int64"), len(uniq)),
+            "s": sums.ravel(),
+            "n": np.repeat(cnt.astype("int64"), d)})
+
+    agg = (emb_ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["label", "dim_j"])
+           .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n")))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "label": df["label"].astype("int64").to_numpy(),
+            "dim_j": df["dim_j"].astype("int64").to_numpy(),
+            "n_vecs": df["n"].astype("int64").to_numpy(),
+            # + 0.0 folds IEEE -0.0 into +0.0 (a near-zero mean may
+            # round to zero with either sign; the oracle does the same)
+            "mean_val":
+                np.round(df["s"].to_numpy() / df["n"].to_numpy(), 6) + 0.0})
+
+    return (agg.map_batches(finish, batch_format="pandas")
+            .sort(["label", "dim_j"]))

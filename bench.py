@@ -175,9 +175,14 @@ def run_scaling() -> dict:
     reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
     # per-leg BEST of `reps` runs: this host shows bursty hypervisor
     # CPU-steal (identical runs vary up to 2×), and the minimum is the
-    # standard least-interference estimator for a deterministic job
-    runs_lo = [one(lo) for _ in range(reps)]
-    runs_hi = [one(hi) for _ in range(reps)]
+    # standard least-interference estimator for a deterministic job.
+    # Legs are INTERLEAVED (lo, hi, lo, hi, ...) so a steal burst that
+    # spans a few minutes lands on both cluster sizes rather than
+    # painting whichever leg ran inside it
+    runs_lo, runs_hi = [], []
+    for _ in range(reps):
+        runs_lo.append(one(lo))
+        runs_hi.append(one(hi))
     r_lo = min(runs_lo, key=lambda r: r["value"])
     r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]

@@ -377,3 +377,48 @@ def test_url_dedup_oracle(ray_session):
     exp = exp.sort_values("curl").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp)
     assert (got["n_pages"] > 1).any()      # real recrawl collapses
+
+
+def test_embedding_norms_oracle(ray_session):
+    from address_address_matching_ray.pipelines.relational import read
+    from address_address_matching_ray.pipelines.similarity import (
+        embedding_norms,
+    )
+
+    emb = read(SF, "embeddings", columns=["vec_id", "embedding"])
+    got = embedding_norms(emb).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{SF}/embeddings.parquet')")
+    exp = con.execute("""
+        SELECT vec_id, len(embedding)::BIGINT AS dim,
+               round(sqrt(list_sum(list_transform(
+                 embedding, x -> x::DOUBLE * x::DOUBLE))), 6) AS l2_norm
+        FROM embeddings ORDER BY vec_id""").fetchdf()
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_label_centroids_oracle(ray_session):
+    from address_address_matching_ray.pipelines.relational import read
+    from address_address_matching_ray.pipelines.similarity import (
+        label_centroids,
+    )
+
+    emb = read(SF, "embeddings", columns=["label", "embedding"])
+    got = label_centroids(emb).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{SF}/embeddings.parquet')")
+    exp = con.execute("""
+        WITH e AS (
+          SELECT label::BIGINT AS label,
+                 unnest(range(len(embedding)))::BIGINT AS dim_j,
+                 unnest(list_transform(embedding, x -> x::DOUBLE)) AS v
+          FROM embeddings)
+        SELECT label, dim_j, count(*)::BIGINT AS n_vecs,
+               round(avg(v), 6) + 0.0 AS mean_val
+        FROM e GROUP BY 1, 2 ORDER BY 1, 2""").fetchdf()
+    pd.testing.assert_frame_equal(got, exp)
+    # every label covers the full dim range
+    assert (got.groupby("label")["dim_j"].count()
+            == got["dim_j"].max() + 1).all()
