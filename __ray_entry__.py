@@ -567,6 +567,14 @@ def _q_url_dedup(sf_dir: str):
     return url_dedup(pages.select_columns(["doc_id", "url"]))
 
 
+def _q_event_correlations(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import (
+        event_correlations,
+    )
+
+    return event_correlations(sf_dir)
+
+
 def _q_embedding_norms(sf_dir: str):
     from address_address_matching_ray.pipelines.relational import read
     from address_address_matching_ray.pipelines.similarity import (
@@ -675,6 +683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": _q_url_dedup,
         "embedding_norms": _q_embedding_norms,
         "label_centroids": _q_label_centroids,
+        "event_correlations": _q_event_correlations,
         "parts_by_brand": _q_parts_by_brand,
         "region_supplier_balance": _q_region_supplier_balance,
         "match_queries": _q_match_queries,
@@ -1311,6 +1320,15 @@ def oracle_sql() -> dict[str, str]:
               FROM kq)
             SELECT curl, min(doc_id) AS keep_id, count(*)::BIGINT AS n_pages
             FROM canon GROUP BY curl ORDER BY curl""",
+        "event_correlations": """
+            SELECT event_type, count(*)::BIGINT AS n_events,
+                   round(covar_samp(value,
+                         json_extract(props, '$.k')::BIGINT), 6) + 0.0
+                       AS covar,
+                   round(corr(value,
+                         json_extract(props, '$.k')::BIGINT), 6) + 0.0
+                       AS corr_vk
+            FROM events GROUP BY event_type ORDER BY event_type""",
         "embedding_norms": """
             SELECT vec_id, len(embedding)::BIGINT AS dim,
                    round(sqrt(list_sum(list_transform(

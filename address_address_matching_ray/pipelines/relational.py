@@ -780,3 +780,50 @@ def moving_avg(sf_dir: str, frame: int = 3, buckets: int = 64):
                 lambda g: bucket_frame(g.drop(columns=["_b"])),
                 batch_format="pandas")
             .sort(["user_id", "row_no"]))
+
+
+def event_correlations(sf_dir: str):
+    """Bivariate aggregates per event_type: Pearson correlation and
+    sample covariance between the event value and the ``k`` field of
+    the props JSON — the co-moment combiner (n, Σx, Σy, Σxy, Σx², Σy²)
+    per batch, a tiny groupby, stats in one final task.  Same one-pass
+    100-TB shape as ``value_stats``; round(6) + 0.0 on both sides
+    (near-zero correlations may round to ±0.0)."""
+    ds = read(sf_dir, "events", columns=["event_type", "value", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["value"].to_numpy(np.float64)
+        y = (df["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
+             .astype("float64").to_numpy())
+        d = pd.DataFrame({"event_type": df["event_type"].to_numpy(object),
+                          "x": x, "y": y, "xy": x * y, "xx": x * x,
+                          "yy": y * y})
+        g = (d.groupby("event_type", as_index=False, sort=False)
+             .agg(n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+                  sxy=("xy", "sum"), sxx=("xx", "sum"), syy=("yy", "sum")))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                      Sum("sy", alias_name="sy"),
+                      Sum("sxy", alias_name="sxy"),
+                      Sum("sxx", alias_name="sxx"),
+                      Sum("syy", alias_name="syy")))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.float64)
+        sx, sy = df["sx"].to_numpy(), df["sy"].to_numpy()
+        cov = (df["sxy"].to_numpy() - sx * sy / n) / (n - 1)
+        vx = (df["sxx"].to_numpy() - sx * sx / n) / (n - 1)
+        vy = (df["syy"].to_numpy() - sy * sy / n) / (n - 1)
+        r = cov / np.sqrt(vx * vy)
+        return pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(object),
+            "n_events": df["n"].astype("int64").to_numpy(),
+            "covar": np.round(cov, 6) + 0.0,
+            "corr_vk": np.round(r, 6) + 0.0})
+
+    return (agg.map_batches(finish, batch_format="pandas")
+            .repartition(1).sort("event_type"))

@@ -422,3 +422,51 @@ def test_label_centroids_oracle(ray_session):
     # every label covers the full dim range
     assert (got.groupby("label")["dim_j"].count()
             == got["dim_j"].max() + 1).all()
+
+
+def test_event_correlations_oracle(ray_session):
+    from address_address_matching_ray.pipelines.relational import (
+        event_correlations,
+    )
+
+    got = event_correlations(SF).to_pandas().reset_index(drop=True)
+    exp = _con().execute("""
+        SELECT event_type, count(*)::BIGINT AS n_events,
+               round(covar_samp(value,
+                     json_extract(props, '$.k')::BIGINT), 6) + 0.0 AS covar,
+               round(corr(value,
+                     json_extract(props, '$.k')::BIGINT), 6) + 0.0
+                   AS corr_vk
+        FROM events GROUP BY event_type ORDER BY event_type""").fetchdf()
+    pd.testing.assert_frame_equal(got, exp)
+    assert (got["corr_vk"].abs() <= 1.0).all()
+
+
+def test_new_ops_empty_and_edge_inputs(ray_session):
+    """Degenerate-input behavior: the full-outer join with one empty
+    side, url_dedup on an empty table, bigrams on 1-token docs."""
+    import ray.data as rd
+
+    from address_address_matching_ray.pipelines.dedup import url_dedup
+    from address_address_matching_ray.pipelines.join import equi_join
+    from address_address_matching_ray.pipelines.text import bigram_counts
+
+    l = pd.DataFrame({"k": np.arange(5, dtype="int64"),
+                      "lv": np.arange(5, dtype="int64")})
+    r = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                      "rv": pd.Series([], dtype="int64")})
+    out = (equi_join(rd.from_pandas(l), rd.from_pandas(r),
+                     on="k", how="outer", buckets=4)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["k"].tolist() == list(range(5))
+    assert out["rv"].isna().all()
+
+    empty_pages = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series([], dtype="int64"),
+        "url": pd.Series([], dtype=object)}))
+    assert url_dedup(empty_pages).count() == 0
+
+    one_tok = rd.from_pandas(pd.DataFrame({
+        "text": ["single", "", "two words"]}))
+    bg = bigram_counts(one_tok).to_pandas().reset_index(drop=True)
+    assert bg["bigram"].tolist() == ["two words"]
