@@ -595,6 +595,40 @@ def _q_label_centroids(sf_dir: str):
                                 columns=["label", "embedding"]))
 
 
+def _q_duplicate_ngrams(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import read
+    from address_address_matching_ray.pipelines.text import (
+        duplicate_ngram_coverage,
+    )
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    return duplicate_ngram_coverage(docs, n=8)
+
+
+def _q_quality_filter(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import read
+    from address_address_matching_ray.pipelines.text import quality_filter
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    return quality_filter(docs)
+
+
+def _q_funnel_conversion(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import (
+        funnel_conversion,
+    )
+
+    return funnel_conversion(sf_dir)
+
+
+def _q_cohort_retention(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import (
+        cohort_retention,
+    )
+
+    return cohort_retention(sf_dir)
+
+
 def _q_orders_with_returns(sf_dir: str):
     from address_address_matching_ray.pipelines.relational import (
         orders_with_returns,
@@ -684,6 +718,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norms": _q_embedding_norms,
         "label_centroids": _q_label_centroids,
         "event_correlations": _q_event_correlations,
+        "duplicate_ngrams": _q_duplicate_ngrams,
+        "quality_filter": _q_quality_filter,
+        "funnel_conversion": _q_funnel_conversion,
+        "cohort_retention": _q_cohort_retention,
         "parts_by_brand": _q_parts_by_brand,
         "region_supplier_balance": _q_region_supplier_balance,
         "match_queries": _q_match_queries,
@@ -1329,6 +1367,64 @@ def oracle_sql() -> dict[str, str]:
                          json_extract(props, '$.k')::BIGINT), 6) + 0.0
                        AS corr_vk
             FROM events GROUP BY event_type ORDER BY event_type""",
+        "duplicate_ngrams": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            pos AS (
+              SELECT doc_id, array_to_string(t[i:i+7], ' ') AS ng
+              FROM toks, UNNEST(generate_series(1, len(t)-8+1)) AS u(i)
+              WHERE len(t) >= 8),
+            dup AS (SELECT ng FROM pos GROUP BY ng
+                    HAVING COUNT(DISTINCT doc_id) >= 2),
+            per AS (SELECT p.doc_id, COUNT(*)::BIGINT AS n_pos,
+                           COUNT(d.ng)::BIGINT AS n_dup
+                    FROM pos p LEFT JOIN dup d USING (ng)
+                    GROUP BY p.doc_id)
+            SELECT doc.doc_id, COALESCE(per.n_pos, 0)::BIGINT AS n_pos,
+                   COALESCE(per.n_dup, 0)::BIGINT AS n_dup,
+                   COALESCE(per.n_dup, 0)::DOUBLE
+                       / GREATEST(COALESCE(per.n_pos, 0), 1) AS dup_frac
+            FROM documents doc LEFT JOIN per ON doc.doc_id = per.doc_id
+            ORDER BY doc.doc_id""",
+        "quality_filter": """
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+              FROM documents WHERE trim(text) <> ''),
+            cnt AS (SELECT doc_id, w, count(*) AS c
+                    FROM words GROUP BY doc_id, w),
+            rep AS (SELECT doc_id, sum(c)::BIGINT AS n_words,
+                           round(1.0 - (count(*)::DOUBLE / sum(c)), 6)
+                               AS dup_word_frac,
+                           round(max(c)::DOUBLE / sum(c), 6) AS top_word_frac
+                    FROM cnt GROUP BY doc_id)
+            SELECT * FROM rep
+            WHERE n_words BETWEEN 30 AND 10000
+              AND dup_word_frac <= 0.82 AND top_word_frac <= 0.12
+            ORDER BY doc_id""",
+        "funnel_conversion": """
+            WITH f AS (SELECT user_id, min(ts) AS t0 FROM events
+                       WHERE event_type = 'click' GROUP BY user_id),
+            conv AS (SELECT DISTINCT e.user_id
+                     FROM f JOIN events e ON e.user_id = f.user_id
+                     WHERE e.event_type = 'purchase' AND e.ts > f.t0
+                       AND e.ts <= f.t0 + INTERVAL 24 HOUR)
+            SELECT 'all_users' AS stage,
+                   count(DISTINCT user_id)::BIGINT AS n_users FROM events
+            UNION ALL SELECT 'click', count(*)::BIGINT FROM f
+            UNION ALL SELECT 'click_then_purchase', count(*)::BIGINT FROM conv
+            ORDER BY stage""",
+        "cohort_retention": """
+            WITH firsts AS (
+              SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+              FROM events GROUP BY user_id),
+            act AS (SELECT DISTINCT e.user_id, f.cohort_day,
+                           date_diff('day', f.cohort_day,
+                                     date_trunc('day', e.ts)) AS day_offset
+                    FROM events e JOIN firsts f USING (user_id))
+            SELECT cohort_day, day_offset, count(*)::BIGINT AS n_users
+            FROM act GROUP BY cohort_day, day_offset
+            ORDER BY cohort_day, day_offset""",
         "embedding_norms": """
             SELECT vec_id, len(embedding)::BIGINT AS dim,
                    round(sqrt(list_sum(list_transform(

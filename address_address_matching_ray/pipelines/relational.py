@@ -827,3 +827,93 @@ def event_correlations(sf_dir: str):
 
     return (agg.map_batches(finish, batch_format="pandas")
             .repartition(1).sort("event_type"))
+
+
+def funnel_conversion(sf_dir: str, first: str = "click",
+                      then: str = "purchase", window_hours: int = 24,
+                      buckets: int = 64):
+    """Funnel analysis: users who performed ``first``, and of those the
+    ones who performed ``then`` within ``window_hours`` AFTER their
+    first ``first`` event (classic product-analytics conversion op).
+
+    Scale shape: ONE user-hash bucket shuffle — a user's events live
+    wholly in one bucket, so the per-user anchor (min ts of ``first``)
+    and the conversion test are local and vectorized; each bucket
+    collapses to three partial-count rows, the final aggregate runs
+    over ``3 × buckets`` rows.
+    """
+    ds = read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def add_b(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = uid.astype("uint64") * np.uint64(0x9E3779B97F4A7C15)
+        return t.append_column(
+            "_b", pa.array((h % np.uint64(buckets)).astype("int64")))
+
+    w = pd.Timedelta(hours=window_hours)
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        t0 = (g.loc[g["event_type"] == first]
+              .groupby("user_id", sort=False)["ts"].min())
+        m = (g.loc[g["event_type"] == then, ["user_id", "ts"]]
+             .merge(t0.rename("t0"), left_on="user_id", right_index=True))
+        conv = m.loc[(m["ts"] > m["t0"]) & (m["ts"] <= m["t0"] + w),
+                     "user_id"].nunique()
+        return pd.DataFrame({
+            "stage": ["all_users", first, f"{first}_then_{then}"],
+            "n_users": np.array([g["user_id"].nunique(), len(t0), conv],
+                                dtype="int64")})
+
+    return (ds.map_batches(add_b, batch_format="pyarrow")
+            .groupby("_b").map_groups(
+                lambda g: bucket_fn(g.drop(columns=["_b"])),
+                batch_format="pandas")
+            .groupby("stage").aggregate(Sum("n_users", alias_name="n_users"))
+            .sort("stage"))
+
+
+def cohort_retention(sf_dir: str, buckets: int = 64):
+    """Cohort retention: users grouped by the day of their FIRST event
+    (cohort), counted on each later day-offset they were active — the
+    standard growth-analytics triangle.
+
+    Same one-shuffle shape as ``funnel_conversion``: per user-hash
+    bucket, the cohort day and the distinct (user, offset) activity set
+    are computed vectorized; buckets emit partial (cohort_day,
+    day_offset, n) counts (bounded by days², not by users), and a tiny
+    groupby sums them.
+    """
+    ds = read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def add_b(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = uid.astype("uint64") * np.uint64(0x9E3779B97F4A7C15)
+        return t.append_column(
+            "_b", pa.array((h % np.uint64(buckets)).astype("int64")))
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        day = g["ts"].dt.floor("D")
+        cohort = day.groupby(g["user_id"]).transform("min")
+        off = (day - cohort).dt.days.astype("int64")
+        act = pd.DataFrame({"user_id": g["user_id"], "cohort_day": cohort,
+                            "day_offset": off}).drop_duplicates()
+        out = (act.groupby(["cohort_day", "day_offset"], sort=False)
+               .size().rename("n").reset_index())
+        out["n"] = out["n"].astype("int64")
+        # pin the parquet's microsecond unit (pandas floor may yield ns)
+        out["cohort_day"] = out["cohort_day"].astype("datetime64[us]")
+        return out
+
+    return (ds.map_batches(add_b, batch_format="pyarrow")
+            .groupby("_b").map_groups(
+                lambda g: bucket_fn(g.drop(columns=["_b"])),
+                batch_format="pandas")
+            .groupby(["cohort_day", "day_offset"])
+            .aggregate(Sum("n", alias_name="n_users"))
+            .map_batches(
+                lambda df: df.assign(
+                    cohort_day=df["cohort_day"].astype("datetime64[us]")),
+                batch_format="pandas")
+            .sort(["cohort_day", "day_offset"]))

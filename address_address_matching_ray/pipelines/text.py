@@ -374,3 +374,127 @@ def doc_unigram_logprob(docs_ds, text_col: str = "text",
 
     return (docs_ds.map_batches(per_doc, batch_format="pandas")
             .sort(id_col))
+
+
+def duplicate_ngram_coverage(docs_ds, n: int = 8, buckets: int = 64,
+                             text_col: str = "text", id_col: str = "doc_id"):
+    """Cross-document duplicate n-gram coverage (the Gopher §A1.1
+    "duplicate n-gram fraction" / Lee et al. 2021 substring-dedup
+    diagnostic): for every document, the fraction of its word n-gram
+    positions whose n-gram also occurs in at least one OTHER document.
+    Crawl pipelines use this to find boilerplate-heavy and
+    template-duplicated pages before (or instead of) full substring
+    dedup.
+
+    Shape at 100 TB: the corpus leaves the keyer as slim 24-byte
+    (hash:u64, doc_id, npos) rows — never the text.  Bucketing by the
+    n-gram hash co-locates ALL occurrences of an n-gram in one bucket,
+    so the global "seen in ≥2 distinct docs" test is local to the
+    bucket; per-bucket output collapses to ≤ one row per (doc, bucket),
+    and the final groupby runs over those small partials only.  ONE
+    all-to-all over hashed positions, one tiny aggregate.  A 2⁻⁶⁴
+    cross-n-gram hash collision at worst marks one extra position
+    duplicated (same caveat as the LSH band keys, BASELINE.md).
+
+    Fully vectorized across each batch: one ``hash_array`` over the
+    exploded token column, one flat rolling polynomial combine that is
+    masked at document boundaries — no per-document Python loop.
+    """
+    base = np.uint64(1099511628211)
+    mix = np.uint64(0x9E3779B97F4A7C15)
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        toks = df[text_col].fillna("").str.split()
+        lengths = toks.str.len().fillna(0).astype("int64").to_numpy()
+        npos = np.maximum(lengths - n + 1, 0)
+        doc_ids = df[id_col].to_numpy()
+        ex = toks.explode().dropna()
+        parts = []
+        if len(ex) > 0:
+            h = pd.util.hash_array(ex.to_numpy(object), categorize=False)
+            roll = h.copy()
+            with np.errstate(over="ignore"):
+                for w in range(1, n):
+                    roll[:-w] = roll[:-w] * base + h[w:]
+            # flat position -> doc index; keep positions that do not
+            # run past their own document's end
+            owner = np.repeat(np.arange(len(df)), lengths)
+            starts = np.cumsum(lengths) - lengths
+            offs = np.arange(len(h)) - starts[owner]
+            valid = offs <= (lengths[owner] - n)
+            ng, od = roll[valid], owner[valid]
+            if len(ng) > 0:
+                with np.errstate(over="ignore"):
+                    b = ((ng * mix) % np.uint64(buckets)).astype("int64")
+                # npos = -1 marks token rows; totals rows carry >= 0
+                parts.append(pd.DataFrame({
+                    id_col: doc_ids[od], "h": ng,
+                    "npos": np.full(len(ng), -1, dtype="int64"), "_b": b}))
+        with np.errstate(over="ignore"):
+            tb = ((pd.util.hash_array(doc_ids) * mix)
+                  % np.uint64(buckets)).astype("int64")
+        parts.append(pd.DataFrame({
+            id_col: doc_ids, "h": np.zeros(len(df), dtype="uint64"),
+            "npos": npos, "_b": tb}))
+        return pd.concat(parts, ignore_index=True)
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        tok = g[g["npos"] < 0]
+        tot = g[g["npos"] >= 0]
+        out = [pd.DataFrame({id_col: tot[id_col].to_numpy(),
+                             "n_pos": tot["npos"].to_numpy(),
+                             "n_dup": np.zeros(len(tot), dtype="int64")})]
+        if len(tok) > 0:
+            per = tok[["h", id_col]].drop_duplicates()
+            ndocs = per.groupby("h", sort=False)["h"].transform("size")
+            # n-gram hashes seen in >= 2 distinct docs in the corpus
+            dup_h = per.loc[ndocs >= 2, "h"].unique()
+            hit = tok.loc[tok["h"].isin(dup_h)]
+            cnt = hit.groupby(id_col, sort=False).size()
+            out.append(pd.DataFrame({
+                id_col: cnt.index.to_numpy(),
+                "n_pos": np.zeros(len(cnt), dtype="int64"),
+                "n_dup": cnt.to_numpy().astype("int64")}))
+        return pd.concat(out, ignore_index=True)
+
+    from ray.data.aggregate import Sum
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        np_ = df["n_pos"].to_numpy("int64")
+        nd = df["n_dup"].to_numpy("int64")
+        return pd.DataFrame({
+            id_col: df[id_col], "n_pos": np_, "n_dup": nd,
+            "dup_frac": nd.astype("float64") / np.maximum(np_, 1)})
+
+    return (docs_ds.map_batches(emit, batch_format="pandas")
+            .groupby("_b").map_groups(
+                lambda g: bucket_fn(g.drop(columns=["_b"])),
+                batch_format="pandas")
+            .groupby(id_col).aggregate(Sum("n_pos", alias_name="n_pos"),
+                                       Sum("n_dup", alias_name="n_dup"))
+            .map_batches(finish, batch_format="pandas")
+            .sort(id_col))
+
+
+def quality_filter(docs_ds, min_words: int = 30, max_words: int = 10_000,
+                   max_dup_word_frac: float = 0.82,
+                   max_top_word_frac: float = 0.12,
+                   text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style composite quality gate (Rae et al. 2021 §A1.1):
+    keep documents inside the word-count band whose repetition stats
+    (``doc_repetition``: duplicate-word and top-word fractions) sit
+    below thresholds.  Crawl pipelines run this BEFORE the expensive
+    near-dup stages — it is a single embarrassingly-parallel
+    ``map_batches`` pass, no shuffle, so it belongs first in the DAG.
+    Emits the metrics alongside ``doc_id`` so downstream stages can
+    re-threshold without recomputing."""
+    metrics = doc_repetition(docs_ds, text_col=text_col, id_col=id_col)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        m = ((df["n_words"] >= min_words) & (df["n_words"] <= max_words)
+             & (df["dup_word_frac"] <= max_dup_word_frac)
+             & (df["top_word_frac"] <= max_top_word_frac))
+        return df[m].reset_index(drop=True)
+
+    return metrics.map_batches(keep, batch_format="pandas").sort(id_col)
