@@ -567,6 +567,20 @@ def _q_url_dedup(sf_dir: str):
     return url_dedup(pages.select_columns(["doc_id", "url"]))
 
 
+def _q_novelty_filter(sf_dir: str):
+    """Incremental crawl novelty over the deterministic synthetic pages:
+    the first half is the prior snapshot, the second half the new crawl
+    batch (same split the oracle applies)."""
+    from address_address_matching_ray.pipelines.dedup import novelty_filter
+
+    n = _n_pages_for(sf_dir)
+    pages = _pages(sf_dir)
+    snap = pages.filter(expr=f"doc_id < {n // 2}").select_columns(["url"])
+    new = (pages.filter(expr=f"doc_id >= {n // 2}")
+           .select_columns(["doc_id", "url"]))
+    return novelty_filter(new, snap)
+
+
 def _q_event_correlations(sf_dir: str):
     from address_address_matching_ray.pipelines.relational import (
         event_correlations,
@@ -627,6 +641,14 @@ def _q_cohort_retention(sf_dir: str):
     )
 
     return cohort_retention(sf_dir)
+
+
+def _q_trailing_active_users(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import (
+        trailing_active_users,
+    )
+
+    return trailing_active_users(sf_dir)
 
 
 def _q_orders_with_returns(sf_dir: str):
@@ -715,6 +737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moving_avg": _q_moving_avg,
         "doc_unigram_logprob": _q_doc_unigram_logprob,
         "url_dedup": _q_url_dedup,
+        "novelty_filter": _q_novelty_filter,
         "embedding_norms": _q_embedding_norms,
         "label_centroids": _q_label_centroids,
         "event_correlations": _q_event_correlations,
@@ -722,6 +745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": _q_quality_filter,
         "funnel_conversion": _q_funnel_conversion,
         "cohort_retention": _q_cohort_retention,
+        "trailing_active_users": _q_trailing_active_users,
         "parts_by_brand": _q_parts_by_brand,
         "region_supplier_balance": _q_region_supplier_balance,
         "match_queries": _q_match_queries,
@@ -756,6 +780,54 @@ def _normalize_sql() -> str:
 
 _ORACLE_PAGES_PATH = "/tmp/graft_oracle_pages.parquet"
 _ORACLE_MEDIA_PATH = "/tmp/graft_oracle_media.parquet"
+
+# canonical_url re-expressed as a DuckDB regex/list CTE chain — verified
+# equal to stages.keys.canonical_url on 5k synth urls + adversarial cases
+# (scheme/www/fragment/trailing-slash/tracking-param/param-sort edges) in
+# test_relational_ext2; shared by the url_dedup and novelty_filter oracles
+_CANON_PAGES_CTE = f"""s AS (
+              SELECT doc_id, url, regexp_replace(regexp_replace(trim(url),
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '#.*$', '') AS x
+              FROM read_parquet('{_ORACLE_PAGES_PATH}')),
+            parts AS (
+              SELECT doc_id, url,
+                CASE WHEN position('?' IN x) > 0
+                     THEN substr(x, 1, position('?' IN x) - 1)
+                     ELSE x END AS base,
+                CASE WHEN position('?' IN x) > 0
+                     THEN substr(x, position('?' IN x) + 1)
+                     ELSE '' END AS query
+              FROM s),
+            hp AS (
+              SELECT doc_id, url, query,
+                regexp_replace(lower(regexp_extract(base, '^([^/]*)', 1)),
+                               '^www\\.', '') AS host,
+                '/' || CASE WHEN position('/' IN base) > 0
+                            THEN substr(base, position('/' IN base) + 1)
+                            ELSE '' END AS path0
+              FROM parts),
+            cp AS (
+              SELECT doc_id, url, host, query,
+                CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+                     ELSE regexp_replace(path0, '/+$', '') END AS path
+              FROM hp),
+            kq AS (
+              SELECT doc_id, url, host, path,
+                array_to_string(list_sort(list_filter(
+                  string_split(query, '&'),
+                  p -> regexp_extract(p, '^([^=]*)', 1) <> ''
+                       AND NOT regexp_matches(
+                             regexp_extract(p, '^([^=]*)', 1),
+                             '^(utm_[a-z]+|ref|fbclid|gclid|mc_cid|mc_eid)$',
+                             'i'))), '&') AS q
+              FROM cp),
+            canon AS (
+              SELECT doc_id,
+                CASE WHEN trim(url) = '' THEN ''
+                     ELSE host || path ||
+                          CASE WHEN q <> '' THEN '?' || q ELSE '' END
+                END AS curl
+              FROM kq)"""
 
 
 def _write_oracle_inputs() -> None:
@@ -1313,51 +1385,20 @@ def oracle_sql() -> dict[str, str]:
         # + adversarial cases (scheme/www/fragment/trailing-slash/
         # tracking-param/param-sort edges) in test_relational_ext2
         "url_dedup": f"""
-            WITH s AS (
-              SELECT doc_id, url, regexp_replace(regexp_replace(trim(url),
-                       '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '#.*$', '') AS x
-              FROM read_parquet('{_ORACLE_PAGES_PATH}')),
-            parts AS (
-              SELECT doc_id, url,
-                CASE WHEN position('?' IN x) > 0
-                     THEN substr(x, 1, position('?' IN x) - 1)
-                     ELSE x END AS base,
-                CASE WHEN position('?' IN x) > 0
-                     THEN substr(x, position('?' IN x) + 1)
-                     ELSE '' END AS query
-              FROM s),
-            hp AS (
-              SELECT doc_id, url, query,
-                regexp_replace(lower(regexp_extract(base, '^([^/]*)', 1)),
-                               '^www\\.', '') AS host,
-                '/' || CASE WHEN position('/' IN base) > 0
-                            THEN substr(base, position('/' IN base) + 1)
-                            ELSE '' END AS path0
-              FROM parts),
-            cp AS (
-              SELECT doc_id, url, host, query,
-                CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
-                     ELSE regexp_replace(path0, '/+$', '') END AS path
-              FROM hp),
-            kq AS (
-              SELECT doc_id, url, host, path,
-                array_to_string(list_sort(list_filter(
-                  string_split(query, '&'),
-                  p -> regexp_extract(p, '^([^=]*)', 1) <> ''
-                       AND NOT regexp_matches(
-                             regexp_extract(p, '^([^=]*)', 1),
-                             '^(utm_[a-z]+|ref|fbclid|gclid|mc_cid|mc_eid)$',
-                             'i'))), '&') AS q
-              FROM cp),
-            canon AS (
-              SELECT doc_id,
-                CASE WHEN trim(url) = '' THEN ''
-                     ELSE host || path ||
-                          CASE WHEN q <> '' THEN '?' || q ELSE '' END
-                END AS curl
-              FROM kq)
+            WITH {_CANON_PAGES_CTE}
             SELECT curl, min(doc_id) AS keep_id, count(*)::BIGINT AS n_pages
             FROM canon GROUP BY curl ORDER BY curl""",
+        "novelty_filter": f"""
+            WITH {_CANON_PAGES_CTE},
+            snap AS (SELECT DISTINCT curl FROM canon
+                     WHERE doc_id < {_n_pages_for('/root/testdata/sf0.01') // 2}),
+            newd AS (SELECT curl, min(doc_id) AS keep_id,
+                            count(*)::BIGINT AS n_pages
+                     FROM canon
+                     WHERE doc_id >= {_n_pages_for('/root/testdata/sf0.01') // 2}
+                     GROUP BY curl)
+            SELECT curl, keep_id, n_pages FROM newd
+            WHERE curl NOT IN (SELECT curl FROM snap) ORDER BY curl""",
         "event_correlations": """
             SELECT event_type, count(*)::BIGINT AS n_events,
                    round(covar_samp(value,
@@ -1414,6 +1455,15 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'click', count(*)::BIGINT FROM f
             UNION ALL SELECT 'click_then_purchase', count(*)::BIGINT FROM conv
             ORDER BY stage""",
+        "trailing_active_users": """
+            WITH act AS (SELECT DISTINCT date_trunc('day', ts) AS d,
+                                user_id FROM events),
+            days AS (SELECT DISTINCT d FROM act)
+            SELECT days.d AS day,
+                   count(DISTINCT act.user_id)::BIGINT AS active_users
+            FROM days JOIN act
+              ON act.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+            GROUP BY days.d ORDER BY days.d""",
         "cohort_retention": """
             WITH firsts AS (
               SELECT user_id, date_trunc('day', min(ts)) AS cohort_day

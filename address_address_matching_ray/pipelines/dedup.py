@@ -658,7 +658,7 @@ def all_pairs_jaccard(docs_ds, threshold: float = 70.0,
     return slim.map_batches(pairs, batch_format="pyarrow", batch_size=256)
 
 
-def url_dedup(pages_ds, buckets: int = 64):
+def url_dedup(pages_ds, buckets: int = 64, sort: bool = True):
     """Exact dedup of crawl pages by CANONICAL URL (scheme/www/
     trailing-slash/fragment dropped, tracking params removed, surviving
     params sorted — ``stages.keys.canonical_url``): one row per
@@ -695,8 +695,48 @@ def url_dedup(pages_ds, buckets: int = 64):
         out["n_pages"] = out["n_pages"].astype("int64")
         return out
 
-    return (pages_ds.map_batches(partial, batch_format="pandas")
-            .groupby("_b").map_groups(
-                lambda g: bucket_final(g.drop(columns=["_b"])),
-                batch_format="pandas")
-            .sort("curl"))
+    out = (pages_ds.map_batches(partial, batch_format="pandas")
+           .groupby("_b").map_groups(
+               lambda g: bucket_final(g.drop(columns=["_b"])),
+               batch_format="pandas"))
+    return out.sort("curl") if sort else out
+
+
+def novelty_filter(new_pages, snapshot_pages, buckets: int = 64):
+    """Incremental crawl novelty filter: dedup the NEW crawl batch by
+    canonical URL, then drop every canonical that already exists in the
+    prior snapshot — the "what did this crawl add" op that runs between
+    re-crawls before any content processing.
+
+    Shape: the new batch collapses through ``url_dedup``'s slim partial
+    reduce (one bucketed shuffle of (curl, min, count) rows); the
+    snapshot contributes only per-batch-distinct uint64 canonical
+    hashes (8 B/row — page bytes and even url strings never leave the
+    snapshot scan); the anti-join is the shared bucketed
+    ``membership_join``.  A 2⁻⁶⁴ canonical-hash collision at worst
+    drops one genuinely novel page (same caveat as the LSH band keys).
+    """
+    import pandas as pd
+
+    from address_address_matching_ray.pipelines.join import membership_join
+    from address_address_matching_ray.stages.keys import (
+        canonical_url_series,
+    )
+
+    deduped = url_dedup(new_pages, buckets=buckets, sort=False)
+
+    def probe_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_nk"] = pd.util.hash_array(df["curl"].to_numpy(dtype=object))
+        return df
+
+    def snap_keys(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(
+            canonical_url_series(df["url"]).to_numpy(dtype=object))
+        return pd.DataFrame({"_nk": np.unique(h)})
+
+    out = membership_join(
+        deduped.map_batches(probe_key, batch_format="pandas"),
+        snapshot_pages.map_batches(snap_keys, batch_format="pandas"),
+        id_col="_nk", keep=False, buckets=buckets)
+    return out.drop_columns(["_nk"]).sort("curl")

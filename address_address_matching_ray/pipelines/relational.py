@@ -917,3 +917,75 @@ def cohort_retention(sf_dir: str, buckets: int = 64):
                     cohort_day=df["cohort_day"].astype("datetime64[us]")),
                 batch_format="pandas")
             .sort(["cohort_day", "day_offset"]))
+
+
+def trailing_active_users(sf_dir: str, window_days: int = 7,
+                          buckets: int = 64):
+    """Trailing-window distinct actives (the WAU/MAU metric): for every
+    observed day, COUNT(DISTINCT user_id) over the ``window_days``-day
+    window ending that day — a rolling windowed COUNT DISTINCT, which
+    no single groupby expresses.
+
+    Shape: per-batch distinct (user, day) pairs fan out to at most
+    ``window_days`` slim (user, window_day) rows, filtered against the
+    broadcast observed-day set; ONE hash-bucket shuffle on (user,
+    window_day) makes global dedup bucket-local, buckets emit bounded
+    (day, n) partials, and a tiny groupby sums them.  The only driver
+    materialization is the observed-day set — bounded by the calendar
+    span (≤ ~40k rows for a century), not by data volume.
+    """
+    import ray
+
+    from address_address_matching_ray.stages.bcast import get_cached
+
+    us_day = np.int64(86_400_000_000)
+    ds = read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = np.unique(df["ts"].to_numpy("datetime64[us]")
+                      .astype("int64") // us_day)
+        return pd.DataFrame({"d": d})
+
+    days = np.sort(
+        ds.map_batches(day_partial, batch_format="pandas")
+        .groupby("d").count().to_pandas()["d"].to_numpy("int64"))
+    dref = ray.put(days)
+    mix = np.uint64(0x9E3779B97F4A7C15)
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        obs = get_cached(dref)
+        d = df["ts"].to_numpy("datetime64[us]").astype("int64") // us_day
+        sub = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(),
+            "d": d}).drop_duplicates()
+        u = np.tile(sub["user_id"].to_numpy(), window_days)
+        w = np.concatenate([sub["d"].to_numpy() + k
+                            for k in range(window_days)])
+        pos = np.minimum(np.searchsorted(obs, w), len(obs) - 1)
+        m = obs[pos] == w
+        u, w = u[m], w[m]
+        with np.errstate(over="ignore"):
+            h = (u.astype("uint64") * mix) ^ w.astype("uint64")
+        return pd.DataFrame({
+            "user_id": u, "w": w,
+            "_b": (h % np.uint64(buckets)).astype("int64")})
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        sub = g.drop_duplicates(["user_id", "w"])
+        cnt = sub.groupby("w", sort=False).size()
+        return pd.DataFrame({"w": cnt.index.to_numpy("int64"),
+                             "n": cnt.to_numpy().astype("int64")})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": (df["w"].to_numpy("int64") * us_day)
+            .astype("datetime64[us]"),
+            "active_users": df["active_users"].astype("int64")})
+
+    return (ds.map_batches(expand, batch_format="pandas")
+            .groupby("_b").map_groups(
+                lambda g: bucket_fn(g.drop(columns=["_b"])),
+                batch_format="pandas")
+            .groupby("w").aggregate(Sum("n", alias_name="active_users"))
+            .map_batches(finish, batch_format="pandas")
+            .sort("day"))

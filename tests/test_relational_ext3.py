@@ -181,3 +181,53 @@ def test_cohort_retention_oracle(ray_session):
         """).fetchdf()["d"].value_counts()
     for d, n in day0.items():
         assert firsts[d] == n
+
+
+def test_trailing_active_users_oracle(ray_session):
+    from address_address_matching_ray.pipelines.relational import (
+        trailing_active_users,
+    )
+
+    got = trailing_active_users(SF).to_pandas().reset_index(drop=True)
+    exp = _con().execute("""
+        WITH act AS (SELECT DISTINCT date_trunc('day', ts) AS d,
+                            user_id FROM events),
+        days AS (SELECT DISTINCT d FROM act)
+        SELECT days.d AS day,
+               count(DISTINCT act.user_id)::BIGINT AS active_users
+        FROM days JOIN act
+          ON act.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+        GROUP BY days.d ORDER BY days.d""").fetchdf()
+    pd.testing.assert_frame_equal(got, exp)
+    # trailing actives can never fall below the single-day actives
+    single = _con().execute("""
+        SELECT date_trunc('day', ts) AS day,
+               count(DISTINCT user_id)::BIGINT AS n
+        FROM events GROUP BY 1 ORDER BY 1""").fetchdf()
+    m = got.merge(single, on="day")
+    assert (m["active_users"] >= m["n"]).all()
+
+
+def test_novelty_filter_planted(ray_session):
+    """Snapshot/new split with known overlap: only canonicals absent
+    from the snapshot survive, and the new batch is deduped internally
+    (min doc_id kept)."""
+    import ray.data as rd
+
+    from address_address_matching_ray.pipelines.dedup import novelty_filter
+
+    snap = pd.DataFrame({"url": [
+        "https://a.com/x", "http://www.b.com/y/?utm_source=z"]})
+    new = pd.DataFrame({
+        "doc_id": np.arange(5, dtype="int64"),
+        "url": ["https://A.com/x",          # in snapshot (host casefold)
+                "http://b.com/y",            # in snapshot (www/utm/slash)
+                "https://c.com/new",         # novel
+                "https://c.com/new#frag",    # dup of 2 within new batch
+                "https://d.com/other"]})     # novel
+    out = (novelty_filter(rd.from_pandas(new), rd.from_pandas(snap),
+                          buckets=4).to_pandas()
+           .sort_values("curl").reset_index(drop=True))
+    assert out["curl"].tolist() == ["c.com/new", "d.com/other"]
+    assert out["keep_id"].tolist() == [2, 4]
+    assert out["n_pages"].tolist() == [2, 1]
