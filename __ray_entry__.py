@@ -643,6 +643,24 @@ def _q_cohort_retention(sf_dir: str):
     return cohort_retention(sf_dir)
 
 
+def _q_latest_events(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import (
+        latest_events,
+    )
+
+    return latest_events(sf_dir)
+
+
+def _q_centroid_similarity(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import read
+    from address_address_matching_ray.pipelines.similarity import (
+        centroid_similarity,
+    )
+
+    return centroid_similarity(read(sf_dir, "embeddings",
+                                    columns=["label", "embedding"]))
+
+
 def _q_trailing_active_users(sf_dir: str):
     from address_address_matching_ray.pipelines.relational import (
         trailing_active_users,
@@ -746,6 +764,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_conversion": _q_funnel_conversion,
         "cohort_retention": _q_cohort_retention,
         "trailing_active_users": _q_trailing_active_users,
+        "latest_events": _q_latest_events,
+        "centroid_similarity": _q_centroid_similarity,
         "parts_by_brand": _q_parts_by_brand,
         "region_supplier_balance": _q_region_supplier_balance,
         "match_queries": _q_match_queries,
@@ -1455,6 +1475,29 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'click', count(*)::BIGINT FROM f
             UNION ALL SELECT 'click_then_purchase', count(*)::BIGINT FROM conv
             ORDER BY stage""",
+        "latest_events": """
+            SELECT user_id, event_id, ts, event_type, value FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) WHERE rn = 1 ORDER BY user_id""",
+        "centroid_similarity": """
+            WITH e AS (
+              SELECT label::BIGINT AS label,
+                     unnest(range(len(embedding)))::BIGINT AS dim_j,
+                     unnest(list_transform(embedding, x -> x::DOUBLE)) AS v
+              FROM embeddings),
+            c AS (SELECT label, dim_j, round(avg(v), 6) + 0.0 AS m
+                  FROM e GROUP BY 1, 2),
+            p AS (SELECT a.label AS label_a, b.label AS label_b,
+                         sum(a.m * b.m) AS dot,
+                         sqrt(sum(a.m * a.m)) AS na,
+                         sqrt(sum(b.m * b.m)) AS nb
+                  FROM c a JOIN c b ON a.dim_j = b.dim_j
+                                   AND a.label < b.label
+                  GROUP BY 1, 2)
+            SELECT label_a, label_b,
+                   round(dot / (na * nb), 6) + 0.0 AS cosine
+            FROM p ORDER BY label_a, label_b""",
         "trailing_active_users": """
             WITH act AS (SELECT DISTINCT date_trunc('day', ts) AS d,
                                 user_id FROM events),

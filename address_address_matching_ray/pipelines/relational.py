@@ -989,3 +989,36 @@ def trailing_active_users(sf_dir: str, window_days: int = 7,
             .groupby("w").aggregate(Sum("n", alias_name="active_users"))
             .map_batches(finish, batch_format="pandas")
             .sort("day"))
+
+
+def latest_events(sf_dir: str, buckets: int = 64):
+    """Per-group argmax (SQL ``DISTINCT ON`` / row_number()=1): each
+    user's most recent event row, deterministic tie-break on event_id
+    descending.  The "latest snapshot per key" op every CDC/compaction
+    pipeline runs.
+
+    Bucketed like ``top_events_per_user``: a user's rows live wholly in
+    one hash bucket, so one vectorized sort + ``groupby.head(1)`` per
+    bucket is exact — no per-user Ray groups, no driver pull."""
+    ds = read(sf_dir, "events", columns=["user_id", "event_id", "ts",
+                                         "event_type", "value"])
+
+    def add_b(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = uid.astype("uint64") * np.uint64(0x9E3779B97F4A7C15)
+        return t.append_column(
+            "_b", pa.array((h % np.uint64(buckets)).astype("int64")))
+
+    def bucket_latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          ascending=[True, False, False], kind="mergesort")
+        out = g.groupby("user_id", sort=False).head(1).copy()
+        out["ts"] = out["ts"].astype("datetime64[us]")
+        return out.reset_index(drop=True)
+
+    return (ds.map_batches(add_b, batch_format="pyarrow")
+            .groupby("_b").map_groups(
+                lambda g: bucket_latest(g.drop(columns=["_b"])),
+                batch_format="pandas")
+            .sort("user_id"))

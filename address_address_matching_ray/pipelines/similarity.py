@@ -413,3 +413,33 @@ def label_centroids(emb_ds):
 
     return (agg.map_batches(finish, batch_format="pandas")
             .sort(["label", "dim_j"]))
+
+
+def centroid_similarity(emb_ds):
+    """Pairwise cosine similarity between per-label centroids — the
+    "are these classes separable / which labels collide" QA check run
+    before training on labeled embeddings.
+
+    Reuses the ``label_centroids`` combiner (per-vector rows never
+    reach the shuffle); the centroid table is labels×dims scalar rows —
+    tiny by construction — so the pairwise step runs as ONE final task
+    over the collapsed table, not a distributed self-join.  Cosine is
+    computed over the round-6 means so the DuckDB oracle can reproduce
+    it bit-for-bit."""
+    cents = label_centroids(emb_ds).repartition(1)
+
+    def pairwise(df: pd.DataFrame) -> pd.DataFrame:
+        piv = (df.pivot(index="label", columns="dim_j", values="mean_val")
+               .sort_index())
+        m = piv.to_numpy(np.float64)
+        labels = piv.index.to_numpy("int64")
+        dots = m @ m.T
+        norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+        ia, ib = np.triu_indices(len(labels), k=1)
+        return pd.DataFrame({
+            "label_a": labels[ia], "label_b": labels[ib],
+            "cosine": np.round(dots[ia, ib] / (norms[ia] * norms[ib]), 6)
+            + 0.0})
+
+    return (cents.map_batches(pairwise, batch_format="pandas")
+            .sort(["label_a", "label_b"]))

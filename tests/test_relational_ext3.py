@@ -231,3 +231,57 @@ def test_novelty_filter_planted(ray_session):
     assert out["curl"].tolist() == ["c.com/new", "d.com/other"]
     assert out["keep_id"].tolist() == [2, 4]
     assert out["n_pages"].tolist() == [2, 1]
+
+
+def test_latest_events_oracle(ray_session):
+    from address_address_matching_ray.pipelines.relational import (
+        latest_events,
+    )
+
+    got = latest_events(SF).to_pandas().reset_index(drop=True)
+    exp = _con().execute("""
+        SELECT user_id, event_id, ts, event_type, value FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1 ORDER BY user_id""").fetchdf()
+    pd.testing.assert_frame_equal(got, exp)
+    # exactly one row per user
+    n_users = _con().execute(
+        "SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    assert len(got) == n_users and got["user_id"].is_unique
+
+
+def test_centroid_similarity_oracle(ray_session):
+    from address_address_matching_ray.pipelines.relational import read
+    from address_address_matching_ray.pipelines.similarity import (
+        centroid_similarity,
+    )
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{SF}/embeddings.parquet')")
+    got = (centroid_similarity(
+        read(SF, "embeddings", columns=["label", "embedding"]))
+        .to_pandas().reset_index(drop=True))
+    exp = con.execute("""
+        WITH e AS (
+          SELECT label::BIGINT AS label,
+                 unnest(range(len(embedding)))::BIGINT AS dim_j,
+                 unnest(list_transform(embedding, x -> x::DOUBLE)) AS v
+          FROM embeddings),
+        c AS (SELECT label, dim_j, round(avg(v), 6) + 0.0 AS m
+              FROM e GROUP BY 1, 2),
+        p AS (SELECT a.label AS label_a, b.label AS label_b,
+                     sum(a.m * b.m) AS dot,
+                     sqrt(sum(a.m * a.m)) AS na,
+                     sqrt(sum(b.m * b.m)) AS nb
+              FROM c a JOIN c b ON a.dim_j = b.dim_j AND a.label < b.label
+              GROUP BY 1, 2)
+        SELECT label_a, label_b, round(dot / (na * nb), 6) + 0.0 AS cosine
+        FROM p ORDER BY label_a, label_b""").fetchdf()
+    pd.testing.assert_frame_equal(got, exp)
+    assert (got["cosine"].abs() <= 1.0 + 1e-9).all()
+    # all unordered label pairs present exactly once
+    n_labels = con.execute(
+        "SELECT count(DISTINCT label) FROM embeddings").fetchone()[0]
+    assert len(got) == n_labels * (n_labels - 1) // 2
