@@ -165,10 +165,22 @@ def run_scaling() -> dict:
         # driver-side costs after the round-2 speedups, 4M measures
         # the engine
         env.setdefault("GRAFT_BENCH_PAGES", "4000000")
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True,
-                             check=True).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        # one retry per leg: a hypervisor-steal burst can kill a child
+        # Ray session outright (worker heartbeat timeouts), and losing
+        # the whole interleaved measurement to one dead leg is worse
+        # than one repeated leg
+        last_err = ""
+        for attempt in range(2):
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, capture_output=True, text=True)
+            if r.returncode == 0:
+                return json.loads(r.stdout.strip().splitlines()[-1])
+            last_err = r.stderr[-2000:]
+            print(f"# leg num_cpus={ncpu} attempt {attempt} failed "
+                  f"(rc={r.returncode}):\n{last_err}", file=sys.stderr)
+        raise RuntimeError(
+            f"scaling leg num_cpus={ncpu} failed twice; last stderr tail:\n"
+            f"{last_err}")
 
     lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", str(4 * lo)))
