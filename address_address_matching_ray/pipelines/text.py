@@ -396,6 +396,16 @@ def duplicate_ngram_coverage(docs_ds, n: int = 8, buckets: int = 64,
     cross-n-gram hash collision at worst marks one extra position
     duplicated (same caveat as the LSH band keys, BASELINE.md).
 
+    Honest volume note: the shuffle ships ~one 24 B row per TOKEN —
+    ~2-5× the raw text bytes.  That is the exact-answer floor for one
+    pass; when coverage only needs to be approximate (the usual case —
+    it feeds a keep/drop threshold), run two cheaper passes instead:
+    pass 1 shuffles bare 8 B hashes into bucket-local counters and
+    emits only the duplicated-hash set; pass 2 re-keys each doc and
+    tests membership against that set (broadcast if it fits, Bloom at
+    ~10 bits/entry otherwise — false positives inflate coverage by the
+    Bloom fpp, tunable) with NO doc-keyed shuffle at all.
+
     Fully vectorized across each batch: one ``hash_array`` over the
     exploded token column, one flat rolling polynomial combine that is
     masked at document boundaries — no per-document Python loop.
