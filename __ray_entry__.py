@@ -651,6 +651,16 @@ def _q_latest_events(sf_dir: str):
     return latest_events(sf_dir)
 
 
+def _q_graph_components(sf_dir: str):
+    from address_address_matching_ray.pipelines.graph import (
+        user_graph_components,
+    )
+    from address_address_matching_ray.pipelines.relational import read
+
+    return user_graph_components(
+        read(sf_dir, "events", columns=["user_id"]))
+
+
 def _q_centroid_similarity(sf_dir: str):
     from address_address_matching_ray.pipelines.relational import read
     from address_address_matching_ray.pipelines.similarity import (
@@ -765,6 +775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": _q_cohort_retention,
         "trailing_active_users": _q_trailing_active_users,
         "latest_events": _q_latest_events,
+        "graph_components": _q_graph_components,
         "centroid_similarity": _q_centroid_similarity,
         "parts_by_brand": _q_parts_by_brand,
         "region_supplier_balance": _q_region_supplier_balance,
@@ -1480,6 +1491,24 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (
                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
               FROM events) WHERE rn = 1 ORDER BY user_id""",
+        # transitive closure of the consecutive-qualifying-user graph:
+        # min-label reachability via a recursive CTE verifies the
+        # distributed CC kernel (stages/cluster.py) end-to-end
+        "graph_components": """
+            WITH RECURSIVE
+            u AS (SELECT user_id FROM events
+                  GROUP BY user_id HAVING count(*) % 3 = 0),
+            e AS (SELECT a.user_id AS l, b.user_id AS r
+                  FROM u a JOIN u b ON b.user_id = a.user_id + 1),
+            ed AS (SELECT l, r FROM e
+                   UNION ALL SELECT r AS l, l AS r FROM e),
+            reach AS (
+              SELECT user_id AS node, user_id AS label FROM u
+              UNION
+              SELECT ed.l AS node, reach.label AS label
+              FROM ed JOIN reach ON reach.node = ed.r)
+            SELECT node AS user_id, min(label) AS cluster_id
+            FROM reach GROUP BY node ORDER BY user_id""",
         "centroid_similarity": """
             WITH e AS (
               SELECT label::BIGINT AS label,

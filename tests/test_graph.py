@@ -1,0 +1,116 @@
+"""Graph operators: distributed connected components over the
+SQL-expressible consecutive-qualifying-user graph — oracled by a
+DuckDB recursive CTE (min-label reachability), plus a forced
+distributed-path run and brute-force union-find cross-checks on
+synthetic edge shapes."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+GRAPH_SQL = """
+    WITH RECURSIVE
+    u AS (SELECT user_id FROM events
+          GROUP BY user_id HAVING count(*) % 3 = 0),
+    e AS (SELECT a.user_id AS l, b.user_id AS r
+          FROM u a JOIN u b ON b.user_id = a.user_id + 1),
+    ed AS (SELECT l, r FROM e UNION ALL SELECT r AS l, l AS r FROM e),
+    reach AS (
+      SELECT user_id AS node, user_id AS label FROM u
+      UNION
+      SELECT ed.l AS node, reach.label AS label
+      FROM ed JOIN reach ON reach.node = ed.r)
+    SELECT node AS user_id, min(label) AS cluster_id
+    FROM reach GROUP BY node ORDER BY user_id"""
+
+
+def _events():
+    from address_address_matching_ray.pipelines.relational import read
+
+    return read(SF, "events", columns=["user_id"])
+
+
+def _oracle():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    return con.execute(GRAPH_SQL).fetchdf()
+
+
+def test_graph_components_oracle(ray_session):
+    from address_address_matching_ray.pipelines.graph import (
+        user_graph_components,
+    )
+
+    got = user_graph_components(_events()).to_pandas()
+    exp = _oracle().astype({"user_id": "int64", "cluster_id": "int64"})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  exp.reset_index(drop=True))
+    # the graph must be non-trivial for the oracle to mean anything
+    assert len(got) > 0
+    assert (got["cluster_id"] != got["user_id"]).any(), \
+        "no multi-node component — predicate degenerated"
+
+
+def test_cc_distributed_path_matches_driver_path(ray_session):
+    """Force the hash-partitioned min-label fixpoint (the 10^12-row
+    path) on a chain + cycle + singleton-free graph and compare to a
+    brute-force union-find."""
+    import ray.data as rd
+
+    from address_address_matching_ray.stages.cluster import (
+        connected_components,
+    )
+
+    rng = np.random.RandomState(7)
+    # 3 shapes: a 40-node chain, an 11-node cycle, random small trees
+    chain = [(i, i + 1) for i in range(100, 140)]
+    cycle = [(200 + i, 200 + (i + 1) % 11) for i in range(11)]
+    parents = rng.randint(0, 50, size=60)
+    trees = [(300 + i + 1, 300 + int(parents[i] % (i + 1)))
+             for i in range(60)]
+    edges = pd.DataFrame(chain + cycle + trees,
+                         columns=["left_id", "right_id"]).astype("uint64")
+
+    labels = (connected_components(
+        rd.from_pandas(edges), num_partitions=4, driver_threshold=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    # brute force
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for l, r in edges.itertuples(index=False):
+        a, b = find(int(l)), find(int(r))
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    exp = pd.DataFrame(
+        sorted((n, find(n)) for n in parent),
+        columns=["doc_id", "cluster_id"]).astype("uint64")
+    pd.testing.assert_frame_equal(
+        labels.astype("uint64"), exp, check_dtype=False)
+
+
+def test_graph_components_all_singletons(ray_session):
+    """Predicate that never links neighbors → every node labels
+    itself (exercises the singleton attach branch alone)."""
+    import ray.data as rd
+
+    from address_address_matching_ray.pipelines.graph import (
+        user_graph_components,
+    )
+
+    # users spaced 10 apart: no u, u+1 pairs exist; every count is 3
+    ev = pd.DataFrame({"user_id": np.repeat(
+        np.arange(0, 100, 10, dtype="int64"), 3)})
+    got = user_graph_components(rd.from_pandas(ev)).to_pandas()
+    assert (got["cluster_id"] == got["user_id"]).all()
+    assert len(got) == 10
