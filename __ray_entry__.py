@@ -651,6 +651,26 @@ def _q_latest_events(sf_dir: str):
     return latest_events(sf_dir)
 
 
+def _q_decontaminate(sf_dir: str):
+    """Benchmark = every 97th document (SQL-expressible predicate);
+    corpus = the rest.  Flags corpus docs sharing any word 8-gram
+    with the benchmark."""
+    from address_address_matching_ray.pipelines.relational import read
+    from address_address_matching_ray.pipelines.text import decontaminate
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def split(df, keep_bench: bool):
+        m = (df["doc_id"] % 97) == 0
+        return df[m if keep_bench else ~m].reset_index(drop=True)
+
+    bench = docs.map_batches(lambda d: split(d, True),
+                             batch_format="pandas")
+    corpus = docs.map_batches(lambda d: split(d, False),
+                              batch_format="pandas")
+    return decontaminate(corpus, bench)
+
+
 def _q_graph_components(sf_dir: str):
     from address_address_matching_ray.pipelines.graph import (
         user_graph_components,
@@ -776,6 +796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trailing_active_users": _q_trailing_active_users,
         "latest_events": _q_latest_events,
         "graph_components": _q_graph_components,
+        "decontaminate": _q_decontaminate,
         "centroid_similarity": _q_centroid_similarity,
         "parts_by_brand": _q_parts_by_brand,
         "region_supplier_balance": _q_region_supplier_balance,
@@ -1509,6 +1530,28 @@ def oracle_sql() -> dict[str, str]:
               FROM ed JOIN reach ON reach.node = ed.r)
             SELECT node AS user_id, min(label) AS cluster_id
             FROM reach GROUP BY node ORDER BY user_id""",
+        # benchmark n-gram decontamination: same window expression as
+        # the duplicate_ngrams oracle; 64-bit rolling-hash equality on
+        # the Ray side stands in for n-gram string equality (2^-64
+        # collision caveat, BASELINE.md)
+        "decontaminate": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            b AS (SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS ng
+                  FROM toks, UNNEST(generate_series(1, len(t)-8+1)) AS u(i)
+                  WHERE doc_id % 97 = 0 AND len(t) >= 8),
+            pos AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS ng
+                    FROM toks, UNNEST(generate_series(1, len(t)-8+1)) AS u(i)
+                    WHERE doc_id % 97 <> 0 AND len(t) >= 8),
+            hits AS (SELECT pos.doc_id, count(b.ng) AS n_hits
+                     FROM pos LEFT JOIN b USING (ng)
+                     GROUP BY pos.doc_id)
+            SELECT tk.doc_id,
+                   greatest(len(tk.t) - 7, 0)::BIGINT AS n_pos,
+                   COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+                   COALESCE(h.n_hits, 0) = 0 AS keep
+            FROM toks tk LEFT JOIN hits h USING (doc_id)
+            WHERE tk.doc_id % 97 <> 0 ORDER BY tk.doc_id""",
         "centroid_similarity": """
             WITH e AS (
               SELECT label::BIGINT AS label,

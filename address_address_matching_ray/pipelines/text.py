@@ -376,6 +376,41 @@ def doc_unigram_logprob(docs_ds, text_col: str = "text",
             .sort(id_col))
 
 
+_NG_BASE = np.uint64(1099511628211)
+
+
+def _flat_ngram_hashes(df: pd.DataFrame, text_col: str, n: int):
+    """Batch-vectorized word n-gram rolling hashes, masked at document
+    boundaries: ONE ``hash_array`` over the exploded token column and
+    one flat polynomial combine — no per-document Python loop.
+
+    Returns ``(ng, od, npos)``: n-gram hash per valid position
+    (uint64), owner row index per position, and per-row valid-position
+    counts.  Shared by ``duplicate_ngram_coverage`` (corpus-wide dup
+    fraction) and ``decontaminate`` (benchmark-overlap filtering) so
+    both surfaces hash identically.
+    """
+    toks = df[text_col].fillna("").str.split()
+    lengths = toks.str.len().fillna(0).astype("int64").to_numpy()
+    npos = np.maximum(lengths - n + 1, 0)
+    ex = toks.explode().dropna()
+    if len(ex) == 0:
+        return (np.empty(0, dtype="uint64"), np.empty(0, dtype="int64"),
+                npos)
+    h = pd.util.hash_array(ex.to_numpy(object), categorize=False)
+    roll = h.copy()
+    with np.errstate(over="ignore"):
+        for w in range(1, n):
+            roll[:-w] = roll[:-w] * _NG_BASE + h[w:]
+    # flat position -> doc index; keep positions that do not run past
+    # their own document's end
+    owner = np.repeat(np.arange(len(df)), lengths)
+    starts = np.cumsum(lengths) - lengths
+    offs = np.arange(len(h)) - starts[owner]
+    valid = offs <= (lengths[owner] - n)
+    return roll[valid], owner[valid], npos
+
+
 def duplicate_ngram_coverage(docs_ds, n: int = 8, buckets: int = 64,
                              text_col: str = "text", id_col: str = "doc_id"):
     """Cross-document duplicate n-gram coverage (the Gopher §A1.1
@@ -410,37 +445,20 @@ def duplicate_ngram_coverage(docs_ds, n: int = 8, buckets: int = 64,
     exploded token column, one flat rolling polynomial combine that is
     masked at document boundaries — no per-document Python loop.
     """
-    base = np.uint64(1099511628211)
     mix = np.uint64(0x9E3779B97F4A7C15)
 
     def emit(df: pd.DataFrame) -> pd.DataFrame:
         df = df.reset_index(drop=True)
-        toks = df[text_col].fillna("").str.split()
-        lengths = toks.str.len().fillna(0).astype("int64").to_numpy()
-        npos = np.maximum(lengths - n + 1, 0)
         doc_ids = df[id_col].to_numpy()
-        ex = toks.explode().dropna()
         parts = []
-        if len(ex) > 0:
-            h = pd.util.hash_array(ex.to_numpy(object), categorize=False)
-            roll = h.copy()
+        ng, od, npos = _flat_ngram_hashes(df, text_col, n)
+        if len(ng) > 0:
             with np.errstate(over="ignore"):
-                for w in range(1, n):
-                    roll[:-w] = roll[:-w] * base + h[w:]
-            # flat position -> doc index; keep positions that do not
-            # run past their own document's end
-            owner = np.repeat(np.arange(len(df)), lengths)
-            starts = np.cumsum(lengths) - lengths
-            offs = np.arange(len(h)) - starts[owner]
-            valid = offs <= (lengths[owner] - n)
-            ng, od = roll[valid], owner[valid]
-            if len(ng) > 0:
-                with np.errstate(over="ignore"):
-                    b = ((ng * mix) % np.uint64(buckets)).astype("int64")
-                # npos = -1 marks token rows; totals rows carry >= 0
-                parts.append(pd.DataFrame({
-                    id_col: doc_ids[od], "h": ng,
-                    "npos": np.full(len(ng), -1, dtype="int64"), "_b": b}))
+                b = ((ng * mix) % np.uint64(buckets)).astype("int64")
+            # npos = -1 marks token rows; totals rows carry >= 0
+            parts.append(pd.DataFrame({
+                id_col: doc_ids[od], "h": ng,
+                "npos": np.full(len(ng), -1, dtype="int64"), "_b": b}))
         with np.errstate(over="ignore"):
             tb = ((pd.util.hash_array(doc_ids) * mix)
                   % np.uint64(buckets)).astype("int64")
@@ -508,3 +526,128 @@ def quality_filter(docs_ds, min_words: int = 30, max_words: int = 10_000,
         return df[m].reset_index(drop=True)
 
     return metrics.map_batches(keep, batch_format="pandas").sort(id_col)
+
+
+def decontaminate(docs_ds, bench_ds, n: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  buckets: int = 64,
+                  broadcast_threshold: int = 50_000_000):
+    """Benchmark decontamination (the n-gram-overlap test every
+    training-data pipeline runs before a model sees the corpus —
+    Brown et al. 2020 §C, Gopher §A2): flag every corpus document
+    that shares at least one word ``n``-gram with the benchmark set,
+    so evaluation examples are not trained on.
+
+    Returns (doc_id, n_pos, n_hits, keep) per corpus document —
+    ``n_hits`` = number of n-gram POSITIONS whose n-gram occurs in the
+    benchmark, ``keep`` = (n_hits == 0).  The metrics ride along so a
+    pipeline can re-threshold (e.g. tolerate one collision-prone hit)
+    without re-scanning.
+
+    Shape at 100 TB: benchmarks are tiny next to the corpus BY
+    DEFINITION (MMLU + friends ≈ millions of n-grams vs trillions of
+    corpus tokens), so the benchmark n-gram hash set is collected once
+    and broadcast (``ray.put`` of a sorted uint64 array; worker-cached
+    via ``stages.bcast``) — the corpus pass is then a shuffle-FREE
+    ``map_batches``: each doc lives wholly in one batch, so its
+    n_pos/n_hits finish inside that batch.  If the benchmark side
+    exceeds ``broadcast_threshold`` distinct hashes (~400 MB at 50M ×
+    8 B), the exact fallback is one bucketed ``membership_join`` of
+    slim (doc_id, h) rows against the benchmark hashes — one
+    all-to-all over 16-byte rows, still no text through the shuffle.
+
+    Hashes are the same masked rolling polynomial as
+    ``duplicate_ngram_coverage`` (``_flat_ngram_hashes``): a 2^-64
+    collision at worst flags one extra position — same documented
+    caveat as the LSH band keys (BASELINE.md).
+    """
+    from address_address_matching_ray.stages.bcast import get_cached
+
+    def bench_hashes(df: pd.DataFrame) -> pd.DataFrame:
+        ng, _, _ = _flat_ngram_hashes(df.reset_index(drop=True),
+                                      text_col, n)
+        return pd.DataFrame({"h": np.unique(ng)})
+
+    bh = bench_ds.map_batches(bench_hashes,
+                              batch_format="pandas").materialize()
+    n_bench = bh.count()
+
+    if n_bench <= broadcast_threshold:
+        import ray
+
+        uniq = np.unique(bh.to_pandas()["h"].to_numpy(dtype="uint64"))
+        ref = ray.put(uniq)
+
+        def score(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.reset_index(drop=True)
+            keys = get_cached(ref)
+            ng, od, npos = _flat_ngram_hashes(df, text_col, n)
+            hits = np.zeros(len(df), dtype="int64")
+            if len(ng) > 0 and len(keys) > 0:
+                pos = np.minimum(np.searchsorted(keys, ng),
+                                 len(keys) - 1)
+                np.add.at(hits, od, (keys[pos] == ng).astype("int64"))
+            return pd.DataFrame({
+                id_col: df[id_col], "n_pos": npos, "n_hits": hits,
+                "keep": hits == 0})
+
+        return docs_ds.map_batches(score,
+                                   batch_format="pandas").sort(id_col)
+
+    # scale fallback: benchmark too big to broadcast — ship slim
+    # (doc_id, h, npos-marker) rows through ONE bucketed membership
+    # shuffle; the per-doc totals ride the same union so each bucket
+    # emits complete partials (same marker trick as
+    # duplicate_ngram_coverage)
+    from address_address_matching_ray.pipelines.join import (
+        membership_join,
+    )
+    from ray.data.aggregate import Sum
+
+    def corpus_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        ng, od, npos = _flat_ngram_hashes(df, text_col, n)
+        doc_ids = df[id_col].to_numpy()
+        return pd.concat([
+            pd.DataFrame({id_col: doc_ids[od], "h": ng,
+                          "npos": np.full(len(ng), -1, dtype="int64")}),
+            pd.DataFrame({id_col: doc_ids,
+                          "h": np.zeros(len(df), dtype="uint64"),
+                          "npos": npos})], ignore_index=True)
+
+    rows = docs_ds.map_batches(corpus_rows, batch_format="pandas")
+    tok = rows.map_batches(
+        lambda df: df[df["npos"] < 0].reset_index(drop=True),
+        batch_format="pandas")
+    hits = membership_join(tok, bh, id_col="h", keep=True,
+                           buckets=buckets)
+
+    def as_partial(df: pd.DataFrame, hit: bool) -> pd.DataFrame:
+        if hit:
+            g = df.groupby(id_col, sort=False).size()
+            return pd.DataFrame({
+                id_col: g.index.to_numpy(), "n_pos": 0,
+                "n_hits": g.to_numpy().astype("int64")})
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             "n_pos": df["npos"].to_numpy("int64"),
+                             "n_hits": np.zeros(len(df), dtype="int64")})
+
+    totals = rows.map_batches(
+        lambda df: df[df["npos"] >= 0].reset_index(drop=True),
+        batch_format="pandas")
+    partials = (hits.map_batches(lambda d: as_partial(d, True),
+                                 batch_format="pandas")
+                .union(totals.map_batches(
+                    lambda d: as_partial(d, False),
+                    batch_format="pandas")))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["keep"] = df["n_hits"] == 0
+        return df
+
+    return (partials.groupby(id_col)
+            .aggregate(Sum("n_pos", alias_name="n_pos"),
+                       Sum("n_hits", alias_name="n_hits"))
+            .map_batches(finish, batch_format="pandas")
+            .sort(id_col))
