@@ -651,6 +651,28 @@ def _q_latest_events(sf_dir: str):
     return latest_events(sf_dir)
 
 
+def _q_value_zscore(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import (
+        value_zscore,
+    )
+
+    return value_zscore(sf_dir)
+
+
+def _q_value_mad(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import value_mad
+
+    return value_mad(sf_dir)
+
+
+def _q_hash_sample(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import (
+        hash_sample,
+    )
+
+    return hash_sample(sf_dir)
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark = every 97th document (SQL-expressible predicate);
     corpus = the rest.  Flags corpus docs sharing any word 8-gram
@@ -797,6 +819,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_events": _q_latest_events,
         "graph_components": _q_graph_components,
         "decontaminate": _q_decontaminate,
+        "value_zscore": _q_value_zscore,
+        "value_mad": _q_value_mad,
+        "hash_sample": _q_hash_sample,
         "centroid_similarity": _q_centroid_similarity,
         "parts_by_brand": _q_parts_by_brand,
         "region_supplier_balance": _q_region_supplier_balance,
@@ -1552,6 +1577,31 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(h.n_hits, 0) = 0 AS keep
             FROM toks tk LEFT JOIN hits h USING (doc_id)
             WHERE tk.doc_id % 97 <> 0 ORDER BY tk.doc_id""",
+        "value_zscore": """
+            SELECT event_id, event_type, value,
+                   round((value - avg(value) OVER w)
+                         / stddev_samp(value) OVER w, 6) AS z_value
+            FROM events
+            WINDOW w AS (PARTITION BY event_type)
+            ORDER BY event_id""",
+        # exact quantile_cont arithmetic on both sides (the
+        # value_percentiles recipe), floor-quantized at 1e-6
+        "value_mad": """
+            WITH m AS (SELECT event_type,
+                              quantile_cont(value, 0.5) AS med
+                       FROM events GROUP BY event_type)
+            SELECT e.event_type,
+                   floor(any_value(m.med) * 1e6) / 1e6 AS med_value,
+                   floor(quantile_cont(abs(e.value - m.med), 0.5)
+                         * 1e6) / 1e6 AS mad_value,
+                   count(*)::BIGINT AS n
+            FROM events e JOIN m USING (event_type)
+            GROUP BY e.event_type ORDER BY e.event_type""",
+        # exact integer arithmetic — deterministic Bernoulli sample
+        "hash_sample": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE (doc_id * 2654435761) % 1000 < 100
+            ORDER BY doc_id""",
         "centroid_similarity": """
             WITH e AS (
               SELECT label::BIGINT AS label,

@@ -1022,3 +1022,106 @@ def latest_events(sf_dir: str, buckets: int = 64):
                 lambda g: bucket_latest(g.drop(columns=["_b"])),
                 batch_format="pandas")
             .sort("user_id"))
+
+
+def value_zscore(sf_dir: str, buckets: int = 64):
+    """Per-group z-score normalization of the value column — the
+    standard feature-normalization transform before model training.
+    Two passes, no row shuffle: pass 1 reduces the events to one
+    (n, Σv, Σv²) moments row per event_type (bounded group count);
+    pass 2 broadcasts the tiny stats table and standardizes every row
+    inside ``map_batches``.  At 100 TB the data moves ZERO times —
+    only the ~5-row stats table does.  Ulp-level float divergence vs
+    the SQL window oracle is absorbed by round-6 (the value_stats
+    recipe)."""
+    import ray
+
+    ds = read(sf_dir, "events", columns=["event_id", "event_type",
+                                         "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        d = pd.DataFrame({"event_type": df["event_type"].to_numpy(object),
+                          "v": v, "v2": v * v})
+        g = (d.groupby("event_type", as_index=False, sort=False)
+             .agg(n=("v", "size"), s=("v", "sum"), ss=("v2", "sum")))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    stats = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("event_type")
+             .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                        Sum("ss", alias_name="ss"))
+             .to_pandas())  # bounded: one row per event_type
+    n = stats["n"].to_numpy(np.float64)
+    s = stats["s"].to_numpy(np.float64)
+    mean = s / n
+    std = np.sqrt((stats["ss"].to_numpy(np.float64) - s * s / n) / (n - 1))
+    lut = pd.DataFrame({"event_type": stats["event_type"].to_numpy(object),
+                        "_m": mean, "_sd": std})
+    ref = ray.put(lut)
+
+    def standardize(df: pd.DataFrame) -> pd.DataFrame:
+        from address_address_matching_ray.stages.bcast import get_cached
+
+        j = df.merge(get_cached(ref), on="event_type", how="left")
+        v = j["value"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "event_id": j["event_id"].to_numpy(),
+            "event_type": j["event_type"].to_numpy(object),
+            "value": v,
+            "z_value": np.round(
+                (v - j["_m"].to_numpy(np.float64))
+                / j["_sd"].to_numpy(np.float64), 6)})
+
+    return ds.map_batches(standardize, batch_format="pandas").sort("event_id")
+
+
+def value_mad(sf_dir: str):
+    """Per-group robust location/scale: median and median absolute
+    deviation (MAD) — outlier-resistant quality-score thresholds use
+    these instead of mean/std.  Bounded group count (one per
+    event_type) → one task per group holding its values, two exact
+    ``quantile_cont``-arithmetic medians (bit-identical to DuckDB,
+    the value_percentiles recipe), floor-quantized to 1e-6 on both
+    sides.  Unbounded keys should use the KLL sketch route."""
+    from address_address_matching_ray.pipelines.temporal import (
+        quantile_cont,
+    )
+
+    ds = read(sf_dir, "events", columns=["event_type", "value"])
+
+    def mad(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy(np.float64))
+        med = quantile_cont(v, 0.5)
+        dev = np.sort(np.abs(g["value"].to_numpy(np.float64) - med))
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "med_value": [np.floor(med * 1e6) / 1e6],
+            "mad_value": [np.floor(quantile_cont(dev, 0.5) * 1e6) / 1e6],
+            "n": np.array([len(v)], dtype="int64")})
+
+    return (ds.groupby("event_type").map_groups(mad, batch_format="pandas")
+            .sort("event_type"))
+
+
+def hash_sample(sf_dir: str, rate_pct: int = 10):
+    """Deterministic hash-Bernoulli corpus sampling: keep a document
+    iff ``(doc_id * 2654435761) % 1000 < rate_pct * 10``.  The
+    workhorse subsample for pipeline development at 100 TB — unlike
+    ``Dataset.random_sample`` it is reproducible across runs and
+    resumable shards (no RNG state), embarrassingly parallel
+    (shuffle-free filter), and any node can decide membership locally.
+    Exact integer arithmetic on both sides — no float parity caveat.
+    (Knuth multiplicative hashing; ids here are small enough that the
+    64-bit product does not wrap, so BIGINT SQL agrees; at real scale
+    wrap both sides to uint64.)"""
+    ds = read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype("uint64")
+        with np.errstate(over="ignore"):
+            m = (ids * np.uint64(2654435761)) % np.uint64(1000)
+        return t.filter(pa.array(m < np.uint64(rate_pct * 10)))
+
+    return ds.map_batches(keep, batch_format="pyarrow").sort("doc_id")
