@@ -651,6 +651,26 @@ def _q_latest_events(sf_dir: str):
     return latest_events(sf_dir)
 
 
+def _q_dup_clusters(sf_dir: str):
+    from address_address_matching_ray.pipelines.dedup import (
+        minhash_dup_clusters,
+    )
+    from address_address_matching_ray.pipelines.relational import read
+
+    return minhash_dup_clusters(
+        read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _q_embedding_quantize(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import read
+    from address_address_matching_ray.pipelines.similarity import (
+        quantize_embeddings,
+    )
+
+    return quantize_embeddings(
+        read(sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+
+
 def _q_value_zscore(sf_dir: str):
     from address_address_matching_ray.pipelines.relational import (
         value_zscore,
@@ -822,6 +842,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_zscore": _q_value_zscore,
         "value_mad": _q_value_mad,
         "hash_sample": _q_hash_sample,
+        "dup_clusters": _q_dup_clusters,
+        "embedding_quantize": _q_embedding_quantize,
         "centroid_similarity": _q_centroid_similarity,
         "parts_by_brand": _q_parts_by_brand,
         "region_supplier_balance": _q_region_supplier_balance,
@@ -1602,6 +1624,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE (doc_id * 2654435761) % 1000 < 100
             ORDER BY doc_id""",
+        # order-pinned affine arithmetic: floor((v-mn)*255.0/(mx-mn))
+        # in float64 on both sides; min/max are summation-order-free
+        "embedding_quantize": """
+            WITH e AS (
+              SELECT vec_id,
+                     unnest(range(len(embedding)))::BIGINT AS dim_j,
+                     unnest(list_transform(embedding, x -> x::DOUBLE)) AS v
+              FROM embeddings),
+            s AS (SELECT dim_j, min(v) AS mn, max(v) AS mx
+                  FROM e GROUP BY dim_j)
+            SELECT e.vec_id, e.dim_j,
+                   CASE WHEN s.mx > s.mn THEN
+                     least(floor((e.v - s.mn) * 255.0 / (s.mx - s.mn)),
+                           255)::BIGINT
+                   ELSE 0 END AS q
+            FROM e JOIN s USING (dim_j) ORDER BY vec_id, dim_j""",
         "centroid_similarity": """
             WITH e AS (
               SELECT label::BIGINT AS label,

@@ -497,12 +497,13 @@ def _dedup_from_edges(docs_ds, edges_ds, id_col: str = "doc_id",
                           broadcast_threshold=broadcast_threshold)
 
 
-def minhash_dedup(docs_ds, cfg: PipelineConfig | None = None,
+def minhash_edges(docs_ds, cfg: PipelineConfig | None = None,
                   text_col: str = "text", id_col: str = "doc_id",
-                  jaccard_threshold: float = 70.0, buckets: int = 32,
-                  broadcast_threshold: int = 5_000_000):
-    """MinHash-LSH near-dup removal (Broder-style): keep min-id
-    representative of every near-dup component."""
+                  jaccard_threshold: float = 70.0, buckets: int = 32):
+    """The verified near-dup edge set of ``minhash_dedup`` (LSH
+    candidates → word-Jaccard verify), exposed so cluster-view
+    surfaces (``minhash_dup_clusters``) and the dedup share one
+    implementation."""
     cfg = cfg or PipelineConfig()
     keyed = docs_ds.map_batches(
         _keyer_task, fn_kwargs={
@@ -530,10 +531,51 @@ def minhash_dedup(docs_ds, cfg: PipelineConfig | None = None,
             dtype=np.float64, count=len(df))
         return df.loc[sims >= jaccard_threshold, ["left_id", "right_id"]]
 
-    edges = with_text.map_batches(verify, batch_format="pandas",
-                                  batch_size=None)
+    return with_text.map_batches(verify, batch_format="pandas",
+                                 batch_size=None)
+
+
+def minhash_dedup(docs_ds, cfg: PipelineConfig | None = None,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  jaccard_threshold: float = 70.0, buckets: int = 32,
+                  broadcast_threshold: int = 5_000_000):
+    """MinHash-LSH near-dup removal (Broder-style): keep min-id
+    representative of every near-dup component."""
+    edges = minhash_edges(docs_ds, cfg, text_col, id_col,
+                          jaccard_threshold, buckets)
     return _dedup_from_edges(docs_ds, edges, id_col,
                              broadcast_threshold=broadcast_threshold)
+
+
+def minhash_dup_clusters(docs_ds, cfg: PipelineConfig | None = None,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         jaccard_threshold: float = 70.0,
+                         buckets: int = 32):
+    """Near-dup CLUSTER view: instead of dropping duplicates, label
+    them — (cluster_id, n_members) per multi-member component of the
+    verified minhash edge graph.  Crawl pipelines use this to audit
+    template families and pick a quality-weighted representative
+    rather than blind min-id.
+
+    Shape: ``connected_components`` ships slim (u64, u64) label rows;
+    the membership count is one groupby over those labels (16-byte
+    rows), never the text.  Every labeled node is an edge endpoint, so
+    all clusters here have ≥ 2 members by construction.
+    """
+    from ray.data.aggregate import Count
+
+    edges = minhash_edges(docs_ds, cfg, text_col, id_col,
+                          jaccard_threshold, buckets)
+    labels = connected_components(edges.materialize())
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cluster_id": t["cluster_id"].cast(pa.int64()),
+            "n_members": t["count()"].cast(pa.int64())})
+
+    return (labels.groupby("cluster_id").aggregate(Count())
+            .map_batches(finish, batch_format="pyarrow")
+            .sort("cluster_id"))
 
 
 def simhash_dedup(docs_ds, cfg: PipelineConfig | None = None,

@@ -443,3 +443,59 @@ def centroid_similarity(emb_ds):
 
     return (cents.map_batches(pairwise, batch_format="pandas")
             .sort(["label_a", "label_b"]))
+
+
+def quantize_embeddings(emb_ds, levels: int = 256):
+    """Affine int8 scalar quantization of the embedding column — the
+    4× shrink every 100-TB vector corpus applies before indexing
+    (min/max per DIMENSION, shared scale).  Two passes:
+
+    1. per-dimension (min, max) — each batch reduces to ONE row pair
+       per dim (combiner), the global aggregate sees dims×2 scalars;
+    2. a broadcast of the 2×d scale table, then a shuffle-free
+       ``map_batches`` emitting quantized codes.
+
+    The code arithmetic is order-pinned ``floor((v - mn) * 255.0 /
+    (mx - mn))`` in float64 so DuckDB computes bit-identical codes
+    (min/max are exact — no summation-order caveat at all).  Output is
+    exploded (vec_id, dim_j, q) scalar rows, hash-comparable; the
+    vector-column variant is one ``FixedSizeListArray`` wrap away.
+    Constant dims collapse to code 0 (mx == mn guard)."""
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    from address_address_matching_ray.stages.bcast import get_cached
+
+    def dim_minmax(t: pa.Table) -> pd.DataFrame:
+        m = _matrix_from_arrow(t["embedding"]).astype(np.float64)
+        d = m.shape[1]
+        return pd.DataFrame({
+            "dim_j": np.arange(d, dtype="int64"),
+            "mn": m.min(axis=0), "mx": m.max(axis=0)})
+
+    stats = (emb_ds.map_batches(dim_minmax, batch_format="pyarrow")
+             .groupby("dim_j")
+             .aggregate(Min("mn", alias_name="mn"),
+                        Max("mx", alias_name="mx"))
+             .to_pandas().sort_values("dim_j"))  # bounded: one row/dim
+    mn = stats["mn"].to_numpy(np.float64)
+    mx = stats["mx"].to_numpy(np.float64)
+    ref = ray.put((mn, mx))
+
+    def quantize(t: pa.Table) -> pd.DataFrame:
+        lo, hi = get_cached(ref)
+        m = _matrix_from_arrow(t["embedding"]).astype(np.float64)
+        span = hi - lo
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = np.floor((m - lo) * (levels - 1.0) / span)
+        q = np.where(span > 0, q, 0.0)
+        q = np.minimum(q, levels - 1).astype("int64")
+        n, d = m.shape
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        return pd.DataFrame({
+            "vec_id": np.repeat(ids, d),
+            "dim_j": np.tile(np.arange(d, dtype="int64"), n),
+            "q": q.ravel()})
+
+    return (emb_ds.map_batches(quantize, batch_format="pyarrow")
+            .sort(["vec_id", "dim_j"]))
