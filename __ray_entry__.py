@@ -713,6 +713,58 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(corpus, bench)
 
 
+def _q_source_quota_sample(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import (
+        source_quota_sample,
+    )
+
+    # quota=10 < the ~25 docs/source at sf0.01, so truncation is
+    # actually exercised by the oracle compare
+    return source_quota_sample(sf_dir, quota=10)
+
+
+def _q_winsorized_stats(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import (
+        winsorized_stats,
+    )
+
+    return winsorized_stats(sf_dir)
+
+
+def _q_pack_sequences(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import read
+    from address_address_matching_ray.pipelines.text import pack_sequences
+
+    return pack_sequences(
+        read(sf_dir, "documents", columns=["doc_id", "n_chars"]))
+
+
+def _q_redact_text(sf_dir: str):
+    """PII redaction over webtext with deterministically planted
+    email/phone/IP strings (the synthetic corpus contains none, so the
+    plant gives the oracle real replacements to check, derived from
+    doc_id identically on both sides)."""
+    from address_address_matching_ray.pipelines.relational import read
+    from address_address_matching_ray.pipelines.text import redact_text
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(df):
+        ids = df["doc_id"].astype("int64")
+        df = df.copy()
+        df["text"] = (
+            df["text"].astype(str)
+            + " contact user" + ids.astype(str) + "@example.com or 555-"
+            + (100 + ids % 900).astype(str) + "-"
+            + (1000 + ids % 9000).astype(str)
+            + " from 10.0." + ((ids // 256) % 256).astype(str)
+            + "." + (ids % 256).astype(str))
+        return df
+
+    return redact_text(ds.map_batches(plant, batch_format="pandas"),
+                       col="text")
+
+
 def _q_graph_components(sf_dir: str):
     from address_address_matching_ray.pipelines.graph import (
         user_graph_components,
@@ -844,6 +896,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": _q_hash_sample,
         "dup_clusters": _q_dup_clusters,
         "embedding_quantize": _q_embedding_quantize,
+        "source_quota_sample": _q_source_quota_sample,
+        "winsorized_stats": _q_winsorized_stats,
+        "pack_sequences": _q_pack_sequences,
+        "redact_text": _q_redact_text,
         "centroid_similarity": _q_centroid_similarity,
         "parts_by_brand": _q_parts_by_brand,
         "region_supplier_balance": _q_region_supplier_balance,
@@ -1813,4 +1869,91 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
                    count(*) AS n_events
             FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
+        # per-source quota: smallest Knuth hash of doc_id, quota=30
+        "source_quota_sample": """
+            SELECT doc_id, source, lang, n_chars FROM (
+              SELECT doc_id, source, lang, n_chars,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY (doc_id * 2654435761) % 4294967296,
+                                doc_id) AS rn
+              FROM documents)
+            WHERE rn <= 10 ORDER BY doc_id""",
+        # order-free arithmetic: quantile_cont bounds (bit-identical
+        # per the value_percentiles recipe) + integer micro-unit sum
+        "winsorized_stats": """
+            WITH q AS (SELECT event_type,
+                              quantile_cont(value, 0.05) AS lo,
+                              quantile_cont(value, 0.95) AS hi
+                       FROM events GROUP BY event_type)
+            SELECT e.event_type,
+                   floor(any_value(q.lo) * 1e6) / 1e6 AS p05_value,
+                   floor(any_value(q.hi) * 1e6) / 1e6 AS p95_value,
+                   (sum(floor(least(greatest(e.value, q.lo), q.hi)
+                              * 1e6))::BIGINT / count(*)) / 1e6
+                     AS winsorized_mean,
+                   count(*)::BIGINT AS n
+            FROM events e JOIN q USING (event_type)
+            GROUP BY e.event_type ORDER BY e.event_type""",
+        # next-fit packing recurrence as a recursive CTE: one row per
+        # (bucket, rank) step, same state transition as the Ray scan
+        "pack_sequences": """
+            WITH RECURSIVE d AS (
+              SELECT doc_id, n_chars,
+                     (doc_id * 2654435761) % 16 AS bucket,
+                     row_number() OVER (
+                       PARTITION BY (doc_id * 2654435761) % 16
+                       ORDER BY doc_id) AS rn
+              FROM documents),
+            p AS (
+              SELECT bucket, rn, doc_id, n_chars,
+                     0::BIGINT AS bin, n_chars::BIGINT AS fill
+              FROM d WHERE rn = 1
+              UNION ALL
+              SELECT d.bucket, d.rn, d.doc_id, d.n_chars,
+                     CASE WHEN p.fill > 0 AND p.fill + d.n_chars > 2000
+                          THEN p.bin + 1 ELSE p.bin END,
+                     CASE WHEN p.fill > 0 AND p.fill + d.n_chars > 2000
+                          THEN d.n_chars::BIGINT
+                          ELSE p.fill + d.n_chars END
+              FROM p JOIN d ON d.bucket = p.bucket AND d.rn = p.rn + 1)
+            SELECT doc_id, n_chars, bucket, bin FROM p
+            ORDER BY doc_id""",
+        # rule-ordered regexp_replace chain; counts taken against the
+        # text as each rule sees it (after earlier rules ran)
+        "redact_text": """
+            WITH s0 AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id
+                          || '@example.com or 555-'
+                          || (100 + doc_id % 900) || '-'
+                          || (1000 + doc_id % 9000)
+                          || ' from 10.0.' || ((doc_id // 256) % 256)
+                          || '.' || (doc_id % 256) AS t
+              FROM documents),
+            s1 AS (
+              SELECT doc_id,
+                len(regexp_extract_all(t,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS c1,
+                regexp_replace(t,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                  '[EMAIL]', 'g') AS t
+              FROM s0),
+            s2 AS (
+              SELECT doc_id, c1,
+                len(regexp_extract_all(t,
+                  '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS c2,
+                regexp_replace(t, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b',
+                  '[PHONE]', 'g') AS t
+              FROM s1),
+            s3 AS (
+              SELECT doc_id, c1, c2,
+                len(regexp_extract_all(t,
+                  '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS c3,
+                regexp_replace(t, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b',
+                  '[IP]', 'g') AS t
+              FROM s2)
+            SELECT doc_id, t AS redacted,
+                   (c1 + c2 + c3)::BIGINT AS n_redacted
+            FROM s3 ORDER BY doc_id""",
     }

@@ -1125,3 +1125,77 @@ def hash_sample(sf_dir: str, rate_pct: int = 10):
         return t.filter(pa.array(m < np.uint64(rate_pct * 10)))
 
     return ds.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
+def source_quota_sample(sf_dir: str, quota: int = 30, buckets: int = 64):
+    """Per-domain quota sampling (crawl-balancing: cap any one source's
+    contribution to the training mix at ``quota`` docs).  The kept set
+    is the ``quota`` docs with the smallest Knuth hash of ``doc_id``
+    per source — a deterministic "random" pick that is reproducible
+    across runs, resumable shards and re-partitionings (same property
+    as ``hash_sample``; ref semantics: K3/K4 caps, SURVEY §2.7).
+
+    Scale shape: source cardinality is unbounded at crawl scale (~100M
+    hosts), so this never makes one Ray group per source.  A per-batch
+    combiner keeps at most ``quota`` rows per (source, batch) — the
+    shuffle carries O(quota · batches) rows, not the corpus — then a
+    hash-bucket shuffle on source makes the per-source top-``quota``
+    global; each bucket holds many sources, each source one bucket."""
+    ds = read(sf_dir, "documents",
+              columns=["doc_id", "source", "lang", "n_chars"])
+
+    def _rank_key(ids: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return ((ids.astype(np.uint64) * np.uint64(2654435761))
+                    % np.uint64(4294967296)).astype("int64")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(_k=_rank_key(df["doc_id"].to_numpy()))
+        df = (df.sort_values(["source", "_k", "doc_id"], kind="mergesort")
+              .groupby("source", sort=False).head(quota))
+        h = pd.util.hash_array(df["source"].to_numpy(dtype=object))
+        return df.assign(_b=(h % np.uint64(buckets)).astype("int64"))
+
+    def bucket_take(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["source", "_k", "doc_id"], kind="mergesort")
+             .groupby("source", sort=False).head(quota))
+        return g.drop(columns=["_b", "_k"])
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("_b").map_groups(bucket_take, batch_format="pandas")
+            .sort("doc_id"))
+
+
+def winsorized_stats(sf_dir: str):
+    """Per-group winsorized mean (clip values to [p05, p95] before
+    averaging) — the outlier-robust aggregate a metrics pipeline runs
+    over heavy-tailed web data.  Quantiles use the DuckDB
+    ``quantile_cont`` arithmetic verbatim (the ``value_percentiles``
+    parity recipe).  The clipped mean is computed over 1e-6-grain
+    integer micro-units (``floor(clip(v)*1e6)`` summed as int64, then
+    one float division) so the aggregate is summation-ORDER-FREE —
+    float sums are not associative, so a quantized float mean could
+    differ from the oracle in the last ulp; integer sums cannot.
+    Group count is bounded (one per event_type) so one task per group
+    holds the group's values; unbounded keys should use the KLL sketch
+    route (``approx_value_percentiles``) instead."""
+    from address_address_matching_ray.pipelines.temporal import quantile_cont
+
+    ds = read(sf_dir, "events", columns=["event_type", "value"])
+
+    def wins(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy(np.float64)
+        sv = np.sort(v)
+        lo, hi = quantile_cont(sv, 0.05), quantile_cont(sv, 0.95)
+        clipped = np.minimum(np.maximum(v, lo), hi)
+        micro = np.floor(clipped * 1e6).astype(np.int64)
+        wmean = (int(micro.sum()) / len(v)) / 1e6
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "p05_value": [np.floor(lo * 1e6) / 1e6],
+            "p95_value": [np.floor(hi * 1e6) / 1e6],
+            "winsorized_mean": [wmean],
+            "n": np.array([len(v)], dtype="int64")})
+
+    return (ds.groupby("event_type").map_groups(wins, batch_format="pandas")
+            .sort("event_type"))

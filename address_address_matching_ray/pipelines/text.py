@@ -651,3 +651,84 @@ def decontaminate(docs_ds, bench_ds, n: int = 8,
                        Sum("n_hits", alias_name="n_hits"))
             .map_batches(finish, batch_format="pandas")
             .sort(id_col))
+
+
+def pack_sequences(docs_ds, capacity: int = 2000, buckets: int = 16):
+    """Deterministic next-fit sequence packing: assign documents to
+    fixed-budget bins (``capacity`` chars — stand-in for an LLM
+    context-length token budget) so a training loader can concatenate
+    each bin into one sample with minimal padding.  Docs are scanned in
+    (bucket, doc_id) order; a doc opens a new bin iff it does not fit
+    in the current one (a doc larger than ``capacity`` gets a bin of
+    its own).  Deterministic across runs, partitionings and resumes:
+    bucket = knuth_hash(doc_id) % buckets, scan order = doc_id.
+
+    Scale shape: packing is a sequential prefix scan BY DEFINITION
+    (each doc's bin depends on every earlier doc's size), so global
+    order cannot parallelize — the buckets are the parallelism unit:
+    one independent scan per bucket, each bucket a single task over
+    slim (doc_id, n_chars) rows (16 B/row through the shuffle; text
+    never moves).  The per-bucket loop is a plain int scan over the
+    group — O(rows/buckets) adds per task, not a per-row kernel.
+    Oracle: the same recurrence as a DuckDB recursive CTE."""
+    def assign_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.uint64)
+        with np.errstate(over="ignore"):
+            b = (ids * np.uint64(2654435761)) % np.uint64(buckets)
+        return df.assign(bucket=b.astype("int64"))
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        sizes = g["n_chars"].to_numpy(np.int64)
+        bins = np.empty(len(sizes), dtype=np.int64)
+        b, fill = 0, 0
+        for i in range(len(sizes)):
+            s = int(sizes[i])
+            if fill > 0 and fill + s > capacity:
+                b, fill = b + 1, s
+            else:
+                fill += s
+            bins[i] = b
+        return g.assign(bin=bins)
+
+    return (docs_ds.map_batches(assign_bucket, batch_format="pandas")
+            .groupby("bucket").map_groups(pack, batch_format="pandas")
+            .sort("doc_id"))
+
+
+# default scrub rules: the classic PII trio.  Patterns are RE2-safe
+# (no backrefs/lookaround) so a SQL engine's regexp_replace agrees.
+REDACT_RULES = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+)
+
+
+def redact_text(ds, col: str, rules=REDACT_RULES, id_col: str = "doc_id",
+                keep_cols: tuple = ()):
+    """Pattern redaction (PII scrubbing): replace every match of each
+    rule's regex with its token, in rule order, and count replacements.
+    One vectorized pandas ``str.replace``/``str.count`` pass per rule
+    per batch (compiled once per worker via the module-level cache);
+    stateless tasks, shuffle-free — the 100-TB shape is exactly this
+    map.  Counts are taken against the text as seen by that rule (i.e.
+    after earlier rules ran), matching a nested SQL regexp_replace."""
+    import re as _re
+
+    compiled = [(_re.compile(p), tok) for p, tok in rules]
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[col].astype("string")
+        n = np.zeros(len(df), dtype=np.int64)
+        for rx, tok in compiled:
+            n += s.str.count(rx).fillna(0).astype("int64").to_numpy()
+            s = s.str.replace(rx, tok, regex=True)
+        out = {id_col: df[id_col]}
+        for c in keep_cols:
+            out[c] = df[c]
+        out["redacted"] = s.astype(object)
+        out["n_redacted"] = n
+        return pd.DataFrame(out)
+
+    return ds.map_batches(f, batch_format="pandas").sort(id_col)

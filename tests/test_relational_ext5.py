@@ -1,0 +1,125 @@
+"""Round-4 fifth extension batch: per-source quota sampling,
+winsorized robust stats, next-fit sequence packing, PII redaction —
+DuckDB-oracled at sf0.001 plus behavioral invariants."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    for t in ("events", "documents"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def _oracle(name):
+    import __ray_entry__ as e
+
+    return _con().execute(e.oracle_sql()[name]).fetchdf()
+
+
+def _q(name):
+    import __ray_entry__ as e
+
+    out = e.queries()[name](SF)
+    return out.to_pandas() if hasattr(out, "to_pandas") else out
+
+
+def _cmp(name):
+    got = _q(name)
+    exp = _oracle(name)
+    got = got[sorted(got.columns)].reset_index(drop=True)
+    exp = exp[sorted(exp.columns)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()),
+                                  check_like=True)
+    return got
+
+
+def test_source_quota_sample_oracle_and_caps(ray_session):
+    got = _cmp("source_quota_sample")
+    per_src = got.groupby("source").size()
+    assert (per_src <= 10).all()
+    # the quota must actually bind on this corpus (max source > 10
+    # docs), otherwise the oracle only checks the identity transform
+    full = _con().execute(
+        "SELECT count(*) FROM documents GROUP BY source "
+        "ORDER BY 1 DESC LIMIT 1").fetchone()[0]
+    assert full > 10 and len(got) < full * per_src.size
+
+
+def test_source_quota_sample_partition_invariance(ray_session):
+    from address_address_matching_ray.pipelines.relational import (
+        source_quota_sample,
+    )
+
+    a = source_quota_sample(SF, quota=5).to_pandas()
+    b = (source_quota_sample(SF, quota=5, buckets=7)
+         .to_pandas())
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+
+
+def test_winsorized_stats_oracle(ray_session):
+    got = _cmp("winsorized_stats")
+    # winsorized mean is bounded by the clip interval
+    assert ((got["winsorized_mean"] >= got["p05_value"] - 1e-6)
+            & (got["winsorized_mean"] <= got["p95_value"] + 1e-6)).all()
+    assert (got["n"] > 0).all()
+
+
+def test_pack_sequences_oracle_and_invariants(ray_session):
+    got = _cmp("pack_sequences")
+    cap = 2000
+    for _, g in got.groupby("bucket"):
+        g = g.sort_values("doc_id")
+        fills = g.groupby("bin")["n_chars"].sum()
+        singles = g.groupby("bin").size()
+        # a bin only exceeds capacity when it holds one oversize doc
+        over = fills[fills > cap]
+        assert (singles.loc[over.index] == 1).all()
+        # bins are contiguous 0..max
+        bins = np.sort(g["bin"].unique())
+        assert (bins == np.arange(len(bins))).all()
+        # next-fit: a doc in a fresh bin must NOT have fit in the
+        # previous bin
+        rows = g[["bin", "n_chars"]].to_numpy()
+        prev_b, fill = 0, 0
+        for b, s in rows:
+            if b != prev_b:
+                assert fill + s > cap
+                prev_b, fill = b, s
+            else:
+                fill += s
+
+
+def test_redact_text_oracle_and_scrub(ray_session):
+    got = _cmp("redact_text")
+    # every planted email/phone/IP is gone
+    s = got["redacted"].astype(str)
+    assert not s.str.contains("@example.com").any()
+    assert s.str.contains(r"\[EMAIL\]").all()
+    assert s.str.contains(r"\[PHONE\]").all()
+    assert s.str.contains(r"\[IP\]").all()
+    assert (got["n_redacted"] >= 3).all()
+
+
+def test_redact_text_rule_order():
+    """Counts are taken against the text as each rule sees it."""
+    import ray
+
+    from address_address_matching_ray.pipelines.text import redact_text
+
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["mail a@b.co and 555-123-4567 at 1.2.3.4",
+                 "no pii here"]}))
+    out = redact_text(ds, col="text").to_pandas()
+    assert out.loc[0, "redacted"] == "mail [EMAIL] and [PHONE] at [IP]"
+    assert out.loc[0, "n_redacted"] == 3
+    assert out.loc[1, "n_redacted"] == 0
+    assert out.loc[1, "redacted"] == "no pii here"
