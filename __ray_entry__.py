@@ -713,6 +713,29 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(corpus, bench)
 
 
+def _q_embedding_kmeans(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import read
+    from address_address_matching_ray.pipelines.similarity import (
+        embedding_kmeans,
+    )
+
+    ds, _ = embedding_kmeans(
+        read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        k=10, iters=5)
+    return ds
+
+
+def _q_semantic_dedup(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import read
+    from address_address_matching_ray.pipelines.similarity import (
+        semantic_dedup,
+    )
+
+    return semantic_dedup(
+        read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        threshold=0.9, k=8, iters=5)
+
+
 def _q_source_quota_sample(sf_dir: str):
     from address_address_matching_ray.pipelines.relational import (
         source_quota_sample,
@@ -900,6 +923,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_stats": _q_winsorized_stats,
         "pack_sequences": _q_pack_sequences,
         "redact_text": _q_redact_text,
+        # iterative / fuzzy — planted-blob pytest gates, no SQL oracle
+        "embedding_kmeans": _q_embedding_kmeans,
+        "semantic_dedup": _q_semantic_dedup,
         "centroid_similarity": _q_centroid_similarity,
         "parts_by_brand": _q_parts_by_brand,
         "region_supplier_balance": _q_region_supplier_balance,

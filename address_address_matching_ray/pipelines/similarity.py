@@ -499,3 +499,190 @@ def quantize_embeddings(emb_ds, levels: int = 256):
 
     return (emb_ds.map_batches(quantize, batch_format="pyarrow")
             .sort(["vec_id", "dim_j"]))
+
+
+def embedding_kmeans(emb_ds, k: int = 10, iters: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     init_sample: int = 10_000, seed: int = 42):
+    """Distributed spherical k-means (Lloyd) over the embedding column.
+
+    Fit loop: centroids are broadcast ONCE per iteration (``ray.put``);
+    one ``map_batches`` pass per iteration emits at most k slim partial
+    rows per batch — ``(cluster, n, sum_vec)`` — and the driver reduces
+    the k×n_batches partials (k·d floats each, ~kB) into the next
+    centroid set.  The data makes ``iters`` streaming passes; only
+    centroid-sized state ever sits on the driver, so the fit is the
+    standard 100-TB mini-reduce shape (same as a gradient all-reduce).
+    Initial centroids come from a bounded seeded driver-side sample
+    (same policy as ``ivf_topk``'s codebook).
+
+    Determinism: partial rows are lexsorted before the driver reduce so
+    float summation order is independent of block arrival order; ties
+    in the per-row argmax break to the lowest cluster id.
+
+    Returns the assignment dataset ``(id_col, cluster, sim)`` where
+    ``sim`` is cosine to the assigned centroid.  Non-SQL (iterative) —
+    verified by planted-blob recovery + determinism tests, not a DuckDB
+    oracle.
+    """
+    import ray
+
+    sample = emb_ds.limit(init_sample).to_pandas()
+    m0 = _normalize_rows(_to_matrix(sample[vec_col]).astype(np.float64))
+    rng = np.random.RandomState(seed)
+    k = min(k, len(m0))
+    centroids = m0[rng.choice(len(m0), size=k, replace=False)]
+
+    for _ in range(iters):
+        ref = ray.put(centroids)
+
+        def partials(t, _ref=ref) -> pd.DataFrame:
+            c = ray.get(_ref)
+            m = _normalize_rows(_matrix_from_arrow(t[vec_col])
+                                .astype(np.float64))
+            assign = (m @ c.T).argmax(axis=1)
+            rows = []
+            for j in np.unique(assign):
+                mem = m[assign == j]
+                rows.append((int(j), len(mem), mem.sum(axis=0)))
+            return pd.DataFrame({
+                "cluster": [r[0] for r in rows],
+                "n": np.array([r[1] for r in rows], dtype="int64"),
+                "sum_vec": [r[2] for r in rows]})
+
+        part = emb_ds.map_batches(partials, batch_format="pyarrow",
+                                  batch_size=8192).to_pandas()
+        if not len(part):
+            break
+        sums = np.stack(part["sum_vec"].to_numpy())
+        order = np.lexsort((sums[:, 0], part["n"].to_numpy(),
+                            part["cluster"].to_numpy()))
+        part = part.iloc[order]
+        sums = sums[order]
+        nxt = centroids.copy()
+        for j in range(k):
+            mask = part["cluster"].to_numpy() == j
+            if mask.any():
+                nxt[j] = sums[mask].sum(axis=0)
+        centroids = _normalize_rows(nxt)
+
+    final = ray.put(centroids)
+
+    def assign_batch(t, _ref=final) -> pd.DataFrame:
+        c = ray.get(_ref)
+        m = _normalize_rows(_matrix_from_arrow(t[vec_col])
+                            .astype(np.float64))
+        sims = m @ c.T
+        a = sims.argmax(axis=1)
+        return pd.DataFrame({
+            id_col: t[id_col].to_numpy(zero_copy_only=False),
+            "cluster": a.astype("int64"),
+            "sim": sims[np.arange(len(a)), a].astype("float64")})
+
+    return (emb_ds.map_batches(assign_batch, batch_format="pyarrow",
+                               batch_size=8192).sort(id_col),
+            centroids)
+
+
+def semantic_dedup(emb_ds, threshold: float = 0.95, k: int = 16,
+                   iters: int = 10, id_col: str = "vec_id",
+                   vec_col: str = "embedding", seed: int = 42,
+                   max_cluster: int = 8192):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings, then inside each
+    cluster drop every point whose cosine to an EARLIER-ordered
+    clustermate exceeds ``threshold``, where the order is
+    (cosine-to-centroid ascending, id) — so of a duplicate group the
+    point farthest from the centroid survives, exactly the paper's
+    lower-triangle-max rule (their Appendix C pseudo-code; no kept-set
+    re-check, which keeps the kernel one matmul + triangular mask).
+
+    Scale shape: clustering is the whole point — the O(m²) similarity
+    matrix is per-CLUSTER, never per-corpus, so ``k`` must grow with
+    the corpus (the paper uses n/k ≈ 10⁴ at 100M scale; clusters are
+    one Ray group each).  Oversized clusters (skew) are split into
+    ``max_cluster`` sub-blocks after ordering — a documented
+    approximation that only misses cross-sub-block duplicates in
+    pathological clusters; the split count is in the output.
+
+    Returns ``(id_col, cluster, sim, keep)`` — the full annotated
+    assignment so the caller can filter or audit.  Non-SQL (iterative +
+    fuzzy); verified by planted-duplicate tests.
+    """
+    assigned, _ = embedding_kmeans(
+        emb_ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        seed=seed)
+    # re-attach vectors to assignments by joining on id inside one
+    # bucketed pass: slim (id, cluster, sim) rows ride along with the
+    # vector column pulled straight from the source batches
+    import ray
+
+    def with_vec(t) -> pd.DataFrame:
+        m = _normalize_rows(_matrix_from_arrow(t[vec_col])
+                            .astype(np.float64))
+        return pd.DataFrame({
+            id_col: t[id_col].to_numpy(zero_copy_only=False),
+            "_vec": list(m)})
+
+    vecs = emb_ds.map_batches(with_vec, batch_format="pyarrow",
+                              batch_size=8192)
+    # bounded: assignments and vectors are co-grouped by cluster via
+    # a join on id (broadcast the slim assignment side when small)
+    joined = _attach_assignments(vecs, assigned, id_col)
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g[id_col].to_numpy(), g["sim"].to_numpy()))
+        g = g.iloc[order].reset_index(drop=True)
+        keep = np.ones(len(g), dtype=bool)
+        for s in range(0, len(g), max_cluster):
+            blk = g.iloc[s:s + max_cluster]
+            m = np.stack(blk["_vec"].to_numpy())
+            sims = m @ m.T
+            tri = np.tril(sims, k=-1)
+            keep[s:s + len(blk)] = tri.max(axis=1,
+                                           initial=-1.0) <= threshold
+        out = g.drop(columns=["_vec"]).copy()
+        out["keep"] = keep
+        return out
+
+    return (joined.groupby("cluster")
+            .map_groups(dedup_cluster, batch_format="pandas")
+            .sort(id_col))
+
+
+def _attach_assignments(vecs, assigned, id_col: str,
+                        broadcast_threshold: int = 50_000_000):
+    """Attach (cluster, sim) assignment rows to the vector rows by id.
+    The assignment side is slim (24 B/row), so it broadcasts via
+    ``ray.put`` + searchsorted up to ``broadcast_threshold`` rows
+    (~1.2 GB) — above that fall back to a bucketed union-shuffle merge
+    (the ``equi_join`` shape).
+    """
+    import ray
+
+    # the assignment table is the SLIM side (24 B/row) — materializing
+    # it pins one bounded, spillable copy instead of re-running the
+    # assignment pass for count() and the pull/join below
+    assigned = assigned.materialize()
+    n = assigned.count()
+    if n <= broadcast_threshold:
+        a = assigned.to_pandas()
+        ids = a[id_col].to_numpy()
+        order = np.argsort(ids, kind="mergesort")
+        state = ray.put((ids[order], a["cluster"].to_numpy()[order],
+                         a["sim"].to_numpy()[order]))
+
+        def attach(df: pd.DataFrame, _ref=state) -> pd.DataFrame:
+            sids, cl, sim = ray.get(_ref)
+            pos = np.searchsorted(sids, df[id_col].to_numpy())
+            pos = np.clip(pos, 0, len(sids) - 1)
+            hit = sids[pos] == df[id_col].to_numpy()
+            df = df[hit].copy()
+            df["cluster"] = cl[pos[hit]]
+            df["sim"] = sim[pos[hit]]
+            return df
+
+        return vecs.map_batches(attach, batch_format="pandas")
+    from address_address_matching_ray.pipelines.join import equi_join
+
+    return equi_join(vecs, assigned, on=id_col)
