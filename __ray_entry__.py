@@ -713,6 +713,20 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(corpus, bench)
 
 
+def _q_hash_split(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import hash_split
+
+    return hash_split(sf_dir)
+
+
+def _q_group_stable_split(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import (
+        group_stable_split,
+    )
+
+    return group_stable_split(sf_dir)
+
+
 def _q_embedding_kmeans(sf_dir: str):
     from address_address_matching_ray.pipelines.relational import read
     from address_address_matching_ray.pipelines.similarity import (
@@ -919,6 +933,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": _q_hash_sample,
         "dup_clusters": _q_dup_clusters,
         "embedding_quantize": _q_embedding_quantize,
+        "hash_split": _q_hash_split,
+        "group_stable_split": _q_group_stable_split,
         "source_quota_sample": _q_source_quota_sample,
         "winsorized_stats": _q_winsorized_stats,
         "pack_sequences": _q_pack_sequences,
@@ -1895,6 +1911,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
                    count(*) AS n_events
             FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
+        # exact integer arithmetic — deterministic 90/5/5 split
+        "hash_split": """
+            SELECT doc_id, lang, n_chars,
+                   CASE WHEN (doc_id * 2654435761) % 1000 < 900
+                        THEN 'train'
+                        WHEN (doc_id * 2654435761) % 1000 < 950
+                        THEN 'val' ELSE 'test' END AS split
+            FROM documents ORDER BY doc_id""",
+        # leakage-safe split: md5-prefix host hash, 80/10/10
+        "group_stable_split": """
+            SELECT doc_id, source,
+                   CASE WHEN h < 800 THEN 'train'
+                        WHEN h < 900 THEN 'val' ELSE 'test' END AS split
+            FROM (SELECT doc_id, source,
+                         ('0x' || substr(md5(source), 1, 8))::BIGINT
+                           % 1000 AS h
+                  FROM documents)
+            ORDER BY doc_id""",
         # per-source quota: smallest Knuth hash of doc_id, quota=30
         "source_quota_sample": """
             SELECT doc_id, source, lang, n_chars FROM (

@@ -1199,3 +1199,52 @@ def winsorized_stats(sf_dir: str):
 
     return (ds.groupby("event_type").map_groups(wins, batch_format="pandas")
             .sort("event_type"))
+
+
+def hash_split(sf_dir: str, train_pct: int = 90, val_pct: int = 5):
+    """Deterministic train/val/test split: Knuth hash of ``doc_id``
+    modulo 100 buckets the corpus at train/val/test = train_pct /
+    val_pct / remainder.  Same properties as ``hash_sample`` — stable
+    across runs, partitionings and resumes, no RNG state to ship;
+    shuffle-free single pass (the 100-TB split IS this map).  A doc's
+    split never changes when the corpus grows, so incremental crawls
+    cannot leak later additions across split boundaries."""
+    ds = read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    t_hi, v_hi = train_pct * 10, (train_pct + val_pct) * 10
+
+    def tag(t):
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            m = (ids * np.uint64(2654435761)) % np.uint64(1000)
+        split = np.where(m < t_hi, "train",
+                         np.where(m < v_hi, "val", "test"))
+        return t.append_column("split", pa.array(split))
+
+    return ds.map_batches(tag, batch_format="pyarrow").sort("doc_id")
+
+
+def group_stable_split(sf_dir: str, train_pct: int = 80, val_pct: int = 10):
+    """Leakage-safe split: the hash is taken over ``source`` (the
+    crawl host), so ALL documents of one source land in the same split
+    — near-duplicate pages from the same site can never straddle
+    train/test (the contamination mode a doc-level split invites).
+    Same shuffle-free single-pass shape as ``hash_split``; the string
+    hash is pandas' stable 64-bit siphash re-expressed below in SQL via
+    a md5-prefix hash so both sides agree exactly."""
+    ds = read(sf_dir, "documents", columns=["doc_id", "source"])
+    t_hi, v_hi = train_pct * 10, (train_pct + val_pct) * 10
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        # md5 prefix — engine-portable (DuckDB md5() agrees), cached
+        # per distinct source within the batch (20 hosts, not 20k rows)
+        uniq, inv = np.unique(df["source"].to_numpy(dtype=object),
+                              return_inverse=True)
+        h = np.array([int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                      % 1000 for s in uniq], dtype=np.int64)[inv]
+        split = np.where(h < t_hi, "train",
+                         np.where(h < v_hi, "val", "test"))
+        return df.assign(split=split)
+
+    return ds.map_batches(tag, batch_format="pandas").sort("doc_id")

@@ -123,3 +123,21 @@ def test_redact_text_rule_order():
     assert out.loc[0, "n_redacted"] == 3
     assert out.loc[1, "n_redacted"] == 0
     assert out.loc[1, "redacted"] == "no pii here"
+
+
+def test_hash_split_oracle_and_stability(ray_session):
+    got = _cmp("hash_split")
+    assert set(got["split"].unique()) <= {"train", "val", "test"}
+    # growing the corpus never reassigns an existing doc's split
+    half = _q("hash_split")
+    m = half.set_index("doc_id")["split"]
+    assert (got.set_index("doc_id")["split"].loc[m.index] == m).all()
+
+
+def test_group_stable_split_no_leakage(ray_session):
+    got = _cmp("group_stable_split")
+    # every source lands wholly in ONE split — the leakage-safety
+    # property this operator exists for
+    per_src = got.groupby("source")["split"].nunique()
+    assert (per_src == 1).all()
+    assert got["split"].nunique() >= 2
