@@ -710,10 +710,12 @@ def redact_text(ds, col: str, rules=REDACT_RULES, id_col: str = "doc_id",
     """Pattern redaction (PII scrubbing): replace every match of each
     rule's regex with its token, in rule order, and count replacements.
     One vectorized pandas ``str.replace``/``str.count`` pass per rule
-    per batch (compiled once per worker via the module-level cache);
-    stateless tasks, shuffle-free — the 100-TB shape is exactly this
-    map.  Counts are taken against the text as seen by that rule (i.e.
-    after earlier rules ran), matching a nested SQL regexp_replace."""
+    per batch; the patterns compile once on the driver and unpickle
+    once per worker (``re.Pattern`` pickles as its compile call), so
+    no per-batch compilation.  Stateless tasks, shuffle-free — the
+    100-TB shape is exactly this map.  Counts are taken against the
+    text as seen by that rule (i.e. after earlier rules ran), matching
+    a nested SQL regexp_replace."""
     import re as _re
 
     compiled = [(_re.compile(p), tok) for p, tok in rules]
