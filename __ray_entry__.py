@@ -802,6 +802,32 @@ def _q_redact_text(sf_dir: str):
                        col="text")
 
 
+def _q_fs_posteriors(sf_dir: str):
+    """Fellegi–Sunter match posteriors at fixed literal parameters —
+    the E-step arithmetic is per-row double math with a pinned multiply
+    order, bit-identical to the DuckDB CASE chain (all SQL literals
+    cast ::DOUBLE; bare decimals would be DECIMAL-typed and round
+    differently)."""
+    from address_address_matching_ray.pipelines.er_em import fs_posteriors
+
+    return fs_posteriors(sf_dir)
+
+
+def _q_fs_em_weights(sf_dir: str):
+    """EM-learned m/u/λ over the customer candidate pairs — iterative
+    (Winkler EM), no SQL oracle; pytest carries planted-parameter
+    recovery, log-likelihood monotonicity and determinism gates."""
+    from address_address_matching_ray.pipelines.er_em import fs_em_weights
+
+    return fs_em_weights(sf_dir)
+
+
+def _q_blocking_metrics(sf_dir: str):
+    from address_address_matching_ray.pipelines.er_em import blocking_metrics
+
+    return blocking_metrics(sf_dir)
+
+
 def _q_graph_components(sf_dir: str):
     from address_address_matching_ray.pipelines.graph import (
         user_graph_components,
@@ -939,7 +965,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_stats": _q_winsorized_stats,
         "pack_sequences": _q_pack_sequences,
         "redact_text": _q_redact_text,
+        "fs_posteriors": _q_fs_posteriors,
+        "blocking_metrics": _q_blocking_metrics,
         # iterative / fuzzy — planted-blob pytest gates, no SQL oracle
+        "fs_em_weights": _q_fs_em_weights,
         "embedding_kmeans": _q_embedding_kmeans,
         "semantic_dedup": _q_semantic_dedup,
         "centroid_similarity": _q_centroid_similarity,
@@ -2016,4 +2045,87 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, t AS redacted,
                    (c1 + c2 + c3)::BIGINT AS n_redacted
             FROM s3 ORDER BY doc_id""",
+        # Fellegi–Sunter posterior at fixed params: every literal is
+        # ::DOUBLE (a bare 0.15 is DECIMAL in DuckDB and the mixed
+        # decimal arithmetic breaks bit-parity); multiply order pinned
+        # left-to-right in (name, seg, bal) field order like the
+        # numpy kernel, denominator reuses the numerator term
+        "fs_posteriors": """
+            WITH f AS (
+              SELECT c_custkey, c_nationkey,
+                     substr(c_name, length(c_name)-2, 3) AS name3,
+                     CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS cents,
+                     c_mktsegment AS seg
+              FROM customer),
+            p AS (
+              SELECT l.c_custkey AS custkey_l, r.c_custkey AS custkey_r,
+                     CASE WHEN l.name3 = r.name3 THEN 1 ELSE 0 END
+                       AS g_name,
+                     CASE WHEN l.seg = r.seg THEN 1 ELSE 0 END AS g_seg,
+                     CASE WHEN abs(l.cents - r.cents) < 10000 THEN 2
+                          WHEN abs(l.cents - r.cents) < 100000 THEN 1
+                          ELSE 0 END AS g_bal
+              FROM f l JOIN f r ON l.c_nationkey = r.c_nationkey
+                                AND l.c_custkey < r.c_custkey),
+            s AS (
+              SELECT *,
+                0.05::DOUBLE
+                  * (CASE g_name WHEN 0 THEN 0.15::DOUBLE
+                                 ELSE 0.85::DOUBLE END)
+                  * (CASE g_seg WHEN 0 THEN 0.25::DOUBLE
+                                ELSE 0.75::DOUBLE END)
+                  * (CASE g_bal WHEN 0 THEN 0.1::DOUBLE
+                                WHEN 1 THEN 0.3::DOUBLE
+                                ELSE 0.6::DOUBLE END) AS num,
+                (1.0::DOUBLE - 0.05::DOUBLE)
+                  * (CASE g_name WHEN 0 THEN 0.99::DOUBLE
+                                 ELSE 0.01::DOUBLE END)
+                  * (CASE g_seg WHEN 0 THEN 0.8::DOUBLE
+                                ELSE 0.2::DOUBLE END)
+                  * (CASE g_bal WHEN 0 THEN 0.7::DOUBLE
+                                WHEN 1 THEN 0.25::DOUBLE
+                                ELSE 0.05::DOUBLE END) AS den_u
+              FROM p)
+            SELECT custkey_l, custkey_r, g_name, g_seg, g_bal,
+                   num / (num + den_u) AS posterior
+            FROM s ORDER BY custkey_l, custkey_r""",
+        # blocking-scheme evaluation: everything is exact-integer group
+        # counts (ΣC(g,2)); the only doubles are ONE division per
+        # metric, computed in the same order on both sides
+        "blocking_metrics": """
+            WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+                              c_custkey % 50 AS t FROM customer),
+            tot AS (SELECT count(*) AS n FROM c),
+            tp AS (SELECT sum(g*(g-1)//2) AS p
+                   FROM (SELECT count(*) AS g FROM c GROUP BY t)),
+            s1 AS (SELECT sum(g*(g-1)//2) AS cand FROM
+                   (SELECT count(*) AS g FROM c GROUP BY c_nationkey)),
+            s1c AS (SELECT sum(g*(g-1)//2) AS cap FROM
+                    (SELECT count(*) AS g FROM c GROUP BY t, c_nationkey)),
+            s2 AS (SELECT sum(g*(g-1)//2) AS cand FROM
+                   (SELECT count(*) AS g FROM c GROUP BY c_mktsegment)),
+            s2c AS (SELECT sum(g*(g-1)//2) AS cap FROM
+                    (SELECT count(*) AS g FROM c
+                     GROUP BY t, c_mktsegment)),
+            s3 AS (SELECT sum(g*(g-1)//2) AS cand FROM
+                   (SELECT count(*) AS g FROM c
+                    GROUP BY c_nationkey, c_mktsegment)),
+            s3c AS (SELECT sum(g*(g-1)//2) AS cap FROM
+                    (SELECT count(*) AS g FROM c
+                     GROUP BY t, c_nationkey, c_mktsegment))
+            SELECT 'nation' AS scheme, s1.cand AS n_candidate_pairs,
+                   tp.p AS n_truth_pairs, s1c.cap AS n_captured_pairs,
+                   1.0 - s1.cand / (tot.n*(tot.n-1)//2)
+                     AS reduction_ratio,
+                   s1c.cap / tp.p AS pairs_completeness
+            FROM s1, s1c, tp, tot
+            UNION ALL
+            SELECT 'nation_segment', s3.cand, tp.p, s3c.cap,
+                   1.0 - s3.cand / (tot.n*(tot.n-1)//2),
+                   s3c.cap / tp.p FROM s3, s3c, tp, tot
+            UNION ALL
+            SELECT 'segment', s2.cand, tp.p, s2c.cap,
+                   1.0 - s2.cand / (tot.n*(tot.n-1)//2),
+                   s2c.cap / tp.p FROM s2, s2c, tp, tot
+            ORDER BY scheme""",
     }

@@ -1,0 +1,133 @@
+"""Fellegi–Sunter probabilistic-linkage module: oracled posterior /
+blocking-metric surfaces at sf0.001 plus EM behavioral gates (planted-
+parameter recovery, log-likelihood monotonicity, determinism)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM "
+                f"read_parquet('{SF}/customer.parquet')")
+    return con
+
+
+def _q(name):
+    import __ray_entry__ as e
+
+    out = e.queries()[name](SF)
+    return out.to_pandas() if hasattr(out, "to_pandas") else out
+
+
+def _oracle(name):
+    import __ray_entry__ as e
+
+    return _con().execute(e.oracle_sql()[name]).fetchdf()
+
+
+def test_fs_posteriors_oracle_bit_parity(ray_session):
+    got = _q("fs_posteriors").reset_index(drop=True)
+    exp = _oracle("fs_posteriors")
+    for c in ["custkey_l", "custkey_r", "g_name", "g_seg", "g_bal"]:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    assert (got["posterior"].to_numpy().view("int64") ==
+            exp["posterior"].to_numpy().view("int64")).all(), \
+        "posterior doubles must be bit-identical to the DuckDB chain"
+    p = got["posterior"].to_numpy()
+    assert ((p > 0) & (p < 1)).all()
+
+
+def test_fs_posteriors_monotone_in_agreement(ray_session):
+    """With m favoring agreement and u favoring disagreement, raising
+    any single gamma level must raise the posterior."""
+    got = _q("fs_posteriors")
+    piv = got.groupby(["g_name", "g_seg", "g_bal"])["posterior"].first()
+    for (gn, gs, gb), v in piv.items():
+        for bumped in [(gn + 1, gs, gb), (gn, gs + 1, gb),
+                       (gn, gs, gb + 1)]:
+            if bumped in piv.index:
+                assert piv[bumped] > v, (bumped, (gn, gs, gb))
+
+
+def test_blocking_metrics_oracle(ray_session):
+    got = _q("blocking_metrics").reset_index(drop=True)
+    exp = _oracle("blocking_metrics").reset_index(drop=True)
+    got = got[sorted(got.columns)]
+    exp = exp[sorted(exp.columns)]
+    pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()),
+                                  check_like=True)
+    by = got.set_index("scheme")
+    # composite blocking prunes strictly more pairs, captures no more
+    assert (by.loc["nation_segment", "reduction_ratio"] >
+            by.loc["nation", "reduction_ratio"])
+    assert (by.loc["nation_segment", "pairs_completeness"] <=
+            by.loc["nation", "pairs_completeness"])
+    assert (by["n_captured_pairs"] <= by["n_truth_pairs"]).all()
+    assert (by["n_captured_pairs"] <= by["n_candidate_pairs"]).all()
+
+
+def _planted_pairs(n=60_000, seed=7):
+    """Comparison vectors sampled from a known FS mixture."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(seed)
+    lam = 0.2
+    m = {"g_name": [0.1, 0.9], "g_seg": [0.2, 0.8],
+         "g_bal": [0.05, 0.15, 0.8]}
+    u = {"g_name": [0.95, 0.05], "g_seg": [0.7, 0.3],
+         "g_bal": [0.8, 0.15, 0.05]}
+    is_match = rng.rand(n) < lam
+    cols = {"custkey_l": np.arange(n, dtype="int64"),
+            "custkey_r": np.arange(n, dtype="int64") + n}
+    for f in m:
+        lv = len(m[f])
+        draw_m = rng.choice(lv, size=n, p=m[f])
+        draw_u = rng.choice(lv, size=n, p=u[f])
+        cols[f] = np.where(is_match, draw_m, draw_u).astype("int64")
+    return (rd.from_pandas(pd.DataFrame(cols)).repartition(8),
+            lam, m, u)
+
+
+def test_fs_em_recovers_planted_parameters(ray_session):
+    from address_address_matching_ray.pipelines.er_em import fs_em
+
+    pairs, lam, m, u = _planted_pairs()
+    params, weights, ll = fs_em(
+        pairs, {"g_name": 2, "g_seg": 2, "g_bal": 3}, iters=60)
+    assert abs(params["lam"] - lam) < 0.03, params["lam"]
+    for f in m:
+        assert np.abs(params["m"][f] - np.array(m[f])).max() < 0.06, f
+        assert np.abs(params["u"][f] - np.array(u[f])).max() < 0.06, f
+    # log-likelihood must be monotone non-decreasing (EM guarantee)
+    ll = np.asarray(ll)
+    assert (np.diff(ll) >= -1e-6 * np.abs(ll[:-1])).all()
+    # agreement levels carry positive match weight once fit
+    w = weights.set_index(["field", "level"])
+    assert w.loc[("g_bal", 2), "match_weight"] > 0
+    assert w.loc[("g_bal", 0), "match_weight"] < 0
+
+
+def test_fs_em_deterministic(ray_session):
+    from address_address_matching_ray.pipelines.er_em import fs_em_weights
+
+    a = fs_em_weights(SF, iters=10)
+    b = fs_em_weights(SF, iters=10)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_fs_em_empty_raises(ray_session):
+    import ray.data as rd
+
+    from address_address_matching_ray.pipelines.er_em import fs_em
+
+    empty = rd.from_pandas(pd.DataFrame(
+        {"g_name": pd.Series([], dtype="int64"),
+         "g_seg": pd.Series([], dtype="int64"),
+         "g_bal": pd.Series([], dtype="int64")}))
+    with pytest.raises(ValueError):
+        fs_em(empty, {"g_name": 2, "g_seg": 2, "g_bal": 3}, iters=2)
