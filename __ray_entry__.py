@@ -802,6 +802,44 @@ def _q_redact_text(sf_dir: str):
                        col="text")
 
 
+def _q_c4_line_filter(sf_dir: str):
+    """C4 line-level quality filter over webtext.  The synthetic
+    corpus is single-line bag-of-words text, so line structure is
+    deterministically planted from doc_id on both sides (the
+    redact_text recipe): 10-word lines, a terminal '.' on lines where
+    (doc_id + line#) % 4 != 0 — leaving ~25% of lines to fail the
+    punctuation test and short tail lines to fail the word minimum."""
+    import numpy as np
+    import pandas as pd
+
+    from address_address_matching_ray.pipelines.relational import read
+    from address_address_matching_ray.pipelines.text import (
+        line_quality_filter,
+    )
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["text"].astype(str).str.split(" ")
+        ex = pd.DataFrame({
+            "_r": np.arange(len(df)).repeat(w.str.len().to_numpy()),
+            "w": np.concatenate(w.to_numpy())})
+        ex["_k"] = ex.groupby("_r").cumcount() // 10
+        lines = (ex.groupby(["_r", "_k"], sort=False)["w"]
+                 .agg(" ".join).reset_index())
+        ids = df["doc_id"].to_numpy()
+        punct = np.where(
+            (ids[lines["_r"]] + lines["_k"]) % 4 != 0, ".", "")
+        lines["line"] = lines["w"] + punct
+        txt = lines.groupby("_r", sort=False)["line"].agg("\n".join)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "text": txt.reindex(np.arange(len(df))).to_numpy()})
+
+    return line_quality_filter(ds.map_batches(plant,
+                                              batch_format="pandas"))
+
+
 def _q_fs_posteriors(sf_dir: str):
     """Fellegi–Sunter match posteriors at fixed literal parameters —
     the E-step arithmetic is per-row double math with a pinned multiply
@@ -967,6 +1005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_text": _q_redact_text,
         "fs_posteriors": _q_fs_posteriors,
         "blocking_metrics": _q_blocking_metrics,
+        "c4_line_filter": _q_c4_line_filter,
         # iterative / fuzzy — planted-blob pytest gates, no SQL oracle
         "fs_em_weights": _q_fs_em_weights,
         "embedding_kmeans": _q_embedding_kmeans,
@@ -2128,4 +2167,36 @@ def oracle_sql() -> dict[str, str]:
                    1.0 - s2.cand / (tot.n*(tot.n-1)//2),
                    s2c.cap / tp.p FROM s2, s2c, tp, tot
             ORDER BY scheme""",
+        # C4 line filter over planted 10-word lines; string_agg skips
+        # the NULLed-out failing lines, ORDER BY i keeps line order
+        "c4_line_filter": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents),
+            k AS (
+              SELECT doc_id, ws,
+                     unnest(generate_series(0,
+                       CAST(ceil(len(ws)/10.0) AS INT) - 1)) AS i
+              FROM w),
+            lines AS (
+              SELECT doc_id, i,
+                     array_to_string(ws[i*10+1 : i*10+10], ' ')
+                       || CASE WHEN (doc_id + i) % 4 != 0
+                               THEN '.' ELSE '' END AS line
+              FROM k),
+            f AS (
+              SELECT doc_id, i, line,
+                     CASE WHEN (line LIKE '%.' OR line LIKE '%!'
+                                OR line LIKE '%?' OR line LIKE '%\"')
+                           AND len(string_split(line, ' ')) >= 5
+                          THEN 1 ELSE 0 END AS ok
+              FROM lines)
+            SELECT doc_id,
+                   string_agg(CASE WHEN ok = 1 THEN line END,
+                              chr(10) ORDER BY i) AS kept_text,
+                   count(*)::BIGINT AS n_lines,
+                   sum(ok)::BIGINT AS n_lines_kept
+            FROM f GROUP BY doc_id
+            HAVING sum(ok) >= 3
+            ORDER BY doc_id""",
     }

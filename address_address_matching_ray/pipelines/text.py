@@ -734,3 +734,48 @@ def redact_text(ds, col: str, rules=REDACT_RULES, id_col: str = "doc_id",
         return pd.DataFrame(out)
 
     return ds.map_batches(f, batch_format="pandas").sort(id_col)
+
+
+def line_quality_filter(ds, col: str = "text", id_col: str = "doc_id",
+                        min_words: int = 5, min_kept_lines: int = 3,
+                        terminal: tuple = (".", "!", "?", '"')):
+    """C4-style line-level quality filter (Raffel et al. 2020, §2.2):
+    split each document on newlines, retain only lines that end in a
+    terminal punctuation mark AND have at least ``min_words``
+    whitespace words, and keep only documents with at least
+    ``min_kept_lines`` surviving lines.  Emits the retained text
+    (lines re-joined with newlines, original order) plus line counts
+    so the thresholds can be re-tuned without re-running the split.
+
+    Fully vectorized: one pandas ``str.split``/``explode`` pass per
+    batch, boolean masks for the two line predicates, and a per-doc
+    ``groupby`` join — a document's rows never leave its batch, so
+    the op is a stateless shuffle-free map (the 100-TB shape; same
+    contract as ``doc_repetition``).  Word counts assume single-space
+    separation (``count(' ')+1``), matching the SQL
+    ``len(string_split(line, ' '))`` oracle."""
+    terminal = tuple(terminal)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        lines = df[col].astype(str).str.split("\n")
+        ex = pd.DataFrame({id_col: df[id_col]})
+        ex["line"] = lines
+        ex = ex.explode("line", ignore_index=True)
+        line = ex["line"].astype(str)
+        ok = (line.str[-1:].isin(list(terminal))
+              & (line.str.count(" ") + 1 >= min_words))
+        per_doc = pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "n_lines": lines.str.len().to_numpy().astype("int64")})
+        kept = (ex[ok.to_numpy()]
+                .groupby(id_col, sort=False)["line"]
+                .agg(["\n".join, "size"])
+                .rename(columns={"join": "kept_text",
+                                 "size": "n_lines_kept"})
+                .reset_index())
+        out = per_doc.merge(kept, on=id_col, how="inner")
+        out["n_lines_kept"] = out["n_lines_kept"].astype("int64")
+        out = out[out["n_lines_kept"] >= min_kept_lines]
+        return out[[id_col, "kept_text", "n_lines", "n_lines_kept"]]
+
+    return ds.map_batches(f, batch_format="pandas").sort(id_col)

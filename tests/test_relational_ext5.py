@@ -141,3 +141,51 @@ def test_group_stable_split_no_leakage(ray_session):
     per_src = got.groupby("source")["split"].nunique()
     assert (per_src == 1).all()
     assert got["split"].nunique() >= 2
+
+
+def test_c4_line_filter_oracle(ray_session):
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    got = _q("c4_line_filter").reset_index(drop=True)
+    exp = con.execute(e.oracle_sql()["c4_line_filter"]).fetchdf()
+    got = got[sorted(got.columns)]
+    exp = exp[sorted(exp.columns)]
+    pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()),
+                                  check_like=True)
+    assert (got["n_lines_kept"] >= 3).all()
+    assert (got["n_lines_kept"] <= got["n_lines"]).all()
+
+
+def test_c4_line_filter_edges(ray_session):
+    import ray.data as rd
+
+    from address_address_matching_ray.pipelines.text import (
+        line_quality_filter,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            # 3 good lines -> kept, short/no-punct lines dropped
+            "one two three four five.\nsix seven eight nine ten!\n"
+            "a b c d e?\nno punct line here at all\nshort one.",
+            # only 2 surviving lines -> doc dropped
+            "one two three four five.\nsix seven eight nine ten.",
+            # empty text -> dropped
+            "",
+            # terminal quote counts as sentence end
+            'alpha beta gamma delta eps."\nfoo bar baz qux quux.\n'
+            "lorem ipsum dolor sit amet.",
+        ]})
+    out = (line_quality_filter(rd.from_pandas(docs))
+           .to_pandas().set_index("doc_id"))
+    assert sorted(out.index) == [0, 3]
+    assert out.loc[0, "n_lines"] == 5
+    assert out.loc[0, "n_lines_kept"] == 3
+    assert "no punct" not in out.loc[0, "kept_text"]
+    assert "short one." not in out.loc[0, "kept_text"]
+    assert out.loc[3, "n_lines_kept"] == 3
+    assert out.loc[3, "kept_text"].split("\n")[0].endswith('"')
