@@ -840,6 +840,32 @@ def _q_c4_line_filter(sf_dir: str):
                                               batch_format="pandas"))
 
 
+def _q_line_dedup(sf_dir: str):
+    """CCNet corpus-level line dedup with deterministically planted
+    boilerplate: a nav line on every doc_id % 3 == 0 and a copyright
+    line on every doc_id % 2 == 0 (corpus frequencies ≈ n/3 and n/2,
+    far above max_freq=5; the original one-line texts stay unique)."""
+    import pandas as pd
+
+    from address_address_matching_ray.pipelines.relational import read
+    from address_address_matching_ray.pipelines.text import (
+        corpus_line_dedup,
+    )
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        t = df["text"].astype(str)
+        t = t.where(ids % 3 != 0,
+                    t + "\nhome about contact subscribe newsletter.")
+        t = t.where(ids % 2 != 0, t + "\nall rights reserved.")
+        return pd.DataFrame({"doc_id": ids, "text": t})
+
+    return corpus_line_dedup(ds.map_batches(plant,
+                                            batch_format="pandas"))
+
+
 def _q_fs_posteriors(sf_dir: str):
     """Fellegi–Sunter match posteriors at fixed literal parameters —
     the E-step arithmetic is per-row double math with a pinned multiply
@@ -1006,6 +1032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fs_posteriors": _q_fs_posteriors,
         "blocking_metrics": _q_blocking_metrics,
         "c4_line_filter": _q_c4_line_filter,
+        "line_dedup": _q_line_dedup,
         # iterative / fuzzy — planted-blob pytest gates, no SQL oracle
         "fs_em_weights": _q_fs_em_weights,
         "embedding_kmeans": _q_embedding_kmeans,
@@ -2199,4 +2226,38 @@ def oracle_sql() -> dict[str, str]:
             FROM f GROUP BY doc_id
             HAVING sum(ok) >= 3
             ORDER BY doc_id""",
+        # corpus line dedup: count lines by content over the corpus,
+        # strip lines with freq > 5, reassemble in original line order;
+        # docs with zero surviving lines are dropped (inner join)
+        "line_dedup": """
+            WITH p AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 3 = 0 THEN chr(10) ||
+                        'home about contact subscribe newsletter.'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 2 = 0 THEN chr(10) ||
+                        'all rights reserved.' ELSE '' END AS t
+              FROM documents),
+            l AS (
+              SELECT doc_id,
+                     unnest(string_split(t, chr(10))) AS line,
+                     unnest(generate_series(
+                       1, len(string_split(t, chr(10))))) AS i
+              FROM p),
+            c AS (SELECT line, count(*) AS n FROM l GROUP BY line),
+            k AS (SELECT l.doc_id, l.line, l.i
+                  FROM l JOIN c USING (line) WHERE c.n <= 5),
+            tot AS (SELECT doc_id, count(*) AS n_lines FROM l
+                    GROUP BY doc_id),
+            kept AS (SELECT doc_id,
+                            string_agg(line, chr(10) ORDER BY i)
+                              AS clean_text,
+                            count(*) AS n_kept
+                     FROM k GROUP BY doc_id)
+            SELECT t.doc_id, kept.clean_text,
+                   t.n_lines::BIGINT AS n_lines,
+                   (t.n_lines - kept.n_kept)::BIGINT AS n_removed
+            FROM tot t JOIN kept USING (doc_id)
+            ORDER BY t.doc_id""",
     }

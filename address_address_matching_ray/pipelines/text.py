@@ -779,3 +779,112 @@ def line_quality_filter(ds, col: str = "text", id_col: str = "doc_id",
         return out[[id_col, "kept_text", "n_lines", "n_lines_kept"]]
 
     return ds.map_batches(f, batch_format="pandas").sort(id_col)
+
+
+def corpus_line_dedup(ds, col: str = "text", id_col: str = "doc_id",
+                      max_freq: int = 5, broadcast_limit: int = 2_000_000,
+                      buckets: int = 64, force_join: bool = False):
+    """CCNet-style corpus-level line deduplication (Wenzek et al.
+    2020 §4.1; RefinedWeb's boilerplate removal): count every line's
+    frequency across the corpus and strip lines occurring more than
+    ``max_freq`` times — navigation bars, cookie banners, copyright
+    footers.  Documents whose every line is boilerplate are dropped.
+
+    Shape: stage 1 is a per-batch ``value_counts`` combiner (partials
+    bounded by distinct lines per batch) → one small groupby → the
+    frequent-line set, whose cardinality is bounded by the nature of
+    boilerplate (each surviving line repeats > max_freq times, so the
+    set is ≤ corpus_lines / max_freq and in practice tiny).  Below
+    ``broadcast_limit`` frequent lines the strip stage is a
+    shuffle-free map (``ray.put`` set + vectorized ``isin`` + in-batch
+    reassembly); above it, exploded lines anti-join the frequent set
+    by siphash (``pd.util.hash_array``) through the shared
+    ``membership_join`` and reassemble in ONE doc-hash bucket shuffle.
+    Both paths emit identical results (path-parity test)."""
+    import ray
+
+    from address_address_matching_ray.pipelines.join import membership_join
+
+    def count_partials(df: pd.DataFrame) -> pd.DataFrame:
+        vc = (df[col].astype(str).str.split("\n").explode()
+              .value_counts())
+        return pd.DataFrame({"line": vc.index.astype(object),
+                             "n": vc.to_numpy().astype("int64")})
+
+    freq = (ds.map_batches(count_partials, batch_format="pandas")
+            .groupby("line").sum("n"))
+    # tiny by nature (≤ corpus_lines / max_freq); materialized so the
+    # count + collect below don't re-run the counting shuffle
+    hot_ds = freq.map_batches(
+        lambda df: df[df["sum(n)"] > max_freq][["line"]],
+        batch_format="pandas").materialize()
+    n_hot = hot_ds.count()
+
+    if n_hot <= broadcast_limit and not force_join:
+        hot_ref = ray.put(frozenset(hot_ds.to_pandas()["line"]))
+
+        def strip(df: pd.DataFrame, _ref=hot_ref) -> pd.DataFrame:
+            hot = ray.get(_ref)
+            s = df[col].astype(str).str.split("\n")
+            n = s.str.len().to_numpy()
+            ex = pd.DataFrame({id_col: df[id_col].to_numpy().repeat(n),
+                               "line": np.concatenate(s.to_numpy())})
+            keep = ~ex["line"].isin(hot).to_numpy()
+            kept = (ex[keep].groupby(id_col, sort=False)["line"]
+                    .agg(["\n".join, "size"])
+                    .rename(columns={"join": "clean_text",
+                                     "size": "n_kept"}).reset_index())
+            tot = pd.DataFrame({id_col: df[id_col].to_numpy(),
+                                "n_lines": n.astype("int64")})
+            out = tot.merge(kept, on=id_col, how="inner")
+            out["n_removed"] = (out["n_lines"]
+                                - out["n_kept"].astype("int64"))
+            return out[[id_col, "clean_text", "n_lines", "n_removed"]]
+
+        return ds.map_batches(strip, batch_format="pandas").sort(id_col)
+
+    # membership-join path: exploded (doc, line_no, line, n_lines) rows
+    # anti-join the frequent siphashes, then one doc-bucket shuffle
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[col].astype(str).str.split("\n")
+        n = s.str.len().to_numpy()
+        total = int(n.sum())
+        starts = np.repeat(np.cumsum(n) - n, n)
+        out = pd.DataFrame({
+            id_col: df[id_col].to_numpy().repeat(n),
+            "line_no": (np.arange(total) - starts).astype("int64"),
+            "line": np.concatenate(s.to_numpy()),
+            "n_lines": n.astype("int64").repeat(n)})
+        out["h"] = pd.util.hash_array(out["line"].to_numpy(object))
+        return out
+
+    hot_ids = hot_ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"h": pd.util.hash_array(df["line"].to_numpy(object))}),
+        batch_format="pandas")
+    kept = membership_join(
+        ds.map_batches(explode, batch_format="pandas"), hot_ids,
+        id_col="h", ids_col="h", keep=False, buckets=buckets)
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        with np.errstate(over="ignore"):
+            h = ids.astype("uint64") * np.uint64(0x9E3779B97F4A7C15)
+        df = df.copy()
+        df["_b"] = (h % np.uint64(buckets)).astype("int64")
+        return df
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "line_no"], kind="mergesort")
+        agg = (g.groupby(id_col, sort=False)
+               .agg(clean_text=("line", "\n".join),
+                    n_lines=("n_lines", "first"),
+                    n_kept=("line", "size")).reset_index())
+        agg["n_removed"] = agg["n_lines"] - agg["n_kept"].astype("int64")
+        return agg[[id_col, "clean_text", "n_lines", "n_removed"]]
+
+    return (kept.map_batches(add_b, batch_format="pandas")
+            .groupby("_b").map_groups(
+                lambda g: reassemble(g.drop(columns=["_b"])),
+                batch_format="pandas")
+            .sort(id_col))

@@ -189,3 +189,62 @@ def test_c4_line_filter_edges(ray_session):
     assert "short one." not in out.loc[0, "kept_text"]
     assert out.loc[3, "n_lines_kept"] == 3
     assert out.loc[3, "kept_text"].split("\n")[0].endswith('"')
+
+
+def test_line_dedup_oracle(ray_session):
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    got = _q("line_dedup").reset_index(drop=True)
+    exp = con.execute(e.oracle_sql()["line_dedup"]).fetchdf()
+    got = got[sorted(got.columns)]
+    exp = exp[sorted(exp.columns)]
+    pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()),
+                                  check_like=True)
+    # the planted boilerplate is gone, originals survive
+    assert (got["n_removed"] > 0).sum() > 0
+    assert not got["clean_text"].str.contains("all rights reserved",
+                                              regex=False).any()
+
+
+def test_line_dedup_join_path_matches_broadcast(ray_session):
+    import ray.data as rd
+
+    from address_address_matching_ray.pipelines.text import (
+        corpus_line_dedup,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(40, dtype="int64"),
+        "text": ["unique line %d\nboiler plate line\nmore unique %d" % (i, i)
+                 for i in range(40)]})
+    ds = rd.from_pandas(docs).repartition(4)
+    a = (corpus_line_dedup(ds, max_freq=5)
+         .to_pandas().reset_index(drop=True))
+    b = (corpus_line_dedup(ds, max_freq=5, force_join=True, buckets=8)
+         .to_pandas().reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["n_removed"] == 1).all()
+    assert not a["clean_text"].str.contains("boiler plate",
+                                            regex=False).any()
+
+
+def test_line_dedup_drops_all_boilerplate_docs(ray_session):
+    import ray.data as rd
+
+    from address_address_matching_ray.pipelines.text import (
+        corpus_line_dedup,
+    )
+
+    rows = [{"doc_id": i, "text": "nav bar\nfooter text"}
+            for i in range(10)]
+    rows.append({"doc_id": 10, "text": "real content\nnav bar"})
+    out = (corpus_line_dedup(rd.from_pandas(pd.DataFrame(rows)),
+                             max_freq=5)
+           .to_pandas())
+    # the 10 all-boilerplate docs vanish; doc 10 keeps its real line
+    assert list(out["doc_id"]) == [10]
+    assert out["clean_text"].iloc[0] == "real content"
+    assert out["n_removed"].iloc[0] == 1
