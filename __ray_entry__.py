@@ -877,6 +877,18 @@ def _q_fs_posteriors(sf_dir: str):
     return fs_posteriors(sf_dir)
 
 
+def _q_tf_posteriors(sf_dir: str):
+    """Term-frequency-adjusted FS posterior (Splink tf_adjustments):
+    agreement-u on the segment field replaced by that value's relative
+    frequency — ONE BIGINT/BIGINT double division on both sides, then
+    the pinned ::DOUBLE multiply chain."""
+    from address_address_matching_ray.pipelines.er_em import (
+        tf_adjusted_posteriors,
+    )
+
+    return tf_adjusted_posteriors(sf_dir)
+
+
 def _q_fs_em_weights(sf_dir: str):
     """EM-learned m/u/λ over the customer candidate pairs — iterative
     (Winkler EM), no SQL oracle; pytest carries planted-parameter
@@ -1030,6 +1042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "redact_text": _q_redact_text,
         "fs_posteriors": _q_fs_posteriors,
+        "tf_posteriors": _q_tf_posteriors,
         "blocking_metrics": _q_blocking_metrics,
         "c4_line_filter": _q_c4_line_filter,
         "line_dedup": _q_line_dedup,
@@ -2153,6 +2166,52 @@ def oracle_sql() -> dict[str, str]:
                                 ELSE 0.05::DOUBLE END) AS den_u
               FROM p)
             SELECT custkey_l, custkey_r, g_name, g_seg, g_bal,
+                   num / (num + den_u) AS posterior
+            FROM s ORDER BY custkey_l, custkey_r""",
+        # TF-adjusted posterior: agreement-u on segment is the value's
+        # relative frequency (BIGINT/BIGINT -> DOUBLE division, same
+        # op on the numpy side); rest of the chain as fs_posteriors
+        "tf_posteriors": """
+            WITH f AS (
+              SELECT c_custkey, c_nationkey,
+                     substr(c_name, length(c_name)-2, 3) AS name3,
+                     CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS cents,
+                     c_mktsegment AS seg
+              FROM customer),
+            tf AS (SELECT c_mktsegment AS seg, count(*) AS n
+                   FROM customer GROUP BY c_mktsegment),
+            tot AS (SELECT count(*) AS n FROM customer),
+            p AS (
+              SELECT l.c_custkey AS custkey_l, r.c_custkey AS custkey_r,
+                     l.seg AS seg,
+                     CASE WHEN l.name3 = r.name3 THEN 1 ELSE 0 END
+                       AS g_name,
+                     CASE WHEN l.seg = r.seg THEN 1 ELSE 0 END AS g_seg,
+                     CASE WHEN abs(l.cents - r.cents) < 10000 THEN 2
+                          WHEN abs(l.cents - r.cents) < 100000 THEN 1
+                          ELSE 0 END AS g_bal
+              FROM f l JOIN f r ON l.c_nationkey = r.c_nationkey
+                                AND l.c_custkey < r.c_custkey),
+            s AS (
+              SELECT p.*,
+                0.05::DOUBLE
+                  * (CASE g_name WHEN 0 THEN 0.15::DOUBLE
+                                 ELSE 0.85::DOUBLE END)
+                  * (CASE g_seg WHEN 0 THEN 0.25::DOUBLE
+                                ELSE 0.75::DOUBLE END)
+                  * (CASE g_bal WHEN 0 THEN 0.1::DOUBLE
+                                WHEN 1 THEN 0.3::DOUBLE
+                                ELSE 0.6::DOUBLE END) AS num,
+                (1.0::DOUBLE - 0.05::DOUBLE)
+                  * (CASE g_name WHEN 0 THEN 0.99::DOUBLE
+                                 ELSE 0.01::DOUBLE END)
+                  * (CASE WHEN g_seg = 1 THEN tf.n / tot.n
+                          ELSE 0.8::DOUBLE END)
+                  * (CASE g_bal WHEN 0 THEN 0.7::DOUBLE
+                                WHEN 1 THEN 0.25::DOUBLE
+                                ELSE 0.05::DOUBLE END) AS den_u
+              FROM p JOIN tf USING (seg), tot)
+            SELECT custkey_l, custkey_r, seg, g_name, g_seg, g_bal,
                    num / (num + den_u) AS posterior
             FROM s ORDER BY custkey_l, custkey_r""",
         # blocking-scheme evaluation: everything is exact-integer group

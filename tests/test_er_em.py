@@ -131,3 +131,23 @@ def test_fs_em_empty_raises(ray_session):
          "g_bal": pd.Series([], dtype="int64")}))
     with pytest.raises(ValueError):
         fs_em(empty, {"g_name": 2, "g_seg": 2, "g_bal": 3}, iters=2)
+
+
+def test_tf_posteriors_oracle_and_rarity(ray_session):
+    got = _q("tf_posteriors").reset_index(drop=True)
+    exp = _oracle("tf_posteriors")
+    assert (got["posterior"].to_numpy().view("int64") ==
+            exp["posterior"].to_numpy().view("int64")).all()
+    # TF adjustment: among pairs with identical gammas that agree on
+    # segment, a rarer shared value must give a HIGHER posterior
+    agree = got[got["g_seg"] == 1]
+    counts = _con().execute(
+        "SELECT c_mktsegment AS seg, count(*) AS n FROM customer "
+        "GROUP BY 1").fetchdf().set_index("seg")["n"]
+    sub = agree[(agree["g_name"] == 0) & (agree["g_bal"] == 0)]
+    by_seg = sub.groupby("seg")["posterior"].first().dropna()
+    if len(by_seg) >= 2:
+        ordered = counts.loc[by_seg.index].sort_values()
+        posts = by_seg.loc[ordered.index].to_numpy()
+        assert (np.diff(posts) <= 0).all(), \
+            "posterior must not increase with value frequency"
