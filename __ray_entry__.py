@@ -889,6 +889,12 @@ def _q_tf_posteriors(sf_dir: str):
     return tf_adjusted_posteriors(sf_dir)
 
 
+def _q_golden_records(sf_dir: str):
+    from address_address_matching_ray.pipelines.er_em import golden_records
+
+    return golden_records(sf_dir)
+
+
 def _q_fs_em_weights(sf_dir: str):
     """EM-learned m/u/λ over the customer candidate pairs — iterative
     (Winkler EM), no SQL oracle; pytest carries planted-parameter
@@ -1044,6 +1050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fs_posteriors": _q_fs_posteriors,
         "tf_posteriors": _q_tf_posteriors,
         "blocking_metrics": _q_blocking_metrics,
+        "golden_records": _q_golden_records,
         "c4_line_filter": _q_c4_line_filter,
         "line_dedup": _q_line_dedup,
         # iterative / fuzzy — planted-blob pytest gates, no SQL oracle
@@ -2214,6 +2221,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT custkey_l, custkey_r, seg, g_name, g_seg, g_bal,
                    num / (num + den_u) AS posterior
             FROM s ORDER BY custkey_l, custkey_r""",
+        # survivorship: mode with smallest-value tie-break via QUALIFY
+        # row_number; max_bal is a selection so the double hash-matches
+        "golden_records": """
+            WITH c AS (SELECT c_custkey, c_name, c_acctbal,
+                              c_mktsegment, c_custkey % 50 AS cluster
+                       FROM customer),
+            base AS (SELECT cluster, count(*)::BIGINT AS n_members,
+                            max(c_acctbal) AS max_bal,
+                            min(c_custkey) AS min_custkey
+                     FROM c GROUP BY cluster),
+            nm AS (SELECT cluster, val AS name FROM (
+                     SELECT cluster, c_name AS val, count(*) AS cnt
+                     FROM c GROUP BY cluster, c_name) t
+                   QUALIFY row_number() OVER (
+                     PARTITION BY cluster
+                     ORDER BY cnt DESC, val ASC) = 1),
+            sg AS (SELECT cluster, val AS segment FROM (
+                     SELECT cluster, c_mktsegment AS val, count(*) AS cnt
+                     FROM c GROUP BY cluster, c_mktsegment) t
+                   QUALIFY row_number() OVER (
+                     PARTITION BY cluster
+                     ORDER BY cnt DESC, val ASC) = 1)
+            SELECT b.cluster, b.n_members, nm.name, sg.segment,
+                   b.max_bal, b.min_custkey
+            FROM base b JOIN nm USING (cluster) JOIN sg USING (cluster)
+            ORDER BY b.cluster""",
         # blocking-scheme evaluation: everything is exact-integer group
         # counts (ΣC(g,2)); the only doubles are ONE division per
         # metric, computed in the same order on both sides

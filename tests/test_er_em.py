@@ -151,3 +151,23 @@ def test_tf_posteriors_oracle_and_rarity(ray_session):
         posts = by_seg.loc[ordered.index].to_numpy()
         assert (np.diff(posts) <= 0).all(), \
             "posterior must not increase with value frequency"
+
+
+def test_golden_records_oracle_and_rules(ray_session):
+    got = _q("golden_records").reset_index(drop=True)
+    exp = _oracle("golden_records")
+    a = got[sorted(got.columns)]
+    b = exp[sorted(exp.columns)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()),
+                                  check_like=True)
+    # survivorship rules hold against a driver-side brute force
+    cust = _con().execute("SELECT * FROM customer").fetchdf()
+    cust["cluster"] = cust["c_custkey"] % 50
+    for r in got.head(5).itertuples():
+        grp = cust[cust["cluster"] == r.cluster]
+        assert r.n_members == len(grp)
+        assert r.max_bal == grp["c_acctbal"].max()
+        assert r.min_custkey == grp["c_custkey"].min()
+        vc = grp["c_mktsegment"].value_counts()
+        best = sorted(vc[vc == vc.max()].index)[0]
+        assert r.segment == best
