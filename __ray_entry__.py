@@ -895,6 +895,14 @@ def _q_golden_records(sf_dir: str):
     return golden_records(sf_dir)
 
 
+def _q_sorted_neighborhood(sf_dir: str):
+    from address_address_matching_ray.pipelines.er_em import (
+        sorted_neighborhood_pairs,
+    )
+
+    return sorted_neighborhood_pairs(sf_dir)
+
+
 def _q_fs_em_weights(sf_dir: str):
     """EM-learned m/u/λ over the customer candidate pairs — iterative
     (Winkler EM), no SQL oracle; pytest carries planted-parameter
@@ -1051,6 +1059,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tf_posteriors": _q_tf_posteriors,
         "blocking_metrics": _q_blocking_metrics,
         "golden_records": _q_golden_records,
+        "sorted_neighborhood": _q_sorted_neighborhood,
         "c4_line_filter": _q_c4_line_filter,
         "line_dedup": _q_line_dedup,
         # iterative / fuzzy — planted-blob pytest gates, no SQL oracle
@@ -2247,6 +2256,20 @@ def oracle_sql() -> dict[str, str]:
                    b.max_bal, b.min_custkey
             FROM base b JOIN nm USING (cluster) JOIN sg USING (cluster)
             ORDER BY b.cluster""",
+        # sorted-neighborhood pairs: row_number over the total sort
+        # key, self-join on rank distance <= window
+        "sorted_neighborhood": """
+            WITH r AS (
+              SELECT c_custkey,
+                     row_number() OVER (
+                       ORDER BY CAST(floor(c_acctbal*100 + 0.5)
+                                     AS BIGINT), c_custkey) AS rn
+              FROM customer)
+            SELECT least(a.c_custkey, b.c_custkey) AS custkey_l,
+                   greatest(a.c_custkey, b.c_custkey) AS custkey_r,
+                   (b.rn - a.rn)::BIGINT AS rank_dist
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 5
+            ORDER BY custkey_l, custkey_r""",
         # blocking-scheme evaluation: everything is exact-integer group
         # counts (ΣC(g,2)); the only doubles are ONE division per
         # metric, computed in the same order on both sides

@@ -171,3 +171,32 @@ def test_golden_records_oracle_and_rules(ray_session):
         vc = grp["c_mktsegment"].value_counts()
         best = sorted(vc[vc == vc.max()].index)[0]
         assert r.segment == best
+
+
+def test_sorted_neighborhood_oracle(ray_session):
+    got = _q("sorted_neighborhood").reset_index(drop=True)
+    exp = _oracle("sorted_neighborhood")
+    a = got[sorted(got.columns)]
+    b = exp[sorted(exp.columns)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()),
+                                  check_like=True)
+    assert got["rank_dist"].between(1, 5).all()
+
+
+def test_sorted_neighborhood_carry_spans_small_buckets(ray_session):
+    """With 64 buckets over 150 rows (~2 rows/bucket < window=5) the
+    carry must reach back across several buckets — same pairs as the
+    single-partition oracle."""
+    import __ray_entry__ as e
+
+    from address_address_matching_ray.pipelines.er_em import (
+        sorted_neighborhood_pairs,
+    )
+
+    got = (sorted_neighborhood_pairs(SF, window=5, buckets=64)
+           .to_pandas().reset_index(drop=True))
+    exp = _oracle("sorted_neighborhood")
+    a = got[sorted(got.columns)]
+    b = exp[sorted(exp.columns)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()),
+                                  check_like=True)
