@@ -903,6 +903,15 @@ def _q_sorted_neighborhood(sf_dir: str):
     return sorted_neighborhood_pairs(sf_dir)
 
 
+def _q_name_jaro(sf_dir: str):
+    """First oracled fuzzy string metric: our Jaro
+    (jaro_winkler(prefix_weight=0), 0-100 scale) is bit-identical to
+    DuckDB jaro_similarity * 100.0::DOUBLE."""
+    from address_address_matching_ray.pipelines.er_em import name_jaro
+
+    return name_jaro(sf_dir)
+
+
 def _q_fs_em_weights(sf_dir: str):
     """EM-learned m/u/λ over the customer candidate pairs — iterative
     (Winkler EM), no SQL oracle; pytest carries planted-parameter
@@ -1060,6 +1069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocking_metrics": _q_blocking_metrics,
         "golden_records": _q_golden_records,
         "sorted_neighborhood": _q_sorted_neighborhood,
+        "name_jaro": _q_name_jaro,
         "c4_line_filter": _q_c4_line_filter,
         "line_dedup": _q_line_dedup,
         # iterative / fuzzy — planted-blob pytest gates, no SQL oracle
@@ -2269,6 +2279,17 @@ def oracle_sql() -> dict[str, str]:
                    greatest(a.c_custkey, b.c_custkey) AS custkey_r,
                    (b.rn - a.rn)::BIGINT AS rank_dist
             FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 5
+            ORDER BY custkey_l, custkey_r""",
+        # fuzzy metric, oracled: pure Jaro is engine-identical (the
+        # Winkler prefix boost is what differs -- rapidfuzz boosts
+        # unconditionally, classic/DuckDB gates at 0.7)
+        "name_jaro": """
+            SELECT l.c_custkey AS custkey_l, r.c_custkey AS custkey_r,
+                   jaro_similarity(l.c_name, r.c_name)
+                     * 100.0::DOUBLE AS jaro
+            FROM customer l JOIN customer r
+              ON l.c_nationkey = r.c_nationkey
+             AND l.c_custkey < r.c_custkey
             ORDER BY custkey_l, custkey_r""",
         # blocking-scheme evaluation: everything is exact-integer group
         # counts (ΣC(g,2)); the only doubles are ONE division per

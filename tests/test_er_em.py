@@ -200,3 +200,34 @@ def test_sorted_neighborhood_carry_spans_small_buckets(ray_session):
     b = exp[sorted(exp.columns)].reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()),
                                   check_like=True)
+
+
+def test_name_jaro_oracle_bit_parity(ray_session):
+    got = _q("name_jaro").reset_index(drop=True)
+    exp = _oracle("name_jaro")
+    assert (got["jaro"].to_numpy().view("int64") ==
+            exp["jaro"].to_numpy().view("int64")).all()
+
+
+def test_jaro_matches_duckdb_on_adversarial_strings():
+    """Function-level parity: our jaro_winkler(prefix_weight=0) ==
+    DuckDB jaro_similarity × 100, bitwise, on transpositions,
+    containments, empties and random strings."""
+    import random
+
+    from address_address_matching_ray.functions.fuzzy import jaro_winkler
+
+    con = duckdb.connect()
+    corpus = ["", "a", "ab", "ba", "martha", "marhta", "dwayne",
+              "duane", "dixon", "dicksonx", "jellyfish", "smellyfish",
+              "aabbccdd", "abcdefgh"]
+    rng = random.Random(3)
+    corpus += ["".join(rng.choice("abcde") for _ in range(rng.randint(1, 12)))
+               for _ in range(60)]
+    pairs = [(rng.choice(corpus), rng.choice(corpus)) for _ in range(1500)]
+    for a, b in pairs:
+        d = np.float64(con.execute(
+            "SELECT jaro_similarity(?, ?)", [a, b]).fetchone()[0])
+        p = np.float64(jaro_winkler(a, b, prefix_weight=0.0))
+        assert p.view("int64") == (d * np.float64(100.0)).view("int64"), \
+            (a, b, float(p), float(d * 100))
