@@ -912,6 +912,14 @@ def _q_name_jaro(sf_dir: str):
     return name_jaro(sf_dir)
 
 
+def _q_name_levenshtein(sf_dir: str):
+    from address_address_matching_ray.pipelines.er_em import (
+        name_levenshtein,
+    )
+
+    return name_levenshtein(sf_dir)
+
+
 def _q_fs_em_weights(sf_dir: str):
     """EM-learned m/u/λ over the customer candidate pairs — iterative
     (Winkler EM), no SQL oracle; pytest carries planted-parameter
@@ -1070,6 +1078,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "golden_records": _q_golden_records,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "name_jaro": _q_name_jaro,
+        "name_levenshtein": _q_name_levenshtein,
         "c4_line_filter": _q_c4_line_filter,
         "line_dedup": _q_line_dedup,
         # iterative / fuzzy — planted-blob pytest gates, no SQL oracle
@@ -2287,6 +2296,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.c_custkey AS custkey_l, r.c_custkey AS custkey_r,
                    jaro_similarity(l.c_name, r.c_name)
                      * 100.0::DOUBLE AS jaro
+            FROM customer l JOIN customer r
+              ON l.c_nationkey = r.c_nationkey
+             AND l.c_custkey < r.c_custkey
+            ORDER BY custkey_l, custkey_r""",
+        # integer edit distance -- no float parity care needed
+        "name_levenshtein": """
+            SELECT l.c_custkey AS custkey_l, r.c_custkey AS custkey_r,
+                   levenshtein(l.c_name, r.c_name)::BIGINT AS dist
             FROM customer l JOIN customer r
               ON l.c_nationkey = r.c_nationkey
              AND l.c_custkey < r.c_custkey

@@ -341,3 +341,65 @@ def batch_jaccard(a_strs, b_strs) -> np.ndarray:
     """Token-set Jaccard per pair (strings pre-normalized, ws-tokenized)."""
     return np.fromiter((jaccard(a.split(), b.split()) for a, b in zip(a_strs, b_strs)),
                        dtype=np.float64, count=len(a_strs))
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Levenshtein edit distance (insert/delete/substitute, unit
+    costs) via Myers' bit-parallel algorithm (Myers, JACM 1999) for
+    patterns ≤ 64 chars, classic DP otherwise.  Integer-valued, so a
+    DuckDB ``levenshtein`` oracle needs no float-parity care at all.
+    Distinct from ``ratio`` (rapidfuzz indel / LCS based — no
+    substitutions), which is what the reference's scorers use."""
+    if len(a) > len(b):
+        a, b = b, a
+    la = len(a)
+    if la == 0:
+        return len(b)
+    if la <= 64:
+        peq: dict[str, int] = {}
+        for i, ch in enumerate(a):
+            peq[ch] = peq.get(ch, 0) | (1 << i)
+        mask = (1 << la) - 1
+        last = 1 << (la - 1)
+        pv, mv, score = mask, 0, la
+        for ch in b:
+            eq = peq.get(ch, 0)
+            xv = eq | mv
+            xh = (((eq & pv) + pv) & mask ^ pv) | eq
+            ph = mv | (~(xh | pv) & mask)
+            mh = pv & xh
+            if ph & last:
+                score += 1
+            elif mh & last:
+                score -= 1
+            ph = ((ph << 1) | 1) & mask
+            mh = (mh << 1) & mask
+            pv = mh | (~(xv | ph) & mask)
+            mv = ph & xv
+        return score
+    # numpy DP fallback for long strings; the sequential insert
+    # relaxation cur[j] = min(cur[j], cur[j-1]+1) vectorizes as a
+    # running prefix-min with slope removed:
+    # cur[j] = j + min_{k<=j}(cur[k] - k)
+    prev = np.arange(len(b) + 1, dtype=np.int64)
+    bb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    idx = np.arange(len(b) + 1, dtype=np.int64)
+    for i, ch in enumerate(a, 1):
+        cur = np.empty_like(prev)
+        cur[0] = i
+        sub = prev[:-1] + (bb != np.uint32(ord(ch)))
+        np.minimum(sub, prev[1:] + 1, out=cur[1:])
+        t = cur - idx
+        np.minimum.accumulate(t, out=t)
+        cur = t + idx
+        prev = cur
+    return int(prev[-1])
+
+
+def batch_levenshtein(a_strs, b_strs) -> np.ndarray:
+    """Per-pair Levenshtein, factorization-friendly (route through
+    ``apply_unique_pairs`` in callers — candidate batches repeat
+    strings heavily)."""
+    return np.fromiter((levenshtein(a, b)
+                        for a, b in zip(a_strs, b_strs)),
+                       dtype=np.int64, count=len(a_strs))

@@ -231,3 +231,32 @@ def test_jaro_matches_duckdb_on_adversarial_strings():
         p = np.float64(jaro_winkler(a, b, prefix_weight=0.0))
         assert p.view("int64") == (d * np.float64(100.0)).view("int64"), \
             (a, b, float(p), float(d * 100))
+
+
+def test_name_levenshtein_oracle(ray_session):
+    got = _q("name_levenshtein").reset_index(drop=True)
+    exp = _oracle("name_levenshtein")
+    assert (got["dist"].to_numpy() == exp["dist"].to_numpy()).all()
+    assert (got["custkey_l"].to_numpy() ==
+            exp["custkey_l"].to_numpy()).all()
+
+
+def test_levenshtein_matches_duckdb_incl_long_strings():
+    """Myers bit-parallel (≤64) and the vectorized DP fallback (>64)
+    both match DuckDB levenshtein exactly."""
+    import random
+
+    from address_address_matching_ray.functions.fuzzy import levenshtein
+
+    con = duckdb.connect()
+    rng = random.Random(5)
+    corpus = ["", "a", "kitten", "sitting", "intention", "execution",
+              "x" * 70, "x" * 69 + "y", "ab" * 40, "ba" * 40]
+    corpus += ["".join(rng.choice("abcd")
+                       for _ in range(rng.randint(0, 90)))
+               for _ in range(80)]
+    for _ in range(1200):
+        a, b = rng.choice(corpus), rng.choice(corpus)
+        assert levenshtein(a, b) == con.execute(
+            "SELECT levenshtein(?, ?)", [a, b]).fetchone()[0], (a, b)
+        assert levenshtein(a, b) == levenshtein(b, a)
