@@ -89,6 +89,23 @@ def _customer_features(sf_dir: str):
     return ds.map_batches(feats, batch_format="pyarrow")
 
 
+def _block_buckets(ds, buckets: int = 64):
+    """Hash the blocking key into ``buckets`` groups so pair expansion
+    is one vectorized in-bucket ``merge(on=key)`` over MANY blocks per
+    task — never one Ray group per block (500k-block corpora measured
+    0.19M pairs/s with per-block groups; bucketed expansion removes
+    the per-group dispatch entirely)."""
+
+    def add_b(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = nk.astype("uint64") * np.uint64(0x9E3779B97F4A7C15)
+        return t.append_column(
+            "_b", pa.array((h % np.uint64(buckets)).astype("int64")))
+
+    return ds.map_batches(add_b, batch_format="pyarrow").groupby("_b")
+
+
 def pair_comparisons(sf_dir: str):
     """Blocked candidate pairs over ``customer`` with discrete
     Fellegi–Sunter comparison levels (gamma vector):
@@ -118,8 +135,8 @@ def pair_comparisons(sf_dir: str):
                       m["seg_r"].to_numpy()).astype("int64"),
             "g_bal": g_bal.astype("int64")})
 
-    return feats.groupby("c_nationkey").map_groups(
-        expand, batch_format="pandas")
+    return _block_buckets(feats).map_groups(
+        lambda g: expand(g.drop(columns=["_b"])), batch_format="pandas")
 
 
 def _as_param_arrays(m, u, fields):
@@ -412,8 +429,8 @@ def pair_comparisons_with_seg(sf_dir: str):
                       m["seg_r"].to_numpy()).astype("int64"),
             "g_bal": g_bal.astype("int64")})
 
-    return feats.groupby("c_nationkey").map_groups(
-        expand, batch_format="pandas")
+    return _block_buckets(feats).map_groups(
+        lambda g: expand(g.drop(columns=["_b"])), batch_format="pandas")
 
 
 def tf_adjusted_posteriors(sf_dir: str, lam: float = FIXED_LAMBDA,
@@ -675,8 +692,8 @@ def name_jaro(sf_dir: str):
                              "custkey_r": df["custkey_r"],
                              "jaro": jw})
 
-    return (ds.groupby("c_nationkey").map_groups(
-        expand, batch_format="pandas")
+    return (_block_buckets(ds).map_groups(
+        lambda g: expand(g.drop(columns=["_b"])), batch_format="pandas")
         .map_batches(score, batch_format="pandas")
         .sort(["custkey_l", "custkey_r"]))
 
@@ -714,7 +731,7 @@ def name_levenshtein(sf_dir: str):
                              "custkey_r": df["custkey_r"],
                              "dist": dist.astype("int64")})
 
-    return (ds.groupby("c_nationkey").map_groups(
-        expand, batch_format="pandas")
+    return (_block_buckets(ds).map_groups(
+        lambda g: expand(g.drop(columns=["_b"])), batch_format="pandas")
         .map_batches(score, batch_format="pandas")
         .sort(["custkey_l", "custkey_r"]))
