@@ -12,12 +12,13 @@ an entity-resolution team actually runs before committing weights.
 
 Distributed shape (the 100-TB contract):
 
-* ``pair_comparisons`` — ONE hash shuffle on the blocking key; each
-  block cross-joins locally (vectorized pandas merge) and emits slim
+* ``pair_comparisons`` — ONE hash shuffle of block keys into
+  buckets (``_block_buckets``); each bucket expands ALL its blocks in
+  one vectorized pandas ``merge(on=key)`` — never one Ray group per
+  block (4× measured at 500k blocks, BASELINE.md) — and emits slim
   all-int64 gamma rows (40 B/pair).  Block sizes must be bounded by
   the blocking-key choice, exactly like ``stages/pairs.py`` (which
-  additionally caps pathological blocks); the demo surface blocks on
-  ``c_nationkey`` (25 bounded blocks).
+  additionally caps pathological blocks).
 * ``fs_em`` — the k-means/gradient-all-reduce shape
   (``similarity.embedding_kmeans``): per iteration the current
   parameters are broadcast once (``ray.put``) and one ``map_batches``
@@ -115,10 +116,11 @@ def pair_comparisons(sf_dir: str):
     * ``g_bal``  ∈ {0,1,2} — account-balance proximity
       (|Δ| < $100 → 2, < $1000 → 1, else 0; integer-cent arithmetic),
 
-    blocking on ``c_nationkey`` (one bounded-block hash shuffle; a
-    block's pairs are generated by a local vectorized merge, never a
-    distributed cross join).  Emits slim all-int64 rows — the pair
-    table that ``fs_em``/``fs_posteriors`` consume."""
+    blocking on ``c_nationkey`` (one bucketed hash shuffle via
+    ``_block_buckets``; a bucket's pairs are generated by one local
+    vectorized merge over all its blocks, never a distributed cross
+    join and never per-block Ray groups).  Emits slim all-int64 rows —
+    the pair table that ``fs_em``/``fs_posteriors`` consume."""
     feats = _customer_features(sf_dir)
 
     def expand(g: pd.DataFrame) -> pd.DataFrame:
