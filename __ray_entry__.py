@@ -920,6 +920,20 @@ def _q_name_levenshtein(sf_dir: str):
     return name_levenshtein(sf_dir)
 
 
+def _q_name_damerau(sf_dir: str):
+    from address_address_matching_ray.pipelines.er_em import name_damerau
+
+    return name_damerau(sf_dir)
+
+
+def _q_clerical_review(sf_dir: str):
+    from address_address_matching_ray.pipelines.er_em import (
+        clerical_review_sample,
+    )
+
+    return clerical_review_sample(sf_dir)
+
+
 def _q_fs_em_weights(sf_dir: str):
     """EM-learned m/u/λ over the customer candidate pairs — iterative
     (Winkler EM), no SQL oracle; pytest carries planted-parameter
@@ -1079,6 +1093,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_neighborhood": _q_sorted_neighborhood,
         "name_jaro": _q_name_jaro,
         "name_levenshtein": _q_name_levenshtein,
+        "name_damerau": _q_name_damerau,
+        "clerical_review": _q_clerical_review,
         "c4_line_filter": _q_c4_line_filter,
         "line_dedup": _q_line_dedup,
         # iterative / fuzzy — planted-blob pytest gates, no SQL oracle
@@ -2307,6 +2323,60 @@ def oracle_sql() -> dict[str, str]:
             FROM customer l JOIN customer r
               ON l.c_nationkey = r.c_nationkey
              AND l.c_custkey < r.c_custkey
+            ORDER BY custkey_l, custkey_r""",
+        # full Damerau-Levenshtein (DuckDB's variant; ('ca','abc')=2)
+        "name_damerau": """
+            SELECT l.c_custkey AS custkey_l, r.c_custkey AS custkey_r,
+                   damerau_levenshtein(l.c_name, r.c_name)::BIGINT
+                     AS dl_dist
+            FROM customer l JOIN customer r
+              ON l.c_nationkey = r.c_nationkey
+             AND l.c_custkey < r.c_custkey
+            ORDER BY custkey_l, custkey_r""",
+        # clerical-review band over the bit-identical posteriors +
+        # deterministic Knuth-hash 1-in-5 sample
+        "clerical_review": """
+            WITH f AS (
+              SELECT c_custkey, c_nationkey,
+                     substr(c_name, length(c_name)-2, 3) AS name3,
+                     CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS cents,
+                     c_mktsegment AS seg
+              FROM customer),
+            p AS (
+              SELECT l.c_custkey AS custkey_l, r.c_custkey AS custkey_r,
+                     CASE WHEN l.name3 = r.name3 THEN 1 ELSE 0 END
+                       AS g_name,
+                     CASE WHEN l.seg = r.seg THEN 1 ELSE 0 END AS g_seg,
+                     CASE WHEN abs(l.cents - r.cents) < 10000 THEN 2
+                          WHEN abs(l.cents - r.cents) < 100000 THEN 1
+                          ELSE 0 END AS g_bal
+              FROM f l JOIN f r ON l.c_nationkey = r.c_nationkey
+                                AND l.c_custkey < r.c_custkey),
+            s AS (
+              SELECT *,
+                0.05::DOUBLE
+                  * (CASE g_name WHEN 0 THEN 0.15::DOUBLE
+                                 ELSE 0.85::DOUBLE END)
+                  * (CASE g_seg WHEN 0 THEN 0.25::DOUBLE
+                                ELSE 0.75::DOUBLE END)
+                  * (CASE g_bal WHEN 0 THEN 0.1::DOUBLE
+                                WHEN 1 THEN 0.3::DOUBLE
+                                ELSE 0.6::DOUBLE END) AS num,
+                (1.0::DOUBLE - 0.05::DOUBLE)
+                  * (CASE g_name WHEN 0 THEN 0.99::DOUBLE
+                                 ELSE 0.01::DOUBLE END)
+                  * (CASE g_seg WHEN 0 THEN 0.8::DOUBLE
+                                ELSE 0.2::DOUBLE END)
+                  * (CASE g_bal WHEN 0 THEN 0.7::DOUBLE
+                                WHEN 1 THEN 0.25::DOUBLE
+                                ELSE 0.05::DOUBLE END) AS den_u
+              FROM p),
+            q AS (SELECT custkey_l, custkey_r,
+                         num / (num + den_u) AS posterior FROM s)
+            SELECT custkey_l, custkey_r, posterior
+            FROM q
+            WHERE posterior >= 0.01::DOUBLE AND posterior < 0.95::DOUBLE
+              AND (custkey_l * 2654435761 + custkey_r) % 2 = 0
             ORDER BY custkey_l, custkey_r""",
         # blocking-scheme evaluation: everything is exact-integer group
         # counts (ΣC(g,2)); the only doubles are ONE division per

@@ -403,3 +403,47 @@ def batch_levenshtein(a_strs, b_strs) -> np.ndarray:
     return np.fromiter((levenshtein(a, b)
                         for a, b in zip(a_strs, b_strs)),
                        dtype=np.int64, count=len(a_strs))
+
+
+def damerau_levenshtein(a: str, b: str) -> int:
+    """FULL (unrestricted) Damerau–Levenshtein distance — the
+    Lowrance–Wagner 1975 DP with the per-character last-occurrence
+    table, matching DuckDB's ``damerau_levenshtein`` (which is the
+    full variant: ``('ca','abc') = 2``, where restricted OSA gives 3).
+    Integer-valued spec kernel; route batches through
+    ``apply_unique_pairs``."""
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    maxd = la + lb
+    d = [[maxd] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[1][j + 1] = j
+    da: dict[str, int] = {}
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            l = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,          # substitute / match
+                d[i + 1][j] + 1,         # insert
+                d[i][j + 1] + 1,         # delete
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1))  # transpose
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
+def batch_damerau_levenshtein(a_strs, b_strs) -> np.ndarray:
+    return np.fromiter((damerau_levenshtein(a, b)
+                        for a, b in zip(a_strs, b_strs)),
+                       dtype=np.int64, count=len(a_strs))

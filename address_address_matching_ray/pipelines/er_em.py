@@ -737,3 +737,61 @@ def name_levenshtein(sf_dir: str):
         lambda g: expand(g.drop(columns=["_b"])), batch_format="pandas")
         .map_batches(score, batch_format="pandas")
         .sort(["custkey_l", "custkey_r"]))
+
+
+def name_damerau(sf_dir: str):
+    """Full Damerau–Levenshtein name distance over blocked pairs
+    (``fuzzy.damerau_levenshtein``, Lowrance–Wagner) — integer-valued,
+    hash-exact against DuckDB's full-variant ``damerau_levenshtein``.
+    Same shape as ``name_levenshtein``."""
+    from address_address_matching_ray.functions.fuzzy import (
+        apply_unique_pairs,
+        batch_damerau_levenshtein,
+    )
+
+    from .relational import read
+
+    ds = read(sf_dir, "customer",
+              columns=["c_custkey", "c_name", "c_nationkey"])
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="c_nationkey", suffixes=("_l", "_r"))
+        m = m[m["c_custkey_l"] < m["c_custkey_r"]]
+        return pd.DataFrame({
+            "custkey_l": m["c_custkey_l"].to_numpy(),
+            "custkey_r": m["c_custkey_r"].to_numpy(),
+            "name_l": m["c_name_l"].to_numpy(),
+            "name_r": m["c_name_r"].to_numpy()})
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        dist = apply_unique_pairs(
+            batch_damerau_levenshtein,
+            df["name_l"].to_numpy(object), df["name_r"].to_numpy(object))
+        return pd.DataFrame({"custkey_l": df["custkey_l"],
+                             "custkey_r": df["custkey_r"],
+                             "dl_dist": dist.astype("int64")})
+
+    return (_block_buckets(ds).map_groups(
+        lambda g: expand(g.drop(columns=["_b"])), batch_format="pandas")
+        .map_batches(score, batch_format="pandas")
+        .sort(["custkey_l", "custkey_r"]))
+
+
+def clerical_review_sample(sf_dir: str, lo: float = 0.01,
+                           hi: float = 0.95, one_in: int = 2):
+    """Clerical-review triage (the human-in-the-loop ER step): pairs
+    whose match posterior falls in the uncertain band [lo, hi) —
+    neither auto-link nor auto-reject — thinned by a deterministic
+    Knuth-hash 1-in-``one_in`` sample so reviewer load is bounded and
+    REPRODUCIBLE across runs and partitionings.  Shuffle-free filter
+    over ``fs_posteriors`` (whose doubles are oracle-bit-identical, so
+    the band predicate decides identically in SQL)."""
+
+    def band(df: pd.DataFrame) -> pd.DataFrame:
+        p = df["posterior"].to_numpy()
+        h = (df["custkey_l"].to_numpy("int64") * 2654435761
+             + df["custkey_r"].to_numpy("int64"))
+        keep = (p >= lo) & (p < hi) & (h % one_in == 0)
+        return df[keep][["custkey_l", "custkey_r", "posterior"]]
+
+    return fs_posteriors(sf_dir).map_batches(band, batch_format="pandas")

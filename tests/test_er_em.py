@@ -260,3 +260,46 @@ def test_levenshtein_matches_duckdb_incl_long_strings():
         assert levenshtein(a, b) == con.execute(
             "SELECT levenshtein(?, ?)", [a, b]).fetchone()[0], (a, b)
         assert levenshtein(a, b) == levenshtein(b, a)
+
+
+def test_name_damerau_oracle_and_full_variant():
+    """Function parity incl. the full-vs-OSA distinguishing case."""
+    import random
+
+    from address_address_matching_ray.functions.fuzzy import (
+        damerau_levenshtein,
+    )
+
+    assert damerau_levenshtein("ca", "abc") == 2  # full DL, OSA = 3
+    assert damerau_levenshtein("ab", "ba") == 1
+    con = duckdb.connect()
+    rng = random.Random(7)
+    corpus = ["", "a", "ca", "abc", "ab", "ba", "abcdef", "badcfe"]
+    corpus += ["".join(rng.choice("abcd")
+                       for _ in range(rng.randint(0, 25)))
+               for _ in range(80)]
+    for _ in range(800):
+        a, b = rng.choice(corpus), rng.choice(corpus)
+        assert damerau_levenshtein(a, b) == con.execute(
+            "SELECT damerau_levenshtein(?, ?)", [a, b]).fetchone()[0]
+
+
+def test_name_damerau_query_oracle(ray_session):
+    got = _q("name_damerau").reset_index(drop=True)
+    exp = _oracle("name_damerau")
+    assert (got["dl_dist"].to_numpy() == exp["dl_dist"].to_numpy()).all()
+    lev = _q("name_levenshtein").reset_index(drop=True)
+    # DL is never larger than plain Levenshtein
+    assert (got["dl_dist"].to_numpy() <= lev["dist"].to_numpy()).all()
+
+
+def test_clerical_review_oracle(ray_session):
+    got = _q("clerical_review").reset_index(drop=True)
+    exp = _oracle("clerical_review")
+    a = got[sorted(got.columns)]
+    b = exp[sorted(exp.columns)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()),
+                                  check_like=True)
+    assert len(got) > 0
+    p = got["posterior"].to_numpy()
+    assert ((p >= 0.01) & (p < 0.95)).all()
