@@ -934,6 +934,16 @@ def _q_clerical_review(sf_dir: str):
     return clerical_review_sample(sf_dir)
 
 
+def _q_component_sizes(sf_dir: str):
+    from address_address_matching_ray.pipelines.graph import (
+        component_size_distribution,
+    )
+    from address_address_matching_ray.pipelines.relational import read
+
+    return component_size_distribution(
+        read(sf_dir, "events", columns=["user_id"]))
+
+
 def _q_fs_em_weights(sf_dir: str):
     """EM-learned m/u/λ over the customer candidate pairs — iterative
     (Winkler EM), no SQL oracle; pytest carries planted-parameter
@@ -1074,6 +1084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trailing_active_users": _q_trailing_active_users,
         "latest_events": _q_latest_events,
         "graph_components": _q_graph_components,
+        "component_sizes": _q_component_sizes,
         "decontaminate": _q_decontaminate,
         "value_zscore": _q_value_zscore,
         "value_mad": _q_value_mad,
@@ -1819,6 +1830,26 @@ def oracle_sql() -> dict[str, str]:
         # transitive closure of the consecutive-qualifying-user graph:
         # min-label reachability via a recursive CTE verifies the
         # distributed CC kernel (stages/cluster.py) end-to-end
+        "component_sizes": """
+            WITH RECURSIVE
+            u AS (SELECT user_id FROM events
+                  GROUP BY user_id HAVING count(*) % 3 = 0),
+            e AS (SELECT a.user_id AS l, b.user_id AS r
+                  FROM u a JOIN u b ON b.user_id = a.user_id + 1),
+            ed AS (SELECT l, r FROM e
+                   UNION ALL SELECT r AS l, l AS r FROM e),
+            reach AS (
+              SELECT user_id AS node, user_id AS label FROM u
+              UNION
+              SELECT ed.l AS node, reach.label AS label
+              FROM ed JOIN reach ON reach.node = ed.r),
+            comp AS (SELECT node, min(label) AS cluster_id
+                     FROM reach GROUP BY node),
+            sz AS (SELECT cluster_id, count(*) AS size
+                   FROM comp GROUP BY cluster_id)
+            SELECT size::BIGINT AS size,
+                   count(*)::BIGINT AS n_components
+            FROM sz GROUP BY size ORDER BY size""",
         "graph_components": """
             WITH RECURSIVE
             u AS (SELECT user_id FROM events

@@ -131,3 +131,39 @@ def user_graph_components(events_ds, modulus: int = 3, buckets: int = 64):
         batch_format="pyarrow")
 
     return labeled.union(singles).sort("user_id")
+
+
+def component_size_distribution(events_ds, modulus: int = 3,
+                                buckets: int = 64):
+    """Cluster-size histogram over the user-graph components — the
+    standard post-linkage audit (healthy linkage is dominated by small
+    components; a giant component signals a blocking pathology or a
+    hot-key bridge).  Two combiner passes over slim label rows: per-
+    batch member counts → groupby(cluster).sum makes them global →
+    per-batch size histogram partials → groupby(size).sum.  Nothing
+    unbounded ever sits on the driver."""
+    import pandas as pd
+
+    comp = user_graph_components(events_ds, modulus=modulus,
+                                 buckets=buckets)
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df.groupby("cluster_id").size()
+        return pd.DataFrame({"cluster_id": vc.index.to_numpy(),
+                             "n": vc.to_numpy().astype("int64")})
+
+    sizes = (comp.map_batches(count_partial, batch_format="pandas")
+             .groupby("cluster_id").sum("n"))
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["sum(n)"].value_counts()
+        return pd.DataFrame({"size": vc.index.to_numpy().astype("int64"),
+                             "n_components": vc.to_numpy()
+                             .astype("int64")})
+
+    return (sizes.map_batches(hist_partial, batch_format="pandas")
+            .groupby("size").sum("n_components")
+            .map_batches(lambda df: df.rename(
+                columns={"sum(n_components)": "n_components"}),
+                batch_format="pandas")
+            .sort("size"))

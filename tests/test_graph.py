@@ -114,3 +114,23 @@ def test_graph_components_all_singletons(ray_session):
     got = user_graph_components(rd.from_pandas(ev)).to_pandas()
     assert (got["cluster_id"] == got["user_id"]).all()
     assert len(got) == 10
+
+
+def test_component_size_distribution(ray_session):
+    import duckdb
+
+    import __ray_entry__ as e
+
+    SF = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    got = e.queries()["component_sizes"](SF).to_pandas()
+    exp = con.execute(e.oracle_sql()["component_sizes"]).fetchdf()
+    a = got[sorted(got.columns)].reset_index(drop=True)
+    b = exp[sorted(exp.columns)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()),
+                                  check_like=True)
+    # total members across the histogram == node count of components
+    comp = e.queries()["graph_components"](SF).to_pandas()
+    assert int((got["size"] * got["n_components"]).sum()) == len(comp)
