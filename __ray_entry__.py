@@ -944,6 +944,16 @@ def _q_component_sizes(sf_dir: str):
         read(sf_dir, "events", columns=["user_id"]))
 
 
+def _q_campaign_attribution(sf_dir: str):
+    """General OVERLAP interval join (overlapping windows) — closes
+    interval_join's documented non-overlapping limit."""
+    from address_address_matching_ray.pipelines.temporal import (
+        campaign_attribution,
+    )
+
+    return campaign_attribution(sf_dir)
+
+
 def _q_fs_em_weights(sf_dir: str):
     """EM-learned m/u/λ over the customer candidate pairs — iterative
     (Winkler EM), no SQL oracle; pytest carries planted-parameter
@@ -1085,6 +1095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_events": _q_latest_events,
         "graph_components": _q_graph_components,
         "component_sizes": _q_component_sizes,
+        "campaign_attribution": _q_campaign_attribution,
         "decontaminate": _q_decontaminate,
         "value_zscore": _q_value_zscore,
         "value_mad": _q_value_mad,
@@ -2409,6 +2420,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE posterior >= 0.01::DOUBLE AND posterior < 0.95::DOUBLE
               AND (custkey_l * 2654435761 + custkey_r) % 2 = 0
             ORDER BY custkey_l, custkey_r""",
+        # overlap join vs overlapping deterministic campaign windows
+        "campaign_attribution": """
+            WITH iv AS (
+              SELECT j AS interval_id,
+                     TIMESTAMP '2024-01-01' + to_hours(3*j) AS start_ts,
+                     TIMESTAMP '2024-01-01' + to_hours(3*j + 8) AS end_ts
+              FROM (SELECT unnest(generate_series(0, 249)) AS j))
+            SELECT e.event_id, iv.interval_id
+            FROM events e JOIN iv
+              ON e.ts >= iv.start_ts AND e.ts < iv.end_ts
+            ORDER BY e.event_id, iv.interval_id""",
         # blocking-scheme evaluation: everything is exact-integer group
         # counts (ΣC(g,2)); the only doubles are ONE division per
         # metric, computed in the same order on both sides

@@ -292,3 +292,56 @@ def test_approx_value_percentiles_close_to_exact(ray_session):
             0.05 * spread + 1e-6, 0.5)
         assert abs(est.loc[et, "p95_est"] - vals["p95_value"]) <= max(
             0.10 * spread + 1e-6, 0.5)
+
+
+def test_overlap_join_oracle(ray_session):
+    import duckdb
+
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    got = e.queries()["campaign_attribution"](SF).to_pandas()
+    exp = con.execute(e.oracle_sql()["campaign_attribution"]).fetchdf()
+    a = got[sorted(got.columns)].reset_index(drop=True)
+    b = exp[sorted(exp.columns)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()),
+                                  check_like=True)
+    # genuinely overlapping: most events hit >1 window
+    assert len(got) > 2 * got["event_id"].nunique()
+
+
+def test_overlap_join_chunk_boundaries(ray_session):
+    """Points exactly at interval start (kept, half-open), at end
+    (dropped), and intervals aligned to chunk edges — brute-force
+    parity with tiny chunks so every interval spans many chunks."""
+    import ray.data as rd
+
+    from address_address_matching_ray.pipelines.temporal import (
+        overlap_join,
+    )
+
+    base = pd.Timestamp("2024-01-01")
+    h = pd.Timedelta(hours=1)
+    pts = pd.DataFrame({
+        "pid": np.arange(6, dtype="int64"),
+        "ts": [base, base + 2 * h, base + 4 * h, base + 6 * h,
+               base + 6 * h - pd.Timedelta(microseconds=1),
+               base + 100 * h]})
+    iv = pd.DataFrame({
+        "iid": np.arange(3, dtype="int64"),
+        "s": [base, base + 2 * h, base + 3 * h],
+        "e": [base + 6 * h, base + 4 * h, base + 9 * h]})
+    got = (overlap_join(rd.from_pandas(pts), rd.from_pandas(iv),
+                        on="ts", start="s", end="e",
+                        chunk_us=3600 * 1_000_000, buckets=4)
+           .to_pandas().sort_values(["pid", "iid"])
+           .reset_index(drop=True))
+    m = pts.merge(iv, how="cross")
+    exp = (m[(m["ts"] >= m["s"]) & (m["ts"] < m["e"])][["pid", "iid"]]
+           .sort_values(["pid", "iid"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["pid", "iid"]], exp)
+    # the end-exclusive point (pid=3 at +6h) must not match interval 0
+    assert not ((got["pid"] == 3) & (got["iid"] == 0)).any()
+    assert ((got["pid"] == 4) & (got["iid"] == 0)).any()
