@@ -1503,6 +1503,55 @@ SELECT doc_id,
 FROM scored ORDER BY doc_id"""
 
 
+def _splitmix64_sql(col: str) -> str:
+    """DuckDB expression reproducing ``functions.sketch.hash_values``
+    (the splitmix64 finalizer) bit-exactly on non-negative int64
+    input.  64-bit wrapping arithmetic is emulated with HUGEINT
+    ``% 2**64``; the wrapping multiply is split into 32-bit halves so
+    no intermediate exceeds 96 bits (HUGEINT holds 127)."""
+
+    def mulmod(x: str, c: int) -> str:
+        return (f"(((({x}) % 4294967296) * {c}"
+                f" + (((({x}) // 4294967296) * {c}) % 4294967296)"
+                f" * 4294967296) % 18446744073709551616)")
+
+    def xorshift(x: str, s: int) -> str:
+        return f"xor(({x})::UBIGINT, (({x})::UBIGINT >> {s}))::HUGEINT"
+
+    e = f"((({col})::HUGEINT + 11400714819323198485) % 18446744073709551616)"
+    e = xorshift(e, 30)
+    e = mulmod(e, 13787848793156543929)
+    e = xorshift(e, 27)
+    e = mulmod(e, 10723151780598845931)
+    e = xorshift(e, 31)
+    return e
+
+
+def _approx_distinct_users_sql(k: int = 64) -> str:
+    """KMV bottom-k sketch replayed in SQL: same splitmix64 hash, same
+    bottom-k-distinct selection, same ``(k-1)*2^64 / (kth+1)`` float64
+    estimate as ``kmv_estimate`` (sketch.py:47).  Bit-exact because the
+    hash is integer-exact and the estimate is one double divide on
+    both sides."""
+    return f"""
+        WITH h AS (
+          SELECT DISTINCT event_type, {_splitmix64_sql('user_id')}::UBIGINT AS hv
+          FROM events),
+        ranked AS (
+          SELECT event_type, hv,
+                 row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n_distinct
+          FROM h)
+        SELECT event_type,
+               CASE WHEN max(n_distinct) < {k} THEN max(n_distinct)
+                    ELSE CAST(round(({k} - 1)::DOUBLE * 18446744073709551616.0
+                         / (max(CASE WHEN rn = {k} THEN hv END)::DOUBLE + 1.0))
+                         AS BIGINT)
+               END AS n_users_est
+        FROM ranked WHERE rn <= {k}
+        GROUP BY event_type ORDER BY event_type"""
+
+
 def oracle_sql() -> dict[str, str]:
     _write_oracle_inputs()
     return {
@@ -2078,6 +2127,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type ORDER BY event_type""",
+        "approx_distinct_users": _approx_distinct_users_sql(),
         "top_events_per_user": """
             SELECT user_id, event_id, value, rank FROM (
               SELECT user_id, event_id, value,
