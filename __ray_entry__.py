@@ -745,9 +745,12 @@ def _q_semantic_dedup(sf_dir: str):
         semantic_dedup,
     )
 
+    # threshold 0.3 sits inside the synthetic corpus' cosine range
+    # (zero-centered vectors top out near 0.5), so the DROP branch of
+    # the lower-triangle rule is genuinely exercised by the oracle
     return semantic_dedup(
         read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
-        threshold=0.9, k=8, iters=5)
+        threshold=0.3, k=8, iters=5)
 
 
 def _q_source_quota_sample(sf_dir: str):
@@ -1552,6 +1555,108 @@ def _approx_distinct_users_sql(k: int = 64) -> str:
         GROUP BY event_type ORDER BY event_type"""
 
 
+def _kmeans_ctes(k: int, iters: int) -> list[str]:
+    """Spherical k-means replayed as unrolled CTEs — one assign + one
+    integer micro-unit centroid reduce per Lloyd iteration, exactly the
+    ``similarity.embedding_kmeans`` arithmetic:
+
+    * init = the k points with the smallest splitmix64(vec_id),
+    * per-iteration centroid = S / sqrt(Σ S_dim²) where S is the
+      order-free int64 sum of ``floor(m * 1e6)`` components (so both
+      engines hold BIT-IDENTICAL centroids every iteration),
+    * argmax ties break to the lowest cluster id,
+    * the reported cosine is floor-quantized 1e-6 so BLAS-vs-SQL
+      last-ulp dot-product noise cannot reach the hash.
+
+    Valid while the corpus fits ``init_sample`` (the Ray side seeds
+    from a bounded sample; true at every tested sf)."""
+    ctes = [f"""pts AS MATERIALIZED (
+          SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings),
+        m AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(v, x -> x / greatest(
+                   sqrt(list_sum(list_transform(v, y -> y*y))), 1e-12))
+                 AS mv
+          FROM pts),
+        c0 AS MATERIALIZED (
+          SELECT row_number() OVER (
+                   ORDER BY {_splitmix64_sql('vec_id')}, vec_id) - 1
+                 AS cluster, mv AS cv
+          FROM m QUALIFY cluster < {k})"""]
+    for t in range(iters):
+        ctes.append(f"""a{t} AS MATERIALIZED (
+          SELECT vec_id, cluster, mv FROM (
+            SELECT m.vec_id, c.cluster, m.mv,
+                   row_number() OVER (
+                     PARTITION BY m.vec_id
+                     ORDER BY list_dot_product(m.mv, c.cv) DESC,
+                              c.cluster) AS rn
+            FROM m CROSS JOIN c{t} c) WHERE rn = 1),
+        s{t} AS MATERIALIZED (
+          SELECT cluster,
+                 list(s::DOUBLE ORDER BY dim) AS sl,
+                 sum(s::HUGEINT * s) AS norm2
+          FROM (
+            SELECT cluster, dim, sum(floor(x * 1e6)::BIGINT) AS s
+            FROM (SELECT cluster, unnest(mv) AS x,
+                         unnest(range(len(mv))) AS dim
+                  FROM a{t})
+            GROUP BY cluster, dim)
+          GROUP BY cluster),
+        c{t + 1} AS MATERIALIZED (
+          SELECT prev.cluster,
+                 CASE WHEN s.norm2 IS NULL OR s.norm2 = 0 THEN prev.cv
+                      ELSE list_transform(s.sl,
+                             x -> x / sqrt(s.norm2::DOUBLE)) END AS cv
+          FROM c{t} prev LEFT JOIN s{t} s USING (cluster))""")
+    ctes.append(f"""asn AS MATERIALIZED (
+          SELECT vec_id, cluster, floor(sim * 1e6) / 1e6 AS sim
+          FROM (
+            SELECT m.vec_id, c.cluster,
+                   list_dot_product(m.mv, c.cv) AS sim,
+                   row_number() OVER (
+                     PARTITION BY m.vec_id
+                     ORDER BY list_dot_product(m.mv, c.cv) DESC,
+                              c.cluster) AS rn
+            FROM m CROSS JOIN c{iters} c) WHERE rn = 1)""")
+    return ctes
+
+
+def _embedding_kmeans_sql(k: int = 10, iters: int = 5) -> str:
+    ctes = _kmeans_ctes(k, iters)
+    return (f"WITH {', '.join(ctes)}\n"
+            "SELECT vec_id, cluster, sim FROM asn ORDER BY vec_id")
+
+
+def _semantic_dedup_sql(k: int = 8, iters: int = 5,
+                        threshold: float = 0.9) -> str:
+    """SemDeDup keep rule replayed in SQL on top of the bit-identical
+    k-means assignment (``_kmeans_ctes``): order each cluster by
+    (quantized sim asc, id) and drop a point iff its cosine to any
+    EARLIER clustermate exceeds ``threshold`` — the lower-triangle-max
+    rule of ``similarity.semantic_dedup``.  The ordering key is the
+    1e-6-quantized sim, so cross-engine rank is stable; the pairwise
+    cosine only meets ``threshold`` in a strict compare, where
+    last-ulp noise is immaterial on non-adversarial data."""
+    ctes = _kmeans_ctes(k, iters)
+    ctes.append("""ord AS MATERIALIZED (
+          SELECT a.vec_id, a.cluster, a.sim, m.mv,
+                 row_number() OVER (PARTITION BY a.cluster
+                                    ORDER BY a.sim, a.vec_id) AS rnk
+          FROM asn a JOIN m USING (vec_id))""")
+    return (f"WITH {', '.join(ctes)}\n"
+            f"""SELECT o.vec_id, o.cluster, o.sim,
+                   coalesce(mx.maxsim <= {threshold!r}::DOUBLE, TRUE) AS keep
+            FROM ord o LEFT JOIN (
+              SELECT a.vec_id,
+                     max(list_dot_product(a.mv, b.mv)) AS maxsim
+              FROM ord a JOIN ord b
+                ON a.cluster = b.cluster AND b.rnk < a.rnk
+              GROUP BY a.vec_id) mx USING (vec_id)
+            ORDER BY o.vec_id""")
+
+
 def oracle_sql() -> dict[str, str]:
     _write_oracle_inputs()
     return {
@@ -1988,6 +2093,8 @@ def oracle_sql() -> dict[str, str]:
                            255)::BIGINT
                    ELSE 0 END AS q
             FROM e JOIN s USING (dim_j) ORDER BY vec_id, dim_j""",
+        "embedding_kmeans": _embedding_kmeans_sql(k=10, iters=5),
+        "semantic_dedup": _semantic_dedup_sql(k=8, iters=5, threshold=0.3),
         "centroid_similarity": """
             WITH e AS (
               SELECT label::BIGINT AS label,

@@ -14,6 +14,8 @@
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 
@@ -516,22 +518,39 @@ def embedding_kmeans(emb_ds, k: int = 10, iters: int = 10,
     Initial centroids come from a bounded seeded driver-side sample
     (same policy as ``ivf_topk``'s codebook).
 
-    Determinism: partial rows are lexsorted before the driver reduce so
-    float summation order is independent of block arrival order; ties
-    in the per-row argmax break to the lowest cluster id.
+    Determinism (and the DuckDB-oracle contract): per-batch partials
+    carry INTEGER micro-unit component sums — ``floor(m * 1e6)`` as
+    int64 — so the driver reduce is an order-free integer sum, and the
+    new centroid is ``S / sqrt(sum(S_dim**2))`` computed in exact
+    integer arithmetic up to one final IEEE sqrt + divide.  Both sides
+    of the oracle (numpy here, unrolled CTEs in DuckDB) therefore
+    produce BIT-IDENTICAL centroids every iteration; the reported
+    ``sim`` is floor-quantized to 1e-6 so last-ulp dot-product
+    differences between BLAS and SQL cannot leak into the hash.
+    Ties in the per-row argmax break to the lowest cluster id.
+    Initial centroids are the ``k`` sample points with the smallest
+    ``splitmix64(id)`` (ties by id) — a seeded-RNG ``choice`` is not
+    SQL-replayable; the hash pick is just as spread and fully portable.
+    The oracle replays the sample-bounded init exactly when the corpus
+    fits ``init_sample`` (true at test scales); past that the init is
+    a bounded sample by design and the fit stays pytest-verified.
+    Micro-unit sums stay exact while a cluster holds < 2**53 / 1e6 ≈
+    9e9 rows per component; beyond that the int64 → double conversion
+    rounds (identically on both engines).
 
     Returns the assignment dataset ``(id_col, cluster, sim)`` where
-    ``sim`` is cosine to the assigned centroid.  Non-SQL (iterative) —
-    verified by planted-blob recovery + determinism tests, not a DuckDB
-    oracle.
+    ``sim`` is cosine to the assigned centroid, floor-quantized 1e-6.
     """
     import ray
 
+    from address_address_matching_ray.functions.sketch import hash_values
+
     sample = emb_ds.limit(init_sample).to_pandas()
     m0 = _normalize_rows(_to_matrix(sample[vec_col]).astype(np.float64))
-    rng = np.random.RandomState(seed)
+    ids0 = sample[id_col].to_numpy()
     k = min(k, len(m0))
-    centroids = m0[rng.choice(len(m0), size=k, replace=False)]
+    pick = np.lexsort((ids0, hash_values(ids0)))[:k]
+    centroids = m0[pick]
 
     for _ in range(iters):
         ref = ray.put(centroids)
@@ -541,30 +560,30 @@ def embedding_kmeans(emb_ds, k: int = 10, iters: int = 10,
             m = _normalize_rows(_matrix_from_arrow(t[vec_col])
                                 .astype(np.float64))
             assign = (m @ c.T).argmax(axis=1)
+            mq = np.floor(m * 1e6).astype(np.int64)
             rows = []
             for j in np.unique(assign):
-                mem = m[assign == j]
-                rows.append((int(j), len(mem), mem.sum(axis=0)))
+                rows.append((int(j), mq[assign == j].sum(axis=0)))
             return pd.DataFrame({
                 "cluster": [r[0] for r in rows],
-                "n": np.array([r[1] for r in rows], dtype="int64"),
-                "sum_vec": [r[2] for r in rows]})
+                "sum_vec": [r[1] for r in rows]})
 
         part = emb_ds.map_batches(partials, batch_format="pyarrow",
                                   batch_size=8192).to_pandas()
         if not len(part):
             break
-        sums = np.stack(part["sum_vec"].to_numpy())
-        order = np.lexsort((sums[:, 0], part["n"].to_numpy(),
-                            part["cluster"].to_numpy()))
-        part = part.iloc[order]
-        sums = sums[order]
+        sums = np.stack(part["sum_vec"].to_numpy())        # int64 exact
+        clusters = part["cluster"].to_numpy()
         nxt = centroids.copy()
         for j in range(k):
-            mask = part["cluster"].to_numpy() == j
-            if mask.any():
-                nxt[j] = sums[mask].sum(axis=0)
-        centroids = _normalize_rows(nxt)
+            mask = clusters == j
+            if not mask.any():
+                continue                      # empty cluster: keep old
+            s = sums[mask].sum(axis=0)        # order-free integer sum
+            norm2 = sum(int(v) * int(v) for v in s)   # exact Python int
+            if norm2 > 0:
+                nxt[j] = s.astype(np.float64) / math.sqrt(float(norm2))
+        centroids = nxt
 
     final = ray.put(centroids)
 
@@ -574,10 +593,11 @@ def embedding_kmeans(emb_ds, k: int = 10, iters: int = 10,
                             .astype(np.float64))
         sims = m @ c.T
         a = sims.argmax(axis=1)
+        best = np.floor(sims[np.arange(len(a)), a] * 1e6) / 1e6
         return pd.DataFrame({
             id_col: t[id_col].to_numpy(zero_copy_only=False),
             "cluster": a.astype("int64"),
-            "sim": sims[np.arange(len(a)), a].astype("float64")})
+            "sim": best.astype("float64")})
 
     return (emb_ds.map_batches(assign_batch, batch_format="pyarrow",
                                batch_size=8192).sort(id_col),
