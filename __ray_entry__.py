@@ -958,12 +958,14 @@ def _q_campaign_attribution(sf_dir: str):
 
 
 def _q_fs_em_weights(sf_dir: str):
-    """EM-learned m/u/λ over the customer candidate pairs — iterative
-    (Winkler EM), no SQL oracle; pytest carries planted-parameter
-    recovery, log-likelihood monotonicity and determinism gates."""
+    """EM-learned m/u/λ over the customer candidate pairs (Winkler
+    EM) — DuckDB-oracled by unrolling the fixed 10-round budget as
+    CTE layers (``_fs_em_sql``); 1e-6-quantized parameters on both
+    sides.  pytest additionally carries planted-parameter recovery,
+    log-likelihood monotonicity and determinism gates."""
     from address_address_matching_ray.pipelines.er_em import fs_em_weights
 
-    return fs_em_weights(sf_dir)
+    return fs_em_weights(sf_dir, iters=10)
 
 
 def _q_blocking_metrics(sf_dir: str):
@@ -1655,6 +1657,131 @@ def _semantic_dedup_sql(k: int = 8, iters: int = 5,
                 ON a.cluster = b.cluster AND b.rnk < a.rnk
               GROUP BY a.vec_id) mx USING (vec_id)
             ORDER BY o.vec_id""")
+
+
+_FS_PAIRS_SQL = """
+        feats AS MATERIALIZED (
+          SELECT c_custkey, c_nationkey,
+                 substr(c_name, length(c_name)-2, 3) AS name3,
+                 CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS cents,
+                 c_mktsegment AS seg
+          FROM customer),
+        pairs AS MATERIALIZED (
+          SELECT CASE WHEN l.name3 = r.name3 THEN 1 ELSE 0 END AS g_name,
+                 CASE WHEN l.seg = r.seg THEN 1 ELSE 0 END AS g_seg,
+                 CASE WHEN abs(l.cents - r.cents) < 10000 THEN 2
+                      WHEN abs(l.cents - r.cents) < 100000 THEN 1
+                      ELSE 0 END AS g_bal
+          FROM feats l JOIN feats r ON l.c_nationkey = r.c_nationkey
+                                    AND l.c_custkey < r.c_custkey)"""
+
+
+def _fs_em_sql(iters: int = 10) -> str:
+    """Winkler EM replayed as unrolled CTE layers — exactly the
+    ``er_em.fs_em`` arithmetic per round (E-step posterior with the
+    pinned lam·m_name·m_seg·m_bal multiply chain, M-step clip /
+    renormalize in numpy's small-array sequential-sum order), with the
+    same deterministic init (m from the fixed agreement simplex, u
+    from exact level counts, λ₀ = 0.1) and ``tol = 0`` so both engines
+    run the full ``iters`` budget.  Output parameters floor-quantized
+    1e-6 on both sides: per-level Σw aggregation order differs
+    between engines at last-ulp size only."""
+    fields = [("name", 2), ("seg", 2), ("bal", 3)]
+    B_HI = repr(1.0 - 1e-6)
+
+    def m_init(levels: int) -> list[str]:
+        import numpy as _np
+        w0 = (_np.arange(levels, dtype="float64") + 1.0) ** 2
+        return [repr(v) for v in (w0 / w0.sum())]
+
+    def case_chain(p: str, kind: str) -> str:
+        parts = [f"{p}.lam" if kind == "m"
+                 else f"(1.0::DOUBLE - {p}.lam)"]
+        for f, levels in fields:
+            whens = " ".join(f"WHEN {lv} THEN {p}.{kind}_{f}_{lv}"
+                             for lv in range(levels - 1))
+            parts.append(f"(CASE g_{f} {whens} "
+                         f"ELSE {p}.{kind}_{f}_{levels - 1} END)")
+        return " * ".join(parts)
+
+    # exact level counts (n never changes across iterations)
+    cnt_cols = ["count(*)::DOUBLE AS n_all"]
+    for f, levels in fields:
+        for lv in range(levels):
+            cnt_cols.append(f"(count(*) FILTER (WHERE g_{f} = {lv}))"
+                            f"::DOUBLE AS n_{f}_{lv}")
+    ctes = [_FS_PAIRS_SQL,
+            f"""cnt AS MATERIALIZED (
+          SELECT {', '.join(cnt_cols)} FROM pairs)"""]
+
+    # init params: m = fixed simplex literals, u = clipped count freqs
+    p0 = ["0.1::DOUBLE AS lam"]
+    for f, levels in fields:
+        for lv, lit in enumerate(m_init(levels)):
+            p0.append(f"{lit}::DOUBLE AS m_{f}_{lv}")
+        terms = [f"greatest(n_{f}_{lv}, 1.0::DOUBLE)"
+                 for lv in range(levels)]
+        total = terms[0]
+        for t_ in terms[1:]:
+            total = f"({total} + {t_})"
+        for lv in range(levels):
+            p0.append(f"{terms[lv]} / {total} AS u_{f}_{lv}")
+    ctes.append(f"p0 AS MATERIALIZED (SELECT {', '.join(p0)} FROM cnt)")
+
+    for t in range(iters):
+        sw_cols = ["sum(w) AS sw_all"]
+        for f, levels in fields:
+            for lv in range(levels):
+                sw_cols.append(f"coalesce(sum(w) FILTER "
+                               f"(WHERE g_{f} = {lv}), 0.0) AS sw_{f}_{lv}")
+        ctes.append(f"""e{t} AS MATERIALIZED (
+          SELECT {', '.join(sw_cols)}
+          FROM (SELECT num / (num + den) AS w, g_name, g_seg, g_bal
+                FROM (SELECT g_name, g_seg, g_bal,
+                             {case_chain('P', 'm')} AS num,
+                             {case_chain('P', 'u')} AS den
+                      FROM pairs, p{t} P)))""")
+        r_cols = [f"least(greatest(e.sw_all / c.n_all, 1e-6::DOUBLE), "
+                  f"{B_HI}::DOUBLE) AS lam"]
+        for f, levels in fields:
+            for lv in range(levels):
+                r_cols.append(
+                    f"least(greatest(e.sw_{f}_{lv} / greatest(e.sw_all, "
+                    f"1e-300::DOUBLE), 1e-6::DOUBLE), {B_HI}::DOUBLE) "
+                    f"AS mm_{f}_{lv}")
+                r_cols.append(
+                    f"least(greatest((c.n_{f}_{lv} - e.sw_{f}_{lv}) / "
+                    f"greatest(c.n_all - e.sw_all, 1e-300::DOUBLE), "
+                    f"1e-6::DOUBLE), {B_HI}::DOUBLE) AS uu_{f}_{lv}")
+        ctes.append(f"r{t} AS MATERIALIZED (SELECT {', '.join(r_cols)} "
+                    f"FROM e{t} e, cnt c)")
+        n_cols = ["lam"]
+        for f, levels in fields:
+            for kind in ("m", "u"):
+                pre = "mm" if kind == "m" else "uu"
+                tot = f"{pre}_{f}_0"
+                for lv in range(1, levels):
+                    tot = f"({tot} + {pre}_{f}_{lv})"
+                for lv in range(levels):
+                    n_cols.append(f"{pre}_{f}_{lv} / {tot} "
+                                  f"AS {kind}_{f}_{lv}")
+        ctes.append(f"p{t + 1} AS MATERIALIZED "
+                    f"(SELECT {', '.join(n_cols)} FROM r{t})")
+
+    q = "floor({} * 1e6) / 1e6"
+    outs = []
+    for f, levels in fields:
+        for lv in range(levels):
+            outs.append(
+                f"SELECT 'g_{f}' AS field, {lv}::BIGINT AS level, "
+                f"{q.format(f'm_{f}_{lv}')} AS m, "
+                f"{q.format(f'u_{f}_{lv}')} AS u, "
+                f"{q.format(f'log2(m_{f}_{lv} / u_{f}_{lv})')} "
+                f"AS match_weight, {q.format('lam')} AS lam "
+                f"FROM p{iters}")
+    return (f"WITH {', '.join(ctes)}\n"
+            + "\nUNION ALL\n".join(outs)
+            + "\nORDER BY field, level")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2379,6 +2506,7 @@ def oracle_sql() -> dict[str, str]:
         # decimal arithmetic breaks bit-parity); multiply order pinned
         # left-to-right in (name, seg, bal) field order like the
         # numpy kernel, denominator reuses the numerator term
+        "fs_em_weights": _fs_em_sql(iters=10),
         "fs_posteriors": """
             WITH f AS (
               SELECT c_custkey, c_nationkey,

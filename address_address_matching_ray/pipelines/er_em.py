@@ -315,14 +315,25 @@ def fs_em(pairs_ds, fields: dict[str, int] | None = None,
     return {"lam": lam, "m": m, "u": u}, weights, loglik_trace
 
 
-def fs_em_weights(sf_dir: str, iters: int = 25) -> pd.DataFrame:
+def fs_em_weights(sf_dir: str, iters: int = 10) -> pd.DataFrame:
     """Query surface: EM-learned Fellegi–Sunter parameters over the
-    customer candidate pairs.  Iterative — no SQL oracle; pytest
-    carries planted-parameter recovery, likelihood-monotonicity and
-    determinism gates."""
+    customer candidate pairs.
+
+    DuckDB-oracled: the oracle unrolls the same ``iters`` EM rounds as
+    CTE layers (``__ray_entry__._fs_em_sql``).  ``tol=0`` pins the
+    full iteration budget so both sides run identical round counts,
+    and the published parameters are floor-quantized to 1e-6 — the
+    per-(field,level) Σw folds differ between the blockwise lexsorted
+    reduce here and SQL's aggregate order by last-ulp amounts, which
+    the quantization absorbs.
+    pytest additionally carries planted-parameter recovery,
+    likelihood-monotonicity and determinism gates."""
     _, weights, _ = fs_em(pair_comparisons(sf_dir), CUSTOMER_FIELDS,
-                          iters=iters)
-    return weights.sort_values(["field", "level"]).reset_index(drop=True)
+                          iters=iters, tol=0.0)
+    weights = weights.sort_values(["field", "level"]).reset_index(drop=True)
+    for c in ("m", "u", "match_weight", "lam"):
+        weights[c] = np.floor(weights[c].to_numpy() * 1e6) / 1e6
+    return weights
 
 
 # ──────────────────────────────────────────────────────────────
