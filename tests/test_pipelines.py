@@ -492,8 +492,10 @@ def test_ivf_topk_recall(ray_session):
 
 
 def test_dedup_family_golden_hashes(ray_session):
-    """Frozen content gate for the four near-dup queries that have no
-    SQL oracle (hash functions aren't DuckDB-reproducible): row count +
+    """Frozen content gate for the three near-dup queries that have no
+    SQL oracle (their siphash token hashes aren't DuckDB-reproducible;
+    embedding_dedup graduated to a bit-exact DuckDB oracle once its
+    hyperplanes became hash-derived): row count +
     a content hash of the sorted kept-id set at sf0.001 must match the
     values frozen in tests/golden/dedup_hashes.json.  Catches silent
     behavior drift the rows-only driver check cannot."""
@@ -507,8 +509,7 @@ def test_dedup_family_golden_hashes(ray_session):
                                "dedup_hashes.json")
     q = entry.queries()
     got = {}
-    for name in ("minhash_dedup", "simhash_dedup", "ngram_dedup",
-                 "embedding_dedup"):
+    for name in ("minhash_dedup", "simhash_dedup", "ngram_dedup"):
         df = q[name]("/root/testdata/sf0.001").to_pandas()
         id_col = "vec_id" if "vec_id" in df.columns else "doc_id"
         ids = ",".join(map(str, sorted(df[id_col].tolist())))
