@@ -1872,6 +1872,42 @@ def _ann_lsh_sql(k: int = 5, bits: int = 6, probes: int = 2,
             WHERE rank <= {k} ORDER BY query_idx, rank""")
 
 
+def _ann_ivf_sql(k: int = 5, n_centroids: int = 16, nprobe: int = 6,
+                 iters: int = 10, n_queries: int = 3) -> str:
+    """IVF top-k replayed in SQL: the codebook is the same unrolled
+    integer-micro-unit Lloyd fit as ``_kmeans_ctes`` (bit-identical to
+    ``similarity._spherical_kmeans``), a query probes its ``nprobe``
+    closest centroids ((dot DESC, centroid ASC) order — pinned on both
+    engines), candidates are the points whose nearest centroid (the
+    ``asn`` CTE, ties low) falls in the probe set, and the exact rerank
+    is (score DESC, id).  Rank-only output — score noise can't reach
+    the hash.  Valid while the corpus fits ``train_sample``."""
+    ctes = _kmeans_ctes(n_centroids, iters)
+    ctes.append(f"""q AS MATERIALIZED (
+          SELECT vec_id AS query_idx, mv FROM m
+          WHERE vec_id < {n_queries})""")
+    ctes.append(f"""qprobe AS MATERIALIZED (
+          SELECT query_idx, cluster FROM (
+            SELECT q.query_idx, c.cluster,
+                   row_number() OVER (
+                     PARTITION BY q.query_idx
+                     ORDER BY list_dot_product(q.mv, c.cv) DESC,
+                              c.cluster) AS rn
+            FROM q CROSS JOIN c{iters} c) WHERE rn <= {nprobe})""")
+    return (f"WITH {', '.join(ctes)}\n"
+            f"""SELECT query_idx, vec_id, rank FROM (
+              SELECT p.query_idx, a.vec_id,
+                     row_number() OVER (
+                       PARTITION BY p.query_idx
+                       ORDER BY list_dot_product(q.mv, pm.mv) DESC,
+                                a.vec_id) AS rank
+              FROM qprobe p
+              JOIN asn a ON a.cluster = p.cluster
+              JOIN q ON q.query_idx = p.query_idx
+              JOIN m pm ON pm.vec_id = a.vec_id)
+            WHERE rank <= {k} ORDER BY query_idx, rank""")
+
+
 def _embedding_dedup_sql(threshold: float, bits: int = 10,
                          seed: int = 42) -> str:
     """Hyperplane-blocked cosine dedup replayed in SQL: identical
@@ -1957,6 +1993,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE la + lb - i = 0 OR 100.0 * i / (la + lb - i) >= 70.0
             ORDER BY left_id, right_id""",
         "ann_lsh_topk": _ann_lsh_sql(k=5, bits=6, probes=2, seed=4),
+        "ann_ivf_topk": _ann_ivf_sql(k=5, n_centroids=16, nprobe=6),
         "embedding_dedup": _embedding_dedup_sql(threshold=0.3),
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_idx, embedding FROM embeddings WHERE vec_id < 3)

@@ -220,33 +220,49 @@ def lsh_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
         final_topk, batch_format="pandas")
 
 
-def _spherical_kmeans(m: np.ndarray, k: int, iters: int = 10,
-                      seed: int = 42) -> np.ndarray:
-    """Seeded Lloyd iterations on the unit sphere → (k, d) normalized
-    centroids.  Deterministic (fixed init, argmax ties break low)."""
-    rng = np.random.RandomState(seed)
+def _spherical_kmeans(m: np.ndarray, k: int, ids: np.ndarray,
+                      iters: int = 10) -> np.ndarray:
+    """Local Lloyd iterations on the unit sphere → (k, d) normalized
+    centroids, with the SAME oracle-replayable arithmetic as
+    ``embedding_kmeans``: init = the k rows with the smallest
+    ``splitmix64(id)`` (ties by id), centroid update = integer
+    micro-unit component sums (``floor(m*1e6)`` int64) normalized by
+    an exact-integer ``sqrt(Σ S²)`` — so the codebook is bit-identical
+    to the unrolled Lloyd CTEs in DuckDB.  Argmax ties break low;
+    empty clusters keep their previous centroid."""
+    from address_address_matching_ray.functions.sketch import hash_values
+
     k = min(k, len(m))
-    centroids = m[rng.choice(len(m), size=k, replace=False)]
+    pick = np.lexsort((ids, hash_values(np.asarray(ids))))[:k]
+    centroids = m[pick].astype(np.float64)
+    mq = np.floor(m * 1e6).astype(np.int64)
     for _ in range(iters):
         assign = (m @ centroids.T).argmax(axis=1)
         for c in range(k):
-            members = m[assign == c]
-            if len(members):
-                centroids[c] = members.sum(axis=0)
-        centroids = _normalize_rows(centroids)
+            mask = assign == c
+            if not mask.any():
+                continue
+            s = mq[mask].sum(axis=0)
+            norm2 = sum(int(v) * int(v) for v in s)
+            if norm2 > 0:
+                centroids[c] = (s.astype(np.float64)
+                                / math.sqrt(float(norm2)))
     return centroids
 
 
 def ivf_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_centroids: int = 64, nprobe: int = 8,
-             train_sample: int = 10_000, seed: int = 42):
+             train_sample: int = 10_000):
     """IVF approximate top-k — the coarse-quantizer scale path next to
     ``lsh_topk``: a spherical-kmeans codebook is trained ONCE on a
-    bounded driver-side sample, broadcast via ``ray.put``, and each
-    batch scores only vectors whose nearest centroid is among a query's
-    ``nprobe`` closest centroids.  Scored fraction ≈ nprobe/n_centroids;
-    recall is measured against brute force in tests.
+    bounded driver-side sample (``_spherical_kmeans`` — splitmix64
+    bottom-k init + integer micro-unit updates, so the codebook is
+    DuckDB-replayable when the corpus fits the sample), broadcast via
+    ``ray.put``, and each batch scores only vectors whose nearest
+    centroid is among a query's ``nprobe`` closest centroids.  Scored
+    fraction ≈ nprobe/n_centroids; recall is measured against brute
+    force in tests.
 
     Partitioning assumption: none — assignment is per-row; only (query,
     id, score) partials leave the workers, merged by the same tiny
@@ -254,17 +270,20 @@ def ivf_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
     """
     import ray
 
-    q = _normalize_rows(np.asarray(query_vecs, dtype=np.float32))
+    q = _normalize_rows(np.asarray(query_vecs, dtype=np.float64))
     sample = emb_ds.limit(train_sample).to_pandas()
-    m0 = _normalize_rows(_to_matrix(sample[vec_col]))
-    centroids = _spherical_kmeans(m0, n_centroids, seed=seed)
-    # per-query probe set → centroid → [query ids] reverse map
+    m0 = _normalize_rows(_to_matrix(sample[vec_col]).astype(np.float64))
+    centroids = _spherical_kmeans(m0, n_centroids,
+                                  sample[id_col].to_numpy())
+    # per-query probe set (top-nprobe centroids, deterministic
+    # (sim DESC, centroid ASC) order) → centroid → [query ids] map
     sims_qc = q @ centroids.T                       # (nq, C)
     nprobe = min(nprobe, centroids.shape[0])
-    probes = np.argpartition(-sims_qc, nprobe - 1, axis=1)[:, :nprobe]
     wanted: dict[int, list[int]] = {}
     for qi in range(len(q)):
-        for c in probes[qi]:
+        order = np.lexsort((np.arange(centroids.shape[0]),
+                            -sims_qc[qi]))[:nprobe]
+        for c in order:
             wanted.setdefault(int(c), []).append(qi)
     state = ray.put((q, centroids, wanted))
 
@@ -273,7 +292,8 @@ def ivf_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
             self.q, self.centroids, self.wanted = ray.get(state)
 
         def __call__(self, t) -> pd.DataFrame:
-            m = _normalize_rows(_matrix_from_arrow(t[vec_col]))
+            m = _normalize_rows(_matrix_from_arrow(t[vec_col])
+                                .astype(np.float64))
             assign = (m @ self.centroids.T).argmax(axis=1)
             ids = t[id_col].to_numpy(zero_copy_only=False)
             frames = []
