@@ -1790,13 +1790,19 @@ def _fs_em_sql(iters: int = 10) -> str:
             + "\nORDER BY field, level")
 
 
-def _hyperplane_ctes(bits: int, seed: int) -> list[str]:
+def _hyperplane_ctes(bits: int, seed: int,
+                     band_bits: int | None = None) -> list[str]:
     """CTEs reproducing ``similarity._HyperplaneHasher`` bit-exactly:
     plane component (i, j) is an Irwin–Hall(12) sum of splitmix64
     uniforms minus 6, accumulated in pinned t-ascending order (the
     Python loop does the same), and a point's bucket is the sign
     pattern of its normalized-double dot products with the planes.
-    Produces ``m`` (normalized vectors) and ``bk`` (vec_id → bucket)."""
+    Produces ``m`` (normalized vectors) and ``bk`` (vec_id → bucket).
+    With ``band_bits`` set, ``bits`` is the TOTAL plane count and bk
+    emits one row per (vec_id, band): band ``a`` packs planes
+    ``a·band_bits .. (a+1)·band_bits`` with key
+    ``(a << band_bits) | packed`` — the multi-band blocking of
+    ``embedding_dedup(bands=...)``."""
     base = seed * 1_000_003
     u_cols = []
     for t in range(12):
@@ -1806,6 +1812,24 @@ def _hyperplane_ctes(bits: int, seed: int) -> list[str]:
     chain = "u0"
     for t in range(1, 12):
         chain = f"({chain} + u{t})"
+    if band_bits is None:
+        bk_body = """SELECT vec_id,
+                 sum(CASE WHEN dot > 0 THEN (1::BIGINT << j)
+                          ELSE 0 END)::BIGINT AS bucket
+          FROM (SELECT m.vec_id, pl.j,
+                       list_dot_product(m.mv, pl.pv) AS dot
+                FROM m CROSS JOIN pl)
+          GROUP BY vec_id"""
+    else:
+        bk_body = f"""SELECT vec_id,
+                 (band * {1 << band_bits}
+                  + sum(CASE WHEN dot > 0
+                             THEN (1::BIGINT << (j % {band_bits}))
+                             ELSE 0 END))::BIGINT AS bucket
+          FROM (SELECT m.vec_id, pl.j, (pl.j // {band_bits}) AS band,
+                       list_dot_product(m.mv, pl.pv) AS dot
+                FROM m CROSS JOIN pl)
+          GROUP BY vec_id, band"""
     return [f"""dims AS (
           SELECT unnest(range(len(embedding)))::BIGINT AS i
           FROM (SELECT embedding FROM embeddings LIMIT 1)),
@@ -1826,13 +1850,7 @@ def _hyperplane_ctes(bits: int, seed: int) -> list[str]:
                  AS mv
           FROM pts),
         bk AS MATERIALIZED (
-          SELECT vec_id,
-                 sum(CASE WHEN dot > 0 THEN (1::BIGINT << j)
-                          ELSE 0 END)::BIGINT AS bucket
-          FROM (SELECT m.vec_id, pl.j,
-                       list_dot_product(m.mv, pl.pv) AS dot
-                FROM m CROSS JOIN pl)
-          GROUP BY vec_id)"""]
+          {bk_body})"""]
 
 
 def _ann_lsh_sql(k: int = 5, bits: int = 6, probes: int = 2,
@@ -1909,18 +1927,22 @@ def _ann_ivf_sql(k: int = 5, n_centroids: int = 16, nprobe: int = 6,
 
 
 def _embedding_dedup_sql(threshold: float, bits: int = 10,
-                         seed: int = 42) -> str:
+                         bands: int = 2, seed: int = 42) -> str:
     """Hyperplane-blocked cosine dedup replayed in SQL: identical
-    buckets (``_hyperplane_ctes``), in-bucket all-pairs verify on the
-    float32-roundtripped vectors (``(x::REAL)::DOUBLE`` — the Ray side
-    ships float32 through the shuffle and upcasts before the dot),
-    connected components via a recursive CTE, keep = not a non-minimum
-    member of any component.  Valid in the cap-free regime (every
-    bucket under ``_EmbCaps.max_block_size`` — true at test scales,
-    where 2^10 buckets hold ≤ a few of 500 vectors each)."""
-    ctes = _hyperplane_ctes(bits, seed)
+    banded buckets (``_hyperplane_ctes`` with ``band_bits`` — one
+    ``bits``-bit key per band, candidates co-bucket under ANY band;
+    DISTINCT collapses cross-band duplicate pairs, mirroring the Ray
+    side where duplicate accepted edges are CC-harmless), in-bucket
+    all-pairs verify on the float32-roundtripped vectors
+    (``(x::REAL)::DOUBLE`` — the Ray side ships float32 through the
+    shuffle and upcasts before the dot), connected components via a
+    recursive CTE, keep = not a non-minimum member of any component.
+    Valid in the cap-free regime (every bucket under
+    ``_EmbCaps.max_block_size`` — true at test scales, where per-band
+    2^10 buckets hold ≤ a few of 500 vectors each)."""
+    ctes = _hyperplane_ctes(bits * bands, seed, band_bits=bits)
     ctes.append(f"""ed0 AS MATERIALIZED (
-          SELECT a.vec_id AS l, b.vec_id AS r
+          SELECT DISTINCT a.vec_id AS l, b.vec_id AS r
           FROM (SELECT m.vec_id, m.mv, bk.bucket
                 FROM m JOIN bk USING (vec_id)) a
           JOIN (SELECT m.vec_id, m.mv, bk.bucket

@@ -343,10 +343,22 @@ class _EmbCaps:
 
 def embedding_dedup(emb_ds, threshold: float = 0.98,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    bits: int = 10, seed: int = 42, dim: int | None = None,
+                    bits: int = 10, bands: int = 2, seed: int = 42,
+                    dim: int | None = None,
                     broadcast_threshold: int = 5_000_000):
     """Cosine near-dup removal: hyperplane-bucket blocking → in-bucket
     exact cosine ≥ threshold → connected components → keep min-id reps.
+
+    ``bands`` independent ``bits``-bit sign-LSH keys per vector (band
+    ``a`` packs planes ``a·bits .. (a+1)·bits``): a near-dup pair is a
+    candidate if it co-buckets under ANY band.  Single-band sign-LSH
+    has an intrinsic recall ceiling ``(1 − θ/π)^bits`` (93.8% measured
+    at 1M for θ≈0.02-rad planted pairs, matching theory exactly);
+    banding squares the miss rate per extra band (≥99.6% at bands=2)
+    for ``bands×`` shuffle volume — the same recall/cost dial the
+    MinHash LSH family uses.  Cross-band duplicate candidate pairs are
+    re-verified (verify is a cheap einsum) and duplicate accepted
+    edges are harmless to connected components.
 
     Scale shape: vectors travel the bucket shuffle as Arrow
     ``fixed_size_list<float32>`` columns (contiguous buffers, zero-copy
@@ -361,7 +373,7 @@ def embedding_dedup(emb_ds, threshold: float = 0.98,
     if dim is None:
         first = emb_ds.take(1)[0][vec_col]
         dim = len(first)
-    hasher = _HyperplaneHasher(dim, bits, seed)
+    hasher = _HyperplaneHasher(dim, bits * bands, seed)
 
     def keyer(t: "pa.Table") -> "pa.Table":
         # float64 normalization (bucket signs match the SQL oracle to
@@ -372,13 +384,19 @@ def embedding_dedup(emb_ds, threshold: float = 0.98,
         flat = np.asarray(t[vec_col].combine_chunks().flatten(),
                           dtype=np.float64)
         m = _normalize_rows(flat.reshape(n, dim))
+        signs = (m @ hasher.planes) > 0          # (n, bits*bands)
+        pack = 1 << np.arange(bits)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype("uint64")
+        keys = np.empty((bands, n), dtype=np.int64)
+        for a in range(bands):                   # band key = (a<<bits)|packed
+            keys[a] = ((a << bits)
+                       + signs[:, a * bits:(a + 1) * bits] @ pack)
+        vec32 = m.ravel().astype(np.float32)
         return pa.table({
-            "vec_id": pa.array(
-                t[id_col].to_numpy(zero_copy_only=False).astype("uint64"),
-                pa.uint64()),
-            "bucket": pa.array(hasher.bucket(m), pa.int64()),
+            "vec_id": pa.array(np.tile(ids, bands), pa.uint64()),
+            "bucket": pa.array(keys.ravel(), pa.int64()),
             "vec": pa.FixedSizeListArray.from_arrays(
-                pa.array(m.ravel(), pa.float32()), dim)})
+                pa.array(np.tile(vec32, bands), pa.float32()), dim)})
 
     def pairs(t: "pa.Table") -> "pa.Table":
         n = t.num_rows

@@ -125,6 +125,39 @@ def test_embedding_dedup_removes_planted_dup(ray_session):
     assert len(out) == 20
 
 
+def test_embedding_dedup_banding_recall(ray_session):
+    """Multi-band sign-LSH squares the per-pair miss rate: bands=2 must
+    recover (weakly) more of the planted near-dups than bands=1, and at
+    these noise levels essentially all of them.  2k base vectors + 500
+    planted near-dups (θ ≈ 0.05 rad — single-band 10-bit co-bucket rate
+    ≈ (1−θ/π)^10 ≈ 0.85, so band 1 demonstrably misses some)."""
+    import ray.data as rd
+    from address_address_matching_ray.pipelines.similarity import embedding_dedup
+
+    rng = np.random.RandomState(5)
+    n = 2000
+    base = rng.standard_normal((n, 32)).astype(np.float32)
+    dups = (base[:500]
+            + 0.05 * rng.standard_normal((500, 32)).astype(np.float32))
+    vecs = np.vstack([base, dups])           # dup i ↔ source i
+    df = pd.DataFrame({
+        "vec_id": pd.array(range(n + 500), dtype="uint64"),
+        "embedding": [v.tolist() for v in vecs],
+        "label": np.zeros(n + 500, dtype="int32"),
+    })
+    kept = {}
+    for bands in (1, 2):
+        out = embedding_dedup(rd.from_pandas(df), threshold=0.98,
+                              bits=10, bands=bands).to_pandas()
+        kept[bands] = len(out)
+    # bands=2 candidates are a superset → kept set can only shrink
+    assert kept[2] <= kept[1]
+    # near-total recall of the 500 planted dups at bands=2
+    assert kept[2] <= n + 25
+    # and banding must actually rescue pairs band 0 alone splits
+    assert kept[2] < kept[1]
+
+
 def test_embedding_dedup_degenerate_bucket_capped(ray_session):
     """One hyperplane bucket holding EVERY vector (all near-identical ⇒
     same sign pattern) must not go O(n²): _EmbCaps windows the pairs,
