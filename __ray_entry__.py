@@ -990,6 +990,17 @@ def _q_graph_components(sf_dir: str):
         read(sf_dir, "events", columns=["user_id"]))
 
 
+def _q_pagerank(sf_dir: str):
+    from address_address_matching_ray.pipelines.graph import (
+        bipartite_pagerank,
+    )
+    from address_address_matching_ray.pipelines.relational import read
+
+    return bipartite_pagerank(
+        read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]),
+        read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"]))
+
+
 def _q_centroid_similarity(sf_dir: str):
     from address_address_matching_ray.pipelines.relational import read
     from address_address_matching_ray.pipelines.similarity import (
@@ -1106,6 +1117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_events": _q_latest_events,
         "graph_components": _q_graph_components,
         "component_sizes": _q_component_sizes,
+        "pagerank": _q_pagerank,
         "campaign_attribution": _q_campaign_attribution,
         "decontaminate": _q_decontaminate,
         "value_zscore": _q_value_zscore,
@@ -1926,6 +1938,42 @@ def _ann_ivf_sql(k: int = 5, n_centroids: int = 16, nprobe: int = 6,
             WHERE rank <= {k} ORDER BY query_idx, rank""")
 
 
+def _pagerank_sql(iters: int = 5, scale: int = 10 ** 12) -> str:
+    """``graph.bipartite_pagerank`` replayed exactly: the integer
+    micro-unit arithmetic (``scale // n`` init, ``r // d`` per-edge
+    contribution, ``tele + (85·Σ)//100`` update) makes every per-node
+    sum order-free, so each power-iteration round is one CTE layer and
+    DuckDB's ``//`` (trunc division ≡ floor for these all-positive
+    values) reproduces numpy int64 ``//`` bit-for-bit."""
+    ctes = [f"""e0 AS MATERIALIZED (
+          SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        e AS MATERIALIZED (
+          SELECT c AS src, s AS dst FROM e0
+          UNION ALL SELECT s AS src, c AS dst FROM e0),
+        deg AS MATERIALIZED (
+          SELECT src AS node, count(*)::BIGINT AS d FROM e GROUP BY src),
+        nn AS (SELECT count(*)::BIGINT AS n FROM deg),
+        r0 AS (SELECT node, ({scale} // nn.n)::BIGINT AS r
+               FROM deg, nn)"""]
+    for k in range(1, iters + 1):
+        ctes.append(f"""r{k} AS (
+          SELECT s.node,
+                 ((15 * ({scale} // nn.n)) // 100
+                  + (85 * s.s) // 100)::BIGINT AS r
+          FROM (SELECT e.dst AS node, sum(r.r // deg.d)::BIGINT AS s
+                FROM e JOIN r{k - 1} r ON r.node = e.src
+                       JOIN deg ON deg.node = e.src
+                GROUP BY e.dst) s, nn)""")
+    return (f"WITH {', '.join(ctes)}\n"
+            f"""SELECT CASE WHEN node % 2 = 0 THEN 'customer'
+                        ELSE 'supplier' END AS node_kind,
+                   CASE WHEN node % 2 = 0 THEN node // 2
+                        ELSE (node - 1) // 2 END AS key,
+                   r AS rank
+            FROM r{iters} ORDER BY node_kind, key""")
+
+
 def _embedding_dedup_sql(threshold: float, bits: int = 10,
                          bands: int = 2, seed: int = 42) -> str:
     """Hyperplane-blocked cosine dedup replayed in SQL: identical
@@ -2345,6 +2393,7 @@ def oracle_sql() -> dict[str, str]:
               FROM ed JOIN reach ON reach.node = ed.r)
             SELECT node AS user_id, min(label) AS cluster_id
             FROM reach GROUP BY node ORDER BY user_id""",
+        "pagerank": _pagerank_sql(),
         # benchmark n-gram decontamination: same window expression as
         # the duplicate_ngrams oracle; 64-bit rolling-hash equality on
         # the Ray side stands in for n-gram string equality (2^-64

@@ -167,3 +167,140 @@ def component_size_distribution(events_ds, modulus: int = 3,
                 columns={"sum(n_components)": "n_components"}),
                 batch_format="pandas")
             .sort("size"))
+
+
+def bipartite_pagerank(orders_ds, lineitem_ds, *, iters: int = 5,
+                       scale: int = 10 ** 12, buckets: int = 64):
+    """Integer-arithmetic PageRank over the customer–supplier bipartite
+    graph (edge iff the customer's orders contain a lineitem from the
+    supplier; edges run BOTH ways so rank propagates multi-hop).
+
+    The iterative distributed graph algorithm the engine was missing:
+    power iteration, damping 0.85, ``iters`` rounds.  ALL arithmetic
+    is int64 on a ``scale`` grid — ``r0 = scale // n_nodes``,
+    per-edge contribution ``r[src] // deg[src]``, update
+    ``tele + (85 · Σ contrib) // 100`` with
+    ``tele = (15 · (scale // n_nodes)) // 100`` — so per-node sums are
+    ORDER-FREE (integer addition commutes exactly; the float version
+    would drift ulps per shuffle arrival order) and a DuckDB oracle
+    replays every round bit-identically with unrolled CTEs (same
+    micro-unit trick as ``winsorized_stats`` / ``fs_em_weights``).
+    Dangling nodes cannot exist (symmetric edges ⇒ outdeg ≥ 1);
+    leaked floor remainders mean total mass decays slightly per round
+    — fine for ranking, documented here.
+
+    Shape at 100 TB: the edge build is one join + one bucketed
+    distinct over slim (cust, supp) int rows (text never moves); each
+    round is one ``equi_join`` of edges⋈ranks on src (threshold-gated
+    broadcast of the rank table below 5M nodes — the common case even
+    at crawl scale, since nodes ≪ edges — else a bucketed shuffle
+    join) plus one bucketed per-dst sum, i.e. O(iters) shuffles over
+    24-byte rows.  A production deployment would pin edge and rank
+    partitioning across rounds; Ray Data re-shuffles per round — the
+    documented cost of iterative algorithms on a stateless streaming
+    executor.
+
+    Node ids: customer c → 2c, supplier s → 2s+1.  Returns
+    (node_kind, key, rank) sorted by (node_kind, key).
+    """
+    from address_address_matching_ray.pipelines.join import equi_join
+
+    # ── edges: distinct (cust, supp) via ONE bucketed dedup ────────
+    li = lineitem_ds.map_batches(
+        lambda t: pa.table({"l_orderkey": t["l_orderkey"],
+                            "supp": t["l_suppkey"]}),
+        batch_format="pyarrow")
+    od = orders_ds.map_batches(
+        lambda t: pa.table({"o_orderkey": t["o_orderkey"],
+                            "cust": t["o_custkey"]}),
+        batch_format="pyarrow")
+    joined = equi_join(li, od, on="l_orderkey", right_on="o_orderkey",
+                       buckets=buckets)
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = df[["cust", "supp"]].drop_duplicates()
+        with np.errstate(over="ignore"):
+            b = ((p["cust"].to_numpy("uint64") * _MIX
+                  + p["supp"].to_numpy("uint64")) * _MIX
+                 % np.uint64(buckets))
+        p = p.assign(_b=b.astype("int64"))
+        return p
+
+    edges0 = (joined.map_batches(pair_partial, batch_format="pandas")
+              .groupby("_b").map_groups(
+                  lambda g: g.drop(columns=["_b"]).drop_duplicates(),
+                  batch_format="pandas"))
+
+    def both_ways(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["cust"].to_numpy("int64") * 2
+        s = df["supp"].to_numpy("int64") * 2 + 1
+        return pd.DataFrame({"src": np.concatenate([c, s]),
+                             "dst": np.concatenate([s, c])})
+
+    edges = edges0.map_batches(both_ways,
+                               batch_format="pandas").materialize()
+
+    # ── outdeg per src (bucketed combiner), attached to edges once ──
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df.groupby("src", sort=False).size()
+        out = pd.DataFrame({"node": vc.index.to_numpy("int64"),
+                            "d": vc.to_numpy("int64")})
+        with np.errstate(over="ignore"):
+            out["_b"] = ((out["node"].to_numpy("uint64") * _MIX)
+                         % np.uint64(buckets)).astype("int64")
+        return out
+
+    deg = (edges.map_batches(deg_partial, batch_format="pandas")
+           .groupby("_b").map_groups(
+               lambda g: g.drop(columns=["_b"]).groupby(
+                   "node", sort=False, as_index=False)["d"].sum(),
+               batch_format="pandas")).materialize()
+    n_nodes = deg.count()
+    r_init = scale // n_nodes
+    tele = (15 * r_init) // 100
+
+    ew = equi_join(edges, deg, on="src", right_on="node",
+                   buckets=buckets).map_batches(
+        lambda df: df.drop(columns=["node"]),
+        batch_format="pandas").materialize()
+
+    # ── power iteration: rank ⋈ edges on src → int sum per dst ──────
+    ranks = deg.map_batches(
+        lambda df: pd.DataFrame({
+            "node": df["node"].to_numpy("int64"),
+            "r": np.full(len(df), r_init, dtype="int64")}),
+        batch_format="pandas")
+    for _ in range(iters):
+        je = equi_join(ew, ranks, on="src", right_on="node",
+                       buckets=buckets)
+
+        def contrib(df: pd.DataFrame) -> pd.DataFrame:
+            c = df["r"].to_numpy("int64") // df["d"].to_numpy("int64")
+            out = (pd.DataFrame({"dst": df["dst"].to_numpy("int64"),
+                                 "s": c})
+                   .groupby("dst", sort=False, as_index=False)["s"].sum())
+            with np.errstate(over="ignore"):
+                out["_b"] = ((out["dst"].to_numpy("uint64") * _MIX)
+                             % np.uint64(buckets)).astype("int64")
+            return out
+
+        def new_rank(g: pd.DataFrame) -> pd.DataFrame:
+            agg = g.groupby("dst", sort=False, as_index=False)["s"].sum()
+            return pd.DataFrame({
+                "node": agg["dst"].to_numpy("int64"),
+                "r": tele + (85 * agg["s"].to_numpy("int64")) // 100})
+
+        ranks = (je.map_batches(contrib, batch_format="pandas")
+                 .groupby("_b").map_groups(
+                     lambda g: new_rank(g.drop(columns=["_b"])),
+                     batch_format="pandas")).materialize()
+
+    def as_out(df: pd.DataFrame) -> pd.DataFrame:
+        node = df["node"].to_numpy("int64")
+        return pd.DataFrame({
+            "node_kind": np.where(node % 2 == 0, "customer", "supplier"),
+            "key": np.where(node % 2 == 0, node // 2, (node - 1) // 2),
+            "rank": df["r"].to_numpy("int64")})
+
+    return (ranks.map_batches(as_out, batch_format="pandas")
+            .sort(["node_kind", "key"]))

@@ -134,3 +134,36 @@ def test_component_size_distribution(ray_session):
     # total members across the histogram == node count of components
     comp = e.queries()["graph_components"](SF).to_pandas()
     assert int((got["size"] * got["n_components"]).sum()) == len(comp)
+
+
+def test_bipartite_pagerank_structure(ray_session):
+    """Planted star: supplier 0 serves EVERY customer, suppliers 1-4
+    serve one each → supplier 0 must outrank every other supplier, and
+    integer mass is conserved up to the documented floor leak
+    (≤ 1 unit per node per round)."""
+    import ray.data as rd
+
+    from address_address_matching_ray.pipelines.graph import (
+        bipartite_pagerank,
+    )
+
+    n_cust = 40
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(2 * n_cust, dtype="int64"),
+        "o_custkey": np.tile(np.arange(n_cust, dtype="int64"), 2)})
+    # order 2i → supplier 0 (the hub); order 2i+1 → supplier 1 + i%4
+    li = pd.DataFrame({
+        "l_orderkey": np.arange(2 * n_cust, dtype="int64"),
+        "l_suppkey": np.where(np.arange(2 * n_cust) < n_cust, 0,
+                              1 + np.arange(2 * n_cust) % 4)})
+    out = bipartite_pagerank(rd.from_pandas(orders), rd.from_pandas(li),
+                             iters=5).to_pandas()
+    n_nodes = n_cust + 5
+    assert len(out) == n_nodes
+    supp = out[out.node_kind == "supplier"].set_index("key")["rank"]
+    assert supp.loc[0] > supp.drop(0).max() * 3
+    scale = 10 ** 12
+    mass = int(out["rank"].sum())
+    # floor leak bound: ≤ n_nodes units lost per round in contributions
+    # plus ≤ n_nodes per round in the damping divisions, 5 rounds
+    assert scale * 0.95 <= mass <= scale

@@ -13,7 +13,7 @@ import pandas as pd
 import pytest
 
 SF = "/root/testdata/sf0.001"
-TABLES = ("customer", "events", "embeddings")
+TABLES = ("customer", "events", "embeddings", "orders", "lineitem")
 
 CONVERTED = [
     "approx_distinct_users",   # splitmix64 KMV replayed in SQL
@@ -22,7 +22,8 @@ CONVERTED = [
     "fs_em_weights",           # 10 Winkler-EM rounds unrolled
     "ann_lsh_topk",            # hash-derived hyperplanes + probe masks
     "ann_ivf_topk",            # micro-unit codebook + probe/rerank
-    "embedding_dedup",         # hyperplane blocking + recursive-CTE CC
+    "embedding_dedup",         # banded hyperplane blocking + CC
+    "pagerank",                # integer power iteration, unrolled CTEs
 ]
 
 
