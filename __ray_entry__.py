@@ -719,6 +719,31 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(corpus, bench)
 
 
+def _q_bloom_decontaminate(sf_dir: str):
+    """Same bench/corpus split as ``decontaminate`` but through the
+    Bloom-bitmap path.  The oracle is the exact semantic n-gram
+    overlap: valid because at m_log2=24 and this benchmark size the
+    false-positive probability per corpus position is ~1e-9 —
+    verified FP-free on the fixed test data (the pytest gate
+    demonstrates the one-sided error at small m instead)."""
+    from address_address_matching_ray.pipelines.relational import read
+    from address_address_matching_ray.pipelines.text import (
+        bloom_decontaminate,
+    )
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def split(df, keep_bench: bool):
+        m = (df["doc_id"] % 97) == 0
+        return df[m if keep_bench else ~m].reset_index(drop=True)
+
+    bench = docs.map_batches(lambda d: split(d, True),
+                             batch_format="pandas")
+    corpus = docs.map_batches(lambda d: split(d, False),
+                              batch_format="pandas")
+    return bloom_decontaminate(corpus, bench)
+
+
 def _q_hash_split(sf_dir: str):
     from address_address_matching_ray.pipelines.relational import hash_split
 
@@ -1120,6 +1145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "campaign_attribution": _q_campaign_attribution,
         "decontaminate": _q_decontaminate,
+        "bloom_decontaminate": _q_bloom_decontaminate,
         "value_zscore": _q_value_zscore,
         "value_mad": _q_value_mad,
         "hash_sample": _q_hash_sample,
@@ -1938,6 +1964,26 @@ def _ann_ivf_sql(k: int = 5, n_centroids: int = 16, nprobe: int = 6,
             WHERE rank <= {k} ORDER BY query_idx, rank""")
 
 
+_DECON_SQL = """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            b AS (SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS ng
+                  FROM toks, UNNEST(generate_series(1, len(t)-8+1)) AS u(i)
+                  WHERE doc_id % 97 = 0 AND len(t) >= 8),
+            pos AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS ng
+                    FROM toks, UNNEST(generate_series(1, len(t)-8+1)) AS u(i)
+                    WHERE doc_id % 97 <> 0 AND len(t) >= 8),
+            hits AS (SELECT pos.doc_id, count(b.ng) AS n_hits
+                     FROM pos LEFT JOIN b USING (ng)
+                     GROUP BY pos.doc_id)
+            SELECT tk.doc_id,
+                   greatest(len(tk.t) - 7, 0)::BIGINT AS n_pos,
+                   COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+                   COALESCE(h.n_hits, 0) = 0 AS keep
+            FROM toks tk LEFT JOIN hits h USING (doc_id)
+            WHERE tk.doc_id % 97 <> 0 ORDER BY tk.doc_id"""
+
+
 def _pagerank_sql(iters: int = 5, scale: int = 10 ** 12) -> str:
     """``graph.bipartite_pagerank`` replayed exactly: the integer
     micro-unit arithmetic (``scale // n`` init, ``r // d`` per-edge
@@ -2398,24 +2444,12 @@ def oracle_sql() -> dict[str, str]:
         # the duplicate_ngrams oracle; 64-bit rolling-hash equality on
         # the Ray side stands in for n-gram string equality (2^-64
         # collision caveat, BASELINE.md)
-        "decontaminate": """
-            WITH toks AS (
-              SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-            b AS (SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS ng
-                  FROM toks, UNNEST(generate_series(1, len(t)-8+1)) AS u(i)
-                  WHERE doc_id % 97 = 0 AND len(t) >= 8),
-            pos AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS ng
-                    FROM toks, UNNEST(generate_series(1, len(t)-8+1)) AS u(i)
-                    WHERE doc_id % 97 <> 0 AND len(t) >= 8),
-            hits AS (SELECT pos.doc_id, count(b.ng) AS n_hits
-                     FROM pos LEFT JOIN b USING (ng)
-                     GROUP BY pos.doc_id)
-            SELECT tk.doc_id,
-                   greatest(len(tk.t) - 7, 0)::BIGINT AS n_pos,
-                   COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
-                   COALESCE(h.n_hits, 0) = 0 AS keep
-            FROM toks tk LEFT JOIN hits h USING (doc_id)
-            WHERE tk.doc_id % 97 <> 0 ORDER BY tk.doc_id""",
+        "decontaminate": _DECON_SQL,
+        # bloom_decontaminate shares the exact-overlap oracle: its
+        # one-sided Bloom error is FP-free at m_log2=24 on these
+        # benchmark sizes (~1e-9 per position; pytest demonstrates
+        # the error one-sidedness at adversarially small m instead)
+        "bloom_decontaminate": _DECON_SQL,
         "value_zscore": """
             SELECT event_id, event_type, value,
                    round((value - avg(value) OVER w)

@@ -653,6 +653,75 @@ def decontaminate(docs_ds, bench_ds, n: int = 8,
             .sort(id_col))
 
 
+def bloom_decontaminate(docs_ds, bench_ds, n: int = 8, m_log2: int = 24,
+                        k: int = 4, text_col: str = "text",
+                        id_col: str = "doc_id"):
+    """Bloom-filter benchmark decontamination — the third scale regime
+    next to ``decontaminate``'s exact broadcast (≤50M hashes ≈ 400 MB)
+    and membership-join paths: a ``2^m_log2``-bit bitmap holds ~1.3
+    bits per benchmark n-gram at FP ≈ (k·N/m)^k, so a 500M-n-gram
+    benchmark fits a 1 GiB broadcast (m_log2=33) where the exact array
+    would need 4 GB — the BFF/Dolma-style production trade (Soldaini
+    et al. 2024; Bloom 1970).
+
+    One-sided error BY CONSTRUCTION: every true benchmark n-gram tests
+    positive (no false negatives — a contaminated doc is never kept),
+    and a false positive can only flag extra positions, so
+    ``keep_bloom ⊆ keep_exact`` row-wise.  At the default m_log2=24
+    and sf-scale benchmarks (≈10⁵ n-grams) the FP probability per
+    position is ~1e-9 — the query surface is verified FP-free against
+    the exact oracle, and the pytest gate demonstrates the one-sided
+    error at adversarially small ``m_log2``.
+
+    The filter itself is the repo's existing Kirsch–Mitzenmacher
+    machinery (``sketch.bloom_*`` — double-hashed positions,
+    OR-mergeable, fpp/merge properties gated in ``test_join``) fed the
+    SAME rolling n-gram hash as ``decontaminate``, so the corpus pass
+    stays a shuffle-free vectorized ``map_batches``.  Build: per-batch
+    distinct positions (slim uint64 rows, ≤ k·n-grams) → one driver
+    ``np.unique`` bounded like the exact path's hash pull → word array
+    built once, ``ray.put`` broadcast, worker-cached.
+    """
+    import ray
+
+    from address_address_matching_ray.functions.sketch import (
+        _bloom_positions, bloom_contains,
+    )
+    from address_address_matching_ray.stages.bcast import get_cached
+
+    m_words = max(1, (1 << m_log2) >> 6)
+
+    def bench_positions(df: pd.DataFrame) -> pd.DataFrame:
+        ng, _, _ = _flat_ngram_hashes(df.reset_index(drop=True),
+                                      text_col, n)
+        if len(ng) == 0:
+            return pd.DataFrame({"p": np.empty(0, dtype="uint64")})
+        pos = np.concatenate(_bloom_positions(ng, m_words, k))
+        return pd.DataFrame({"p": np.unique(pos)})
+
+    uniq = np.unique(bench_ds.map_batches(
+        bench_positions, batch_format="pandas").to_pandas()["p"]
+        .to_numpy("uint64"))
+    words = np.zeros(m_words, dtype=np.uint64)
+    np.bitwise_or.at(words, (uniq >> np.uint64(6)).astype(np.int64),
+                     np.uint64(1) << (uniq & np.uint64(63)))
+    ref = ray.put(words)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        bm = get_cached(ref)
+        df = df.reset_index(drop=True)
+        ng, od, npos = _flat_ngram_hashes(df, text_col, n)
+        hits = np.zeros(len(df), dtype="int64")
+        if len(ng) > 0:
+            flagged = bloom_contains(bm, ng, k)
+            np.add.at(hits, od, flagged.astype("int64"))
+        return pd.DataFrame({
+            id_col: df[id_col], "n_pos": npos, "n_hits": hits,
+            "keep": hits == 0})
+
+    return docs_ds.map_batches(score, batch_format="pandas").sort(id_col)
+
+
 def pack_sequences(docs_ds, capacity: int = 2000, buckets: int = 16):
     """Deterministic next-fit sequence packing: assign documents to
     fixed-budget bins (``capacity`` chars — stand-in for an LLM

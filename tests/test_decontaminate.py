@@ -93,3 +93,28 @@ def test_decontaminate_planted(ray_session):
     assert not got.loc[1, "keep"] and got.loc[1, "n_hits"] == 1
     assert got.loc[2, "keep"] and got.loc[2, "n_hits"] == 0
     assert got.loc[3, "keep"] and got.loc[3, "n_pos"] == 0
+
+
+def test_bloom_decontaminate_one_sided_error(ray_session):
+    """Bloom property gates: (a) parity with the exact path at the
+    default m (FP-free regime); (b) at an adversarially small bitmap
+    (m=2^10 ≪ k·n-grams) false positives MUST occur and MUST be
+    one-sided — every exact hit is also a Bloom hit (no false
+    negatives: contaminated docs are never kept)."""
+    from address_address_matching_ray.pipelines.text import (
+        bloom_decontaminate, decontaminate,
+    )
+
+    corpus, bench = _split(SF)
+    exact = decontaminate(corpus, bench).to_pandas()
+    bloom = bloom_decontaminate(corpus, bench).to_pandas()
+    pd.testing.assert_frame_equal(exact, bloom)   # FP-free at m=2^24
+
+    tiny = bloom_decontaminate(corpus, bench, m_log2=10).to_pandas()
+    assert (tiny["n_hits"].to_numpy()
+            >= exact["n_hits"].to_numpy()).all()          # one-sided
+    assert (tiny["n_hits"].to_numpy()
+            > exact["n_hits"].to_numpy()).any()           # FPs occur
+    # no false negatives: everything the exact path flags stays flagged
+    assert not (tiny["keep"].to_numpy()
+                & ~exact["keep"].to_numpy()).any()
