@@ -170,7 +170,8 @@ def component_size_distribution(events_ds, modulus: int = 3,
 
 
 def bipartite_pagerank(orders_ds, lineitem_ds, *, iters: int = 5,
-                       scale: int = 10 ** 12, buckets: int = 64):
+                       scale: int = 10 ** 12, buckets: int = 64,
+                       broadcast_threshold: int = 5_000_000):
     """Integer-arithmetic PageRank over the customer–supplier bipartite
     graph (edge iff the customer's orders contain a lineitem from the
     supplier; edges run BOTH ways so rank propagates multi-hop).
@@ -226,7 +227,8 @@ def bipartite_pagerank(orders_ds, lineitem_ds, *, iters: int = 5,
         p = p.assign(_b=b.astype("int64"))
         return p
 
-    edges0 = (joined.map_batches(pair_partial, batch_format="pandas")
+    edges0 = (joined.map_batches(pair_partial, batch_format="pandas",
+                                  batch_size=None)
               .groupby("_b").map_groups(
                   lambda g: g.drop(columns=["_b"]).drop_duplicates(),
                   batch_format="pandas"))
@@ -250,7 +252,8 @@ def bipartite_pagerank(orders_ds, lineitem_ds, *, iters: int = 5,
                          % np.uint64(buckets)).astype("int64")
         return out
 
-    deg = (edges.map_batches(deg_partial, batch_format="pandas")
+    deg = (edges.map_batches(deg_partial, batch_format="pandas",
+                                 batch_size=None)
            .groupby("_b").map_groups(
                lambda g: g.drop(columns=["_b"]).groupby(
                    "node", sort=False, as_index=False)["d"].sum(),
@@ -259,38 +262,85 @@ def bipartite_pagerank(orders_ds, lineitem_ds, *, iters: int = 5,
     r_init = scale // n_nodes
     tele = (15 * r_init) // 100
 
-    ew = equi_join(edges, deg, on="src", right_on="node",
-                   buckets=buckets).map_batches(
-        lambda df: df.drop(columns=["node"]),
-        batch_format="pandas").materialize()
+    # ── power iteration ─────────────────────────────────────────────
+    # Per round, every edge needs q[src] = rank[src] // deg[src] — the
+    # SAME value for all of a node's out-edges, so below the broadcast
+    # gate we ship ONE sorted (node, q) array pair per round
+    # (searchsorted lookup + bincount partial per edge batch — int
+    # identical to the join path, 5-6× measured at 37M edges) and the
+    # only shuffle per round is the bucketed per-dst sum.  Above the
+    # gate (ranks too big for one broadcast) we fall back to the
+    # bucketed ``equi_join`` of edges⋈ranks.
+    import ray
 
-    # ── power iteration: rank ⋈ edges on src → int sum per dst ──────
+    def new_rank(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("dst", sort=False, as_index=False)["s"].sum()
+        return pd.DataFrame({
+            "node": agg["dst"].to_numpy("int64"),
+            "r": tele + (85 * agg["s"].to_numpy("int64")) // 100})
+
+    def bucket_partial(out: pd.DataFrame) -> pd.DataFrame:
+        with np.errstate(over="ignore"):
+            out["_b"] = ((out["dst"].to_numpy("uint64") * _MIX)
+                         % np.uint64(buckets)).astype("int64")
+        return out
+
+    use_bcast = n_nodes <= broadcast_threshold
     ranks = deg.map_batches(
         lambda df: pd.DataFrame({
             "node": df["node"].to_numpy("int64"),
             "r": np.full(len(df), r_init, dtype="int64")}),
         batch_format="pandas")
+    if use_bcast:
+        ddf = deg.to_pandas()        # bounded by the broadcast gate
+        node_sorted = np.sort(ddf["node"].to_numpy("int64"))
+        d_sorted = (ddf.set_index("node")["d"]
+                    .loc[node_sorted].to_numpy("int64"))
+        ew = edges
+    else:
+        ew = equi_join(edges, deg, on="src", right_on="node",
+                       buckets=buckets).map_batches(
+            lambda df: df.drop(columns=["node"]),
+            batch_format="pandas").materialize()
+
     for _ in range(iters):
-        je = equi_join(ew, ranks, on="src", right_on="node",
-                       buckets=buckets)
+        if use_bcast:
+            rdf = ranks.to_pandas()  # n_nodes rows — inside the gate
+            ridx = np.searchsorted(node_sorted,
+                                   rdf["node"].to_numpy("int64"))
+            q = np.empty(n_nodes, dtype=np.int64)
+            q[ridx] = rdf["r"].to_numpy("int64") // d_sorted[ridx]
+            ref = ray.put((node_sorted, q))
 
-        def contrib(df: pd.DataFrame) -> pd.DataFrame:
-            c = df["r"].to_numpy("int64") // df["d"].to_numpy("int64")
-            out = (pd.DataFrame({"dst": df["dst"].to_numpy("int64"),
-                                 "s": c})
-                   .groupby("dst", sort=False, as_index=False)["s"].sum())
-            with np.errstate(over="ignore"):
-                out["_b"] = ((out["dst"].to_numpy("uint64") * _MIX)
-                             % np.uint64(buckets)).astype("int64")
-            return out
+            def contrib(df: pd.DataFrame) -> pd.DataFrame:
+                from address_address_matching_ray.stages.bcast import (
+                    get_cached,
+                )
 
-        def new_rank(g: pd.DataFrame) -> pd.DataFrame:
-            agg = g.groupby("dst", sort=False, as_index=False)["s"].sum()
-            return pd.DataFrame({
-                "node": agg["dst"].to_numpy("int64"),
-                "r": tele + (85 * agg["s"].to_numpy("int64")) // 100})
+                nodes_s, qv = get_cached(ref)
+                src = df["src"].to_numpy("int64")
+                dst = df["dst"].to_numpy("int64")
+                c = qv[np.searchsorted(nodes_s, src)]
+                uniq, inv = np.unique(dst, return_inverse=True)
+                s = np.zeros(len(uniq), dtype=np.int64)
+                np.add.at(s, inv, c)     # exact int64, order-free
+                return bucket_partial(pd.DataFrame({"dst": uniq, "s": s}))
+        else:
+            ew_r = equi_join(ew, ranks, on="src", right_on="node",
+                             buckets=buckets)
 
-        ranks = (je.map_batches(contrib, batch_format="pandas")
+            def contrib(df: pd.DataFrame) -> pd.DataFrame:
+                c = (df["r"].to_numpy("int64")
+                     // df["d"].to_numpy("int64"))
+                return bucket_partial(
+                    pd.DataFrame({"dst": df["dst"].to_numpy("int64"),
+                                  "s": c})
+                    .groupby("dst", sort=False, as_index=False)["s"]
+                    .sum())
+
+        src_ds = ew if use_bcast else ew_r
+        ranks = (src_ds.map_batches(contrib, batch_format="pandas",
+                                    batch_size=None)
                  .groupby("_b").map_groups(
                      lambda g: new_rank(g.drop(columns=["_b"])),
                      batch_format="pandas")).materialize()

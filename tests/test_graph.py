@@ -167,3 +167,8 @@ def test_bipartite_pagerank_structure(ray_session):
     # floor leak bound: ≤ n_nodes units lost per round in contributions
     # plus ≤ n_nodes per round in the damping divisions, 5 rounds
     assert scale * 0.95 <= mass <= scale
+    # the broadcast-lookup and equi_join iteration paths are integer-
+    # identical (broadcast_threshold=0 forces the join fallback)
+    out2 = bipartite_pagerank(rd.from_pandas(orders), rd.from_pandas(li),
+                              iters=5, broadcast_threshold=0).to_pandas()
+    pd.testing.assert_frame_equal(out, out2)
