@@ -191,19 +191,23 @@ def bipartite_pagerank(orders_ds, lineitem_ds, *, iters: int = 5,
     — fine for ranking, documented here.
 
     Shape at 100 TB: the edge build is one join + one bucketed
-    distinct over slim (cust, supp) int rows (text never moves); each
-    round is one ``equi_join`` of edges⋈ranks on src (threshold-gated
-    broadcast of the rank table below 5M nodes — the common case even
-    at crawl scale, since nodes ≪ edges — else a bucketed shuffle
-    join) plus one bucketed per-dst sum, i.e. O(iters) shuffles over
-    24-byte rows.  A production deployment would pin edge and rank
-    partitioning across rounds; Ray Data re-shuffles per round — the
-    documented cost of iterative algorithms on a stateless streaming
-    executor.
+    distinct over slim (cust, supp) int rows (text never moves).
+    Below ``broadcast_threshold`` nodes — the common case even at
+    crawl scale, since nodes ≪ edges — each round is SHUFFLE-FREE:
+    one broadcast of the (node, rank//deg) arrays, a dense int64
+    scatter-add per Arrow edge block, and a ``Dataset.aggregate``
+    tree merge of ≤8·n_nodes-byte vectors.  Above the gate each round
+    falls back to one bucketed ``equi_join`` of edges⋈ranks plus one
+    bucketed per-dst sum, i.e. O(iters) shuffles over 24-byte rows.
+    A production deployment would pin edge and rank partitioning
+    across rounds; Ray Data re-shuffles per round — the documented
+    cost of iterative algorithms on a stateless streaming executor.
 
     Node ids: customer c → 2c, supplier s → 2s+1.  Returns
     (node_kind, key, rank) sorted by (node_kind, key).
     """
+    import ray
+
     from address_address_matching_ray.pipelines.join import equi_join
 
     # ── edges: distinct (cust, supp) via ONE bucketed dedup ────────
@@ -233,11 +237,14 @@ def bipartite_pagerank(orders_ds, lineitem_ds, *, iters: int = 5,
                   lambda g: g.drop(columns=["_b"]).drop_duplicates(),
                   batch_format="pandas"))
 
-    def both_ways(df: pd.DataFrame) -> pd.DataFrame:
+    def both_ways(df: pd.DataFrame) -> pa.Table:
         c = df["cust"].to_numpy("int64") * 2
         s = df["supp"].to_numpy("int64") * 2 + 1
-        return pd.DataFrame({"src": np.concatenate([c, s]),
-                             "dst": np.concatenate([s, c])})
+        # Arrow blocks: the power iteration re-scans edges every round,
+        # and Arrow reads out of plasma are zero-copy where pandas
+        # blocks would re-unpickle ~16 B/edge per round.
+        return pa.table({"src": np.concatenate([c, s]),
+                         "dst": np.concatenate([s, c])})
 
     edges = edges0.map_batches(both_ways,
                                batch_format="pandas").materialize()
@@ -264,68 +271,81 @@ def bipartite_pagerank(orders_ds, lineitem_ds, *, iters: int = 5,
 
     # ── power iteration ─────────────────────────────────────────────
     # Per round, every edge needs q[src] = rank[src] // deg[src] — the
-    # SAME value for all of a node's out-edges, so below the broadcast
-    # gate we ship ONE sorted (node, q) array pair per round
-    # (searchsorted lookup + bincount partial per edge batch — int
-    # identical to the join path, 5-6× measured at 37M edges) and the
-    # only shuffle per round is the bucketed per-dst sum.  Above the
-    # gate (ranks too big for one broadcast) we fall back to the
-    # bucketed ``equi_join`` of edges⋈ranks.
+    # SAME value for all of a node's out-edges.  Below the broadcast
+    # gate the rank state is a dense int64 vector aligned to the
+    # sorted node-id array: each round ships ONE (node_sorted, q) pair
+    # via ray.put, every edge block scatter-adds its contributions
+    # into a dense per-block accumulator (exact int64, order-free) and
+    # ``Dataset.aggregate`` tree-merges the ≤8·n_nodes-byte vectors —
+    # ZERO shuffles per round (the bucketed per-dst groupby this
+    # replaces cost 25–32 s/round of the 37M-edge measurement; the
+    # dense reduce is one vector add per edge block).  Symmetric edges
+    # guarantee every deg node appears as a dst, so the dense domain
+    # equals the join path's per-dst group set exactly.  Above the
+    # gate (rank vector too big for one broadcast) we fall back to the
+    # bucketed ``equi_join`` of edges⋈ranks + per-dst sum.
     import ray
-
-    def new_rank(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.groupby("dst", sort=False, as_index=False)["s"].sum()
-        return pd.DataFrame({
-            "node": agg["dst"].to_numpy("int64"),
-            "r": tele + (85 * agg["s"].to_numpy("int64")) // 100})
-
-    def bucket_partial(out: pd.DataFrame) -> pd.DataFrame:
-        with np.errstate(over="ignore"):
-            out["_b"] = ((out["dst"].to_numpy("uint64") * _MIX)
-                         % np.uint64(buckets)).astype("int64")
-        return out
+    import ray.data
 
     use_bcast = n_nodes <= broadcast_threshold
-    ranks = deg.map_batches(
-        lambda df: pd.DataFrame({
-            "node": df["node"].to_numpy("int64"),
-            "r": np.full(len(df), r_init, dtype="int64")}),
-        batch_format="pandas")
     if use_bcast:
+        from ray.data.aggregate import AggregateFn
+
         ddf = deg.to_pandas()        # bounded by the broadcast gate
         node_sorted = np.sort(ddf["node"].to_numpy("int64"))
         d_sorted = (ddf.set_index("node")["d"]
                     .loc[node_sorted].to_numpy("int64"))
-        ew = edges
-    else:
-        ew = equi_join(edges, deg, on="src", right_on="node",
-                       buckets=buckets).map_batches(
-            lambda df: df.drop(columns=["node"]),
-            batch_format="pandas").materialize()
+        r_vec = np.full(n_nodes, r_init, dtype=np.int64)
+        for _ in range(iters):
+            ref = ray.put((node_sorted, r_vec // d_sorted))
 
-    for _ in range(iters):
-        if use_bcast:
-            rdf = ranks.to_pandas()  # n_nodes rows — inside the gate
-            ridx = np.searchsorted(node_sorted,
-                                   rdf["node"].to_numpy("int64"))
-            q = np.empty(n_nodes, dtype=np.int64)
-            q[ridx] = rdf["r"].to_numpy("int64") // d_sorted[ridx]
-            ref = ray.put((node_sorted, q))
-
-            def contrib(df: pd.DataFrame) -> pd.DataFrame:
+            def acc_block(a, blk) -> np.ndarray:
                 from address_address_matching_ray.stages.bcast import (
                     get_cached,
                 )
 
                 nodes_s, qv = get_cached(ref)
-                src = df["src"].to_numpy("int64")
-                dst = df["dst"].to_numpy("int64")
+                src = blk.column("src").to_numpy()
+                dst = blk.column("dst").to_numpy()
                 c = qv[np.searchsorted(nodes_s, src)]
-                uniq, inv = np.unique(dst, return_inverse=True)
-                s = np.zeros(len(uniq), dtype=np.int64)
-                np.add.at(s, inv, c)     # exact int64, order-free
-                return bucket_partial(pd.DataFrame({"dst": uniq, "s": s}))
-        else:
+                if a is None:
+                    a = np.zeros(len(nodes_s), dtype=np.int64)
+                np.add.at(a, np.searchsorted(nodes_s, dst), c)
+                return a
+
+            agg = edges.aggregate(AggregateFn(
+                init=lambda k: None,     # None sentinel: never ship a
+                merge=lambda a, b: (     # zeros vector, just partials
+                    b if a is None else a if b is None else a + b),
+                name="s", accumulate_block=acc_block))
+            s = agg["s"]
+            r_vec = tele + (85 * s) // 100
+        rdf = pd.DataFrame({"node": node_sorted, "r": r_vec})
+        ranks = ray.data.from_pandas(rdf)
+    else:
+        ranks = deg.map_batches(
+            lambda df: pd.DataFrame({
+                "node": df["node"].to_numpy("int64"),
+                "r": np.full(len(df), r_init, dtype="int64")}),
+            batch_format="pandas")
+        ew = equi_join(edges, deg, on="src", right_on="node",
+                       buckets=buckets).map_batches(
+            lambda df: df.drop(columns=["node"]),
+            batch_format="pandas").materialize()
+
+        def new_rank(g: pd.DataFrame) -> pd.DataFrame:
+            agg = g.groupby("dst", sort=False, as_index=False)["s"].sum()
+            return pd.DataFrame({
+                "node": agg["dst"].to_numpy("int64"),
+                "r": tele + (85 * agg["s"].to_numpy("int64")) // 100})
+
+        def bucket_partial(out: pd.DataFrame) -> pd.DataFrame:
+            with np.errstate(over="ignore"):
+                out["_b"] = ((out["dst"].to_numpy("uint64") * _MIX)
+                             % np.uint64(buckets)).astype("int64")
+            return out
+
+        for _ in range(iters):
             ew_r = equi_join(ew, ranks, on="src", right_on="node",
                              buckets=buckets)
 
@@ -338,12 +358,11 @@ def bipartite_pagerank(orders_ds, lineitem_ds, *, iters: int = 5,
                     .groupby("dst", sort=False, as_index=False)["s"]
                     .sum())
 
-        src_ds = ew if use_bcast else ew_r
-        ranks = (src_ds.map_batches(contrib, batch_format="pandas",
-                                    batch_size=None)
-                 .groupby("_b").map_groups(
-                     lambda g: new_rank(g.drop(columns=["_b"])),
-                     batch_format="pandas")).materialize()
+            ranks = (ew_r.map_batches(contrib, batch_format="pandas",
+                                      batch_size=None)
+                     .groupby("_b").map_groups(
+                         lambda g: new_rank(g.drop(columns=["_b"])),
+                         batch_format="pandas")).materialize()
 
     def as_out(df: pd.DataFrame) -> pd.DataFrame:
         node = df["node"].to_numpy("int64")
