@@ -219,8 +219,37 @@ def bipartite_pagerank(orders_ds, lineitem_ds, *, iters: int = 5,
         lambda t: pa.table({"o_orderkey": t["o_orderkey"],
                             "cust": t["o_custkey"]}),
         batch_format="pyarrow")
-    joined = equi_join(li, od, on="l_orderkey", right_on="o_orderkey",
-                       buckets=buckets)
+    # orderkey→cust is a unique-key lookup over two int64 columns:
+    # below ~50M orders (≈800 MB of sorted arrays — the same gate as
+    # linkage's attach_singletons) broadcast it once and probe each
+    # lineitem batch with searchsorted — zero join shuffle (the
+    # generic bucketed equi_join here cost ~90 s of the 37M-edge
+    # measurement's 121 s edge build).  Above the gate, the bucketed
+    # shuffle join.
+    n_orders = od.count()
+    if n_orders <= 50_000_000:
+        odf = od.to_pandas()
+        okey = odf["o_orderkey"].to_numpy("int64")
+        order = np.argsort(okey, kind="stable")
+        ref_ord = ray.put((okey[order],
+                           odf["cust"].to_numpy("int64")[order]))
+
+        def probe(t: pa.Table) -> pa.Table:
+            from address_address_matching_ray.stages.bcast import (
+                get_cached,
+            )
+
+            ok, cust = get_cached(ref_ord)
+            lk = t.column("l_orderkey").to_numpy()
+            pos = np.minimum(np.searchsorted(ok, lk), len(ok) - 1)
+            hit = ok[pos] == lk        # inner-join semantics
+            return pa.table({"cust": cust[pos[hit]],
+                             "supp": t.column("supp").to_numpy()[hit]})
+
+        joined = li.map_batches(probe, batch_format="pyarrow")
+    else:
+        joined = equi_join(li, od, on="l_orderkey",
+                           right_on="o_orderkey", buckets=buckets)
 
     def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
         p = df[["cust", "supp"]].drop_duplicates()
