@@ -25,8 +25,16 @@ def _init_ray(num_cpus: int | None):
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=num_cpus,
-                 include_dashboard=False, logging_level="ERROR")
+        # RAY_ADDRESS decides the session: unset/"local" starts a
+        # local Ray (this sandbox); inside `ray job submit` the job
+        # env carries the cluster address and the CLI inherits it
+        # (num_cpus is a local-mode-only knob, so it is dropped there).
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        if addr == "local":
+            ray.init(address="local", num_cpus=num_cpus,
+                     include_dashboard=False, logging_level="ERROR")
+        else:
+            ray.init(address=addr, logging_level="ERROR")
     import ray.data as rd
 
     rd.DataContext.get_current().enable_progress_bars = False
