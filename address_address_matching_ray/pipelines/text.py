@@ -877,15 +877,25 @@ def corpus_line_dedup(ds, col: str = "text", id_col: str = "doc_id",
     def count_partials(df: pd.DataFrame) -> pd.DataFrame:
         vc = (df[col].astype(str).str.split("\n").explode()
               .value_counts())
-        return pd.DataFrame({"line": vc.index.astype(object),
-                             "n": vc.to_numpy().astype("int64")})
+        out = pd.DataFrame({"line": vc.index.astype(object),
+                            "n": vc.to_numpy().astype("int64")})
+        # bucket by line hash: a groupby("line") directly would make
+        # Ray sort-shuffle millions of distinct STRING keys (measured
+        # 8+ min at 6M lines); per-bucket pandas hash-groupby on the
+        # real string keeps exactness with 64 numeric groups instead
+        h = pd.util.hash_array(out["line"].to_numpy(object))
+        out["_b"] = (h % np.uint64(buckets)).astype("int64")
+        return out
 
     freq = (ds.map_batches(count_partials, batch_format="pandas")
-            .groupby("line").sum("n"))
+            .groupby("_b").map_groups(
+                lambda g: g.groupby("line", sort=False, as_index=False)
+                ["n"].sum(),
+                batch_format="pandas"))
     # tiny by nature (≤ corpus_lines / max_freq); materialized so the
     # count + collect below don't re-run the counting shuffle
     hot_ds = freq.map_batches(
-        lambda df: df[df["sum(n)"] > max_freq][["line"]],
+        lambda df: df[df["n"] > max_freq][["line"]],
         batch_format="pandas").materialize()
     n_hot = hot_ds.count()
 
