@@ -198,12 +198,20 @@ def tfidf_top_terms(docs_ds, n_docs: int | None = None,
         pairs = pd.DataFrame({"_r": ex.index.to_numpy(np.int64),
                               "term": ex.to_numpy(object)}).drop_duplicates()
         vc = pairs["term"].value_counts()
-        return pd.DataFrame({"term": vc.index.to_numpy(object),
-                             "df": vc.to_numpy().astype("int64")})
+        out = pd.DataFrame({"term": vc.index.to_numpy(object),
+                            "df": vc.to_numpy().astype("int64")})
+        # bucket by term hash — a direct groupby("term") would sort-
+        # shuffle the full distinct-term STRING key space (the
+        # corpus_line_dedup lesson; webtext vocabularies are ~100M)
+        h = pd.util.hash_array(out["term"].to_numpy(object))
+        out["_b"] = (h % np.uint64(64)).astype("int64")
+        return out
 
-    from ray.data.aggregate import Sum
     dfreq = (docs_ds.map_batches(df_batch, batch_format="pandas")
-             .groupby("term").aggregate(Sum("df", alias_name="df")))
+             .groupby("_b").map_groups(
+                 lambda g: g.groupby("term", sort=False, as_index=False)
+                 ["df"].sum(),
+                 batch_format="pandas"))
     n_vocab = dfreq.count()
     if n_vocab > max_vocab:
         raise NotImplementedError(
@@ -328,18 +336,24 @@ def doc_unigram_logprob(docs_ds, text_col: str = "text",
     """
     import ray
 
-    from ray.data.aggregate import Sum
-
     from address_address_matching_ray.stages.bcast import get_cached
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         vc = (df[text_col].fillna("").str.lower().str.split()
               .explode().dropna().value_counts())
-        return pd.DataFrame({"term": vc.index.to_numpy(object),
-                             "cnt": vc.to_numpy().astype("int64")})
+        out = pd.DataFrame({"term": vc.index.to_numpy(object),
+                            "cnt": vc.to_numpy().astype("int64")})
+        # term-hash buckets, not a distinct-STRING-key Ray groupby
+        # (the corpus_line_dedup lesson)
+        h = pd.util.hash_array(out["term"].to_numpy(object))
+        out["_b"] = (h % np.uint64(64)).astype("int64")
+        return out
 
     freq = (docs_ds.map_batches(partial, batch_format="pandas")
-            .groupby("term").aggregate(Sum("cnt", alias_name="cnt")))
+            .groupby("_b").map_groups(
+                lambda g: g.groupby("term", sort=False, as_index=False)
+                ["cnt"].sum(),
+                batch_format="pandas"))
     n_vocab = freq.count()
     if n_vocab > max_vocab:
         raise NotImplementedError(
@@ -484,24 +498,33 @@ def duplicate_ngram_coverage(docs_ds, n: int = 8, buckets: int = 64,
                 id_col: cnt.index.to_numpy(),
                 "n_pos": np.zeros(len(cnt), dtype="int64"),
                 "n_dup": cnt.to_numpy().astype("int64")}))
-        return pd.concat(out, ignore_index=True)
+        res = pd.concat(out, ignore_index=True)
+        # doc-hash bucket for the final reduce: each doc's positions
+        # scatter across ~all n-gram buckets, so the per-doc partial
+        # table is ~buckets× the corpus — a groupby(doc_id) over it
+        # was a sort shuffle with corpus-cardinality keys (~40% of
+        # the 255 s 1M-doc wall); 64 numeric groups instead
+        with np.errstate(over="ignore"):
+            res["_b2"] = ((pd.util.hash_array(res[id_col].to_numpy())
+                           * mix) % np.uint64(buckets)).astype("int64")
+        return res
 
-    from ray.data.aggregate import Sum
-
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        np_ = df["n_pos"].to_numpy("int64")
-        nd = df["n_dup"].to_numpy("int64")
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby(id_col, sort=False, as_index=False)
+               [["n_pos", "n_dup"]].sum())
+        np_ = agg["n_pos"].to_numpy("int64")
+        nd = agg["n_dup"].to_numpy("int64")
         return pd.DataFrame({
-            id_col: df[id_col], "n_pos": np_, "n_dup": nd,
+            id_col: agg[id_col], "n_pos": np_, "n_dup": nd,
             "dup_frac": nd.astype("float64") / np.maximum(np_, 1)})
 
     return (docs_ds.map_batches(emit, batch_format="pandas")
             .groupby("_b").map_groups(
                 lambda g: bucket_fn(g.drop(columns=["_b"])),
                 batch_format="pandas")
-            .groupby(id_col).aggregate(Sum("n_pos", alias_name="n_pos"),
-                                       Sum("n_dup", alias_name="n_dup"))
-            .map_batches(finish, batch_format="pandas")
+            .groupby("_b2").map_groups(
+                lambda g: finish(g.drop(columns=["_b2"])),
+                batch_format="pandas")
             .sort(id_col))
 
 
