@@ -562,19 +562,30 @@ def minhash_dup_clusters(docs_ds, cfg: PipelineConfig | None = None,
     rows), never the text.  Every labeled node is an edge endpoint, so
     all clusters here have ≥ 2 members by construction.
     """
-    from ray.data.aggregate import Count
-
     edges = minhash_edges(docs_ds, cfg, text_col, id_col,
                           jaccard_threshold, buckets)
     labels = connected_components(edges.materialize())
 
-    def finish(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "cluster_id": t["cluster_id"].cast(pa.int64()),
-            "n_members": t["count()"].cast(pa.int64())})
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # per-batch member-count combiner + cluster-hash bucket: a
+        # groupby(cluster_id) directly sort-shuffles corpus-cardinality
+        # keys on a dup-heavy crawl (the duplicate_ngram_coverage
+        # lesson applied to int keys)
+        vc = df.groupby("cluster_id", sort=False).size()
+        out = pd.DataFrame({"cluster_id": vc.index.to_numpy("int64"),
+                            "n_members": vc.to_numpy().astype("int64")})
+        with np.errstate(over="ignore"):
+            out["_b"] = ((out["cluster_id"].to_numpy("uint64")
+                          * np.uint64(0x9E3779B97F4A7C15))
+                         % np.uint64(buckets)).astype("int64")
+        return out
 
-    return (labels.groupby("cluster_id").aggregate(Count())
-            .map_batches(finish, batch_format="pyarrow")
+    return (labels.map_batches(partial, batch_format="pandas")
+            .groupby("_b").map_groups(
+                lambda g: g.drop(columns=["_b"])
+                .groupby("cluster_id", sort=False, as_index=False)
+                ["n_members"].sum(),
+                batch_format="pandas")
             .sort("cluster_id"))
 
 
