@@ -149,14 +149,24 @@ def component_size_distribution(events_ds, modulus: int = 3,
 
     def count_partial(df: pd.DataFrame) -> pd.DataFrame:
         vc = df.groupby("cluster_id").size()
-        return pd.DataFrame({"cluster_id": vc.index.to_numpy(),
-                             "n": vc.to_numpy().astype("int64")})
+        cid = vc.index.to_numpy(np.uint64)
+        return pd.DataFrame({"cluster_id": cid.astype("int64"),
+                             "n": vc.to_numpy().astype("int64"),
+                             "_b": (cid % np.uint64(buckets))
+                             .astype("int64")})
+
+    def bucket_sum(df: pd.DataFrame) -> pd.DataFrame:
+        # cluster-cardinality keys: a native groupby("cluster_id")
+        # would pay Ray's Python-per-distinct-key reduce — hash-bucket
+        # and sum vectorized per bucket instead
+        return (df.drop(columns=["_b"])
+                .groupby("cluster_id", as_index=False)["n"].sum())
 
     sizes = (comp.map_batches(count_partial, batch_format="pandas")
-             .groupby("cluster_id").sum("n"))
+             .groupby("_b").map_groups(bucket_sum, batch_format="pandas"))
 
     def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
-        vc = df["sum(n)"].value_counts()
+        vc = df["n"].value_counts()
         return pd.DataFrame({"size": vc.index.to_numpy().astype("int64"),
                              "n_components": vc.to_numpy()
                              .astype("int64")})

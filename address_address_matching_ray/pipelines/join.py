@@ -38,7 +38,9 @@ from address_address_matching_ray.pipelines.temporal import (
 
 def equi_join(left, right, *, on: str, right_on: str | None = None,
               how: str = "inner", buckets: int = 64,
-              broadcast_threshold: int = 5_000_000):
+              broadcast_threshold: int = 5_000_000,
+              left_fields: list[tuple[str, pa.DataType]] | None = None,
+              right_fields: list[tuple[str, pa.DataType]] | None = None):
     """Join two Datasets on an integer key.  Column names must be
     disjoint apart from the key; ``right_on`` defaults to ``on`` (when
     they differ, both key columns are kept, like pandas/DuckDB).
@@ -54,6 +56,13 @@ def equi_join(left, right, *, on: str, right_on: str | None = None,
     Build side = ``right``; callers put the smaller table there.  Below
     ``broadcast_threshold`` build rows it is broadcast once and probed
     per batch (no shuffle); above, one bucketed union shuffle.
+
+    ``left_fields`` / ``right_fields``: optional ``(name, arrow type)``
+    schemas.  ``ds.schema()`` on an aggregate-fed Dataset EXECUTES the
+    whole upstream plan just to see one row (Ray's limit-1 probe can't
+    push through an all-to-all), and the join then re-executes it —
+    callers that feed ``groupby().aggregate()`` outputs should pass the
+    schemas they already know so each side runs exactly once.
     """
     right_on = right_on or on
     if how not in ("inner", "left", "outer"):
@@ -62,14 +71,17 @@ def equi_join(left, right, *, on: str, right_on: str | None = None,
         if on != right_on:
             raise ValueError("full outer join requires a shared key column")
         return _shuffle_join(left, right, on=on, right_on=right_on,
-                             how=how, buckets=buckets)
+                             how=how, buckets=buckets,
+                             left_fields=left_fields,
+                             right_fields=right_fields)
 
     n_right = right.count()
     if n_right <= broadcast_threshold:
         return _broadcast_join(left, right, on=on, right_on=right_on,
                                how=how)
     return _shuffle_join(left, right, on=on, right_on=right_on,
-                         how=how, buckets=buckets)
+                         how=how, buckets=buckets,
+                         left_fields=left_fields, right_fields=right_fields)
 
 
 def _widen_right_ints(out: pd.DataFrame, right_cols: list[str],
@@ -119,9 +131,9 @@ def _broadcast_join(left, right, *, on: str, right_on: str, how: str):
 
 
 def _shuffle_join(left, right, *, on: str, right_on: str, how: str,
-                  buckets: int):
-    lf = _fields_of(left)
-    rf = _fields_of(right)
+                  buckets: int, left_fields=None, right_fields=None):
+    lf = left_fields or _fields_of(left)
+    rf = right_fields or _fields_of(right)
     union_fields = lf + [(n, t) for n, t in rf if n not in
                          {n0 for n0, _ in lf}]
     left_cols = [n for n, _ in lf]

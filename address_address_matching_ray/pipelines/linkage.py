@@ -292,9 +292,27 @@ def to_export(clusters_ds, edges_ds=None,
 
         return clusters_ds.map_batches(f, batch_format="pandas")
 
-    # large path: distinct multi-member cluster ids via a count groupby,
-    # marker join on doc_id (reps carry doc_id == cluster_id)
-    distinct = nonrep.groupby("cluster_id").count()
+    # large path: distinct multi-member cluster ids via a bucketed
+    # distinct (per-batch np.unique → 64 hash buckets → per-bucket
+    # np.unique; a native groupby("cluster_id") would pay Ray's
+    # Python-per-distinct-key reduce over ~cluster-cardinality keys),
+    # then a marker join on doc_id (reps carry doc_id == cluster_id)
+    _nb = 64
+
+    def part_unique(t: pa.Table) -> pa.Table:
+        u = np.unique(t["cluster_id"].to_numpy(zero_copy_only=False)
+                      .astype("uint64"))
+        return pa.table({
+            "cluster_id": pa.array(u, pa.uint64()),
+            "_b": pa.array((u % np.uint64(_nb)).astype("int64"))})
+
+    def bucket_unique(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"cluster_id": np.unique(
+            df["cluster_id"].to_numpy(dtype="uint64"))})
+
+    distinct = (nonrep.map_batches(part_unique, batch_format="pyarrow")
+                .groupby("_b").map_groups(bucket_unique,
+                                          batch_format="pandas"))
 
     def marker(t: pa.Table) -> pa.Table:
         return pa.table({

@@ -619,20 +619,41 @@ def daily_user_activity(sf_dir: str, buckets: int = 64):
                                          "value"])
 
     def prep(event_type: str, out_col: str):
+        # per-batch partial sums, then ONE 64-bucket shuffle with a
+        # vectorized pandas sum per bucket.  Ray's native
+        # groupby("uk").aggregate(Sum) pays a Python-level iteration
+        # per distinct key in its reduce — ~18M (user, day) keys at
+        # 20M events wedged the reduce stage for >8 min where the
+        # bucketed reduce finishes in seconds (the same
+        # high-cardinality-key rule as corpus_line_dedup /
+        # duplicate_ngram_coverage).
         def f(df: pd.DataFrame) -> pd.DataFrame:
             df = df[df["event_type"] == event_type]
             day = df["ts"].to_numpy().astype("datetime64[D]").astype("int64")
             uk = df["user_id"].to_numpy(np.int64) * np.int64(100_000) + day
             g = (pd.DataFrame({"uk": uk, out_col: df["value"].to_numpy()})
                  .groupby("uk", as_index=False).sum())
+            g["_b"] = g["uk"].to_numpy("int64") % buckets
             return g
 
-        return (ds.map_batches(f, batch_format="pandas")
-                .groupby("uk").aggregate(Sum(out_col, alias_name=out_col)))
+        def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            return (g.drop(columns=["_b"])
+                    .groupby("uk", as_index=False)[out_col].sum())
 
+        return (ds.map_batches(f, batch_format="pandas")
+                .groupby("_b").map_groups(reduce_bucket,
+                                          batch_format="pandas"))
+
+    # pass the (known) aggregate schemas: ds.schema() on an
+    # aggregate-fed side would execute the whole 20M-row plan once for
+    # the probe and again for the join (measured 2× at 20M events)
     j = equi_join(prep("click", "click_value"),
                   prep("purchase", "purchase_value"),
-                  on="uk", how="outer", buckets=buckets)
+                  on="uk", how="outer", buckets=buckets,
+                  left_fields=[("uk", pa.int64()),
+                               ("click_value", pa.float64())],
+                  right_fields=[("uk", pa.int64()),
+                                ("purchase_value", pa.float64())])
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         uk = df["uk"].to_numpy(np.int64)
