@@ -625,7 +625,6 @@ def decontaminate(docs_ds, bench_ds, n: int = 8,
     from address_address_matching_ray.pipelines.join import (
         membership_join,
     )
-    from ray.data.aggregate import Sum
 
     def corpus_rows(df: pd.DataFrame) -> pd.DataFrame:
         df = df.reset_index(drop=True)
@@ -669,9 +668,11 @@ def decontaminate(docs_ds, bench_ds, n: int = 8,
         df["keep"] = df["n_hits"] == 0
         return df
 
-    return (partials.groupby(id_col)
-            .aggregate(Sum("n_pos", alias_name="n_pos"),
-                       Sum("n_hits", alias_name="n_hits"))
+    # per-DOC keys scale with the corpus — bucketed reduce, never the
+    # native per-distinct-key aggregate (see join.bucketed_sum)
+    from address_address_matching_ray.pipelines.join import bucketed_sum
+
+    return (bucketed_sum(partials, id_col, ["n_pos", "n_hits"])
             .map_batches(finish, batch_format="pandas")
             .sort(id_col))
 
