@@ -285,27 +285,34 @@ def membership_join(probe, ids_ds, *, id_col: str,
     return tagged.groupby("_b").map_groups(finish, batch_format="pandas")
 
 
-def bucketed_sum(parts, key: str, value_cols: list[str], *,
-                 buckets: int = 64):
-    """Group-sum a partials Dataset by an integer key without Ray's
-    native ``groupby(key).aggregate(Sum)``.  The native reduce iterates
+def bucketed_sum(parts, key: str | list[str], value_cols: list[str], *,
+                 buckets: int = 64, bucket_on: str | None = None):
+    """Group-sum a partials Dataset by key without Ray's native
+    ``groupby(key).aggregate(Sum)``.  The native reduce iterates
     Python-level per DISTINCT key — at ~2×10⁷ (user, day) keys it
-    wedged for >38 min where this shape (hash the key into ``buckets``
-    groups, ONE vectorized pandas group-sum per bucket) finishes in
-    seconds.  Use whenever key cardinality scales with the data; the
-    native groupby stays fine for bounded enums.
+    wedged for >38 min, and even 43k (type, window) keys took >95 s
+    over 3M partial rows, where this shape (hash one integer key
+    column into ``buckets`` groups, ONE vectorized pandas group-sum
+    per bucket) finishes in seconds.  Use whenever key cardinality
+    scales with the data; the native groupby stays fine for bounded
+    enums (≤ a few hundred keys).
 
+    ``key`` may be a list for composite keys; ``bucket_on`` names the
+    integer-typed column to hash (default: the last key column).
     ``parts`` must already be per-batch combined (map_batches partial
     sums) so the shuffle ships one row per (key, batch) at most."""
+    keys = [key] if isinstance(key, str) else list(key)
+    bucket_on = bucket_on or keys[-1]
+
     def tag(df: pd.DataFrame) -> pd.DataFrame:
         df = df.reset_index(drop=True)
-        df["_b"] = (df[key].to_numpy().astype("uint64")
+        df["_b"] = (df[bucket_on].to_numpy().astype("uint64")
                     % np.uint64(buckets)).astype("int64")
         return df
 
     def red(g: pd.DataFrame) -> pd.DataFrame:
         return (g.drop(columns=["_b"])
-                .groupby(key, as_index=False, sort=False)[value_cols]
+                .groupby(keys, as_index=False, sort=False)[value_cols]
                 .sum())
 
     return (parts.map_batches(tag, batch_format="pandas")

@@ -80,17 +80,32 @@ def events_windowed(sf_dir: str):
     """Tumbling 1-hour windows per event_type: count + value sum/mean."""
     ds = read(sf_dir, "events", columns=["ts", "event_type", "value"])
 
-    def window(t: pa.Table) -> pa.Table:
-        # Arrow in/out: pandas blocks entering the hash-shuffle
-        # Aggregate logged a schema-hash warning per reduce fragment
+    def window(t: pa.Table) -> pd.DataFrame:
+        # per-batch combiner: ≤ (types × hours-in-span) partial rows
+        # per batch leave the keyer; the bucketed reduce below replaces
+        # the native Aggregate, whose per-distinct-key reduce took
+        # minutes at 20M events even at this bounded-ish (5 × 2.2k)
+        # key count (see join.bucketed_sum)
         import pyarrow.compute as pc
-        ws = pc.floor_temporal(t["ts"], unit="hour")
-        return t.append_column("window_start", ws).drop(["ts"])
+        us = pc.cast(t["ts"], pa.int64()).to_numpy()
+        hour_us = np.int64(3_600_000_000)
+        codes, uniq = pd.factorize(
+            t["event_type"].to_numpy(zero_copy_only=False), sort=True)
+        key = codes.astype("int64") * np.int64(2**44) + us // hour_us
+        u, inv = np.unique(key, return_inverse=True)
+        return pd.DataFrame({
+            "event_type": uniq[(u // np.int64(2**44)).astype(np.intp)],
+            "window_start": (u % np.int64(2**44)) * hour_us,
+            "n_events": np.bincount(inv).astype("int64"),
+            "sum_value": np.bincount(
+                inv, weights=t["value"].to_numpy(zero_copy_only=False))})
 
-    out = (ds.map_batches(window, batch_format="pyarrow")
-           .groupby(["event_type", "window_start"])
-           .aggregate(Count(alias_name="n_events"),
-                      Sum("value", alias_name="sum_value")))
+    from address_address_matching_ray.pipelines.join import bucketed_sum
+
+    out = bucketed_sum(
+        ds.map_batches(window, batch_format="pyarrow", batch_size=500_000),
+        ["event_type", "window_start"], ["n_events", "sum_value"],
+        bucket_on="window_start")
     out = round_cols(out, {"sum_value": 4})
 
     def cast_us(t: pa.Table) -> pa.Table:
