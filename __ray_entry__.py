@@ -72,6 +72,35 @@ def _q_linkage_clusters(sf_dir: str):
     return run_linkage(_pages(sf_dir), buckets=16, num_partitions=4).clusters
 
 
+def _q_incremental_linkage(sf_dir: str):
+    """Delta absorption: cluster the even-id half of the corpus, then
+    absorb the odd-id half incrementally (old×old pairs never
+    re-scored).  Returns the updated corpus-wide cluster table —
+    label-identical to a full re-run by the min-label contraction
+    argument (``pipelines/incremental.py``; parity asserted in
+    ``tests/test_incremental.py``)."""
+    import pyarrow as pa
+
+    from address_address_matching_ray.pipelines.incremental import (
+        incremental_linkage,
+    )
+    from address_address_matching_ray.pipelines.linkage import run_linkage
+
+    def parity(ds, want: int):
+        def f(t: pa.Table, want=want) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((ids % 2) == want))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    prior = run_linkage(parity(_pages(sf_dir), 0), buckets=16,
+                        num_partitions=4)
+    inc = incremental_linkage(parity(_pages(sf_dir), 1), prior.clusters,
+                              prior_extracted_ds=prior.extracted,
+                              buckets=16, num_partitions=4)
+    return inc.clusters
+
+
 def _q_linkage_edges(sf_dir: str):
     from address_address_matching_ray.pipelines.linkage import run_linkage
 
@@ -1071,6 +1100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship linkage (north rule) — rows-only (fuzzy + transitive)
         "linkage_clusters": _q_linkage_clusters,
         "linkage_edges": _q_linkage_edges,
+        "incremental_linkage": _q_incremental_linkage,
         "extract_parse": _q_extracted,
         "extract_addresses": _q_extract_addresses,
         # dedup family

@@ -229,7 +229,8 @@ def keys_stage(extracted, cfg: PipelineConfig | None = None,
     ``use_actor_pool=True`` switches to an autoscaling actor pool — the
     right shape when derivation state becomes heavy (e.g. a model)."""
     cfg = cfg or PipelineConfig()
-    schema_names = extracted.schema().names
+    schema = extracted.schema()
+    schema_names = schema.names if schema is not None else []
     if "reject_reason" in schema_names:
         # rows failing the require-filters never enter the shuffle (M18)
         extracted = extracted.filter(expr='reject_reason == ""')
