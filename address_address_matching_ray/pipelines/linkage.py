@@ -85,6 +85,7 @@ def run_linkage(pages_ds, cfg: PipelineConfig | None = None,
     def build_edges(extracted, pin_keys: bool = False):
         keys = keys_stage(extracted, cfg)
         keys_size = None
+        hot_input = None
         if pin_keys:
             # two consumers (hot-key count + pair generation): pinning
             # the key table saves one full re-derivation.  Only in the
@@ -93,10 +94,31 @@ def run_linkage(pages_ds, cfg: PipelineConfig | None = None,
             # shape for the object store.
             keys = keys.materialize()
             keys_size = keys.size_bytes()
-        elif approx_rows is not None:
-            # rough shuffle-partition sizing hint: ~8 key rows/doc at
-            # ~135 B/row (measured on the synthetic corpus)
-            keys_size = approx_rows * 8 * 135
+        else:
+            if approx_rows is not None:
+                # rough shuffle-partition sizing hint: ~8 key rows/doc
+                # at ~135 B/row (measured on the synthetic corpus)
+                keys_size = approx_rows * 8 * 135
+            # lazy keys re-derive per consumer; give pass 0 (hot-key
+            # counts) a doc-PRE-sampled derivation so it parses 1/8 of
+            # the corpus instead of deriving every key and discarding
+            # 7/8 post-hoc (identical sampled rows either way — a doc's
+            # key rows all carry its doc_id; 378 s → ~1/8 the derive at
+            # 16M pages)
+            from address_address_matching_ray.stages.pairs import (
+                HOT_SAMPLE_MOD,
+            )
+
+            def doc_sample(t, _m=HOT_SAMPLE_MOD):
+                import numpy as np
+                import pyarrow as pa
+
+                ids = t["doc_id"].to_numpy(zero_copy_only=False)
+                return t.filter(pa.array(ids % _m == 0))
+
+            hot_input = keys_stage(
+                extracted.map_batches(doc_sample, batch_format="pyarrow"),
+                cfg)
         # cross-key pair dedup skipped: duplicate scoring (memoized) is
         # ~35% cheaper than shuffling the pair table, and clustering is
         # idempotent to duplicate edges.  ``edges`` may therefore hold
@@ -104,7 +126,8 @@ def run_linkage(pages_ds, cfg: PipelineConfig | None = None,
         # pairs (exports, per-pair metrics) drop duplicates.
         pairs = pairs_stage(keys, cfg, buckets=buckets,
                             dedup_cross_key=False,
-                            keys_size_bytes=keys_size)
+                            keys_size_bytes=keys_size,
+                            hot_keys_input=hot_input)
         # streaming split-repartition between pair generation and
         # scoring: pair blocks come out of the bucketed groupby one per
         # group and up to ~4× skewed, and Ray fuses map_groups with the
