@@ -940,6 +940,18 @@ def _q_fs_posteriors(sf_dir: str):
     return fs_posteriors(sf_dir)
 
 
+def _q_match_threshold_sweep(sf_dir: str):
+    """Expected precision/recall/F1 per candidate match threshold,
+    from posterior mass above each cut (Splink's threshold-selection
+    analysis, label-free).  Integer micro-unit mass sums make the
+    reduce order-free; ratios have pinned op order — hash-oracled."""
+    from address_address_matching_ray.pipelines.er_em import (
+        match_threshold_sweep,
+    )
+
+    return match_threshold_sweep(sf_dir)
+
+
 def _q_tf_posteriors(sf_dir: str):
     """Term-frequency-adjusted FS posterior (Splink tf_adjustments):
     agreement-u on the segment field replaced by that value's relative
@@ -1188,6 +1200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "redact_text": _q_redact_text,
         "fs_posteriors": _q_fs_posteriors,
+        "match_threshold_sweep": _q_match_threshold_sweep,
         "tf_posteriors": _q_tf_posteriors,
         "blocking_metrics": _q_blocking_metrics,
         "golden_records": _q_golden_records,
@@ -1748,6 +1761,79 @@ _FS_PAIRS_SQL = """
                       ELSE 0 END AS g_bal
           FROM feats l JOIN feats r ON l.c_nationkey = r.c_nationkey
                                     AND l.c_custkey < r.c_custkey)"""
+
+
+def _threshold_sweep_sql() -> str:
+    """``er_em.match_threshold_sweep`` replayed in SQL: the
+    fs_posteriors CTE chain (bit-identical posterior doubles), then
+    integer micro-unit mass above each threshold literal (the same
+    decimal tokens as ``SWEEP_THRESHOLDS``), ratios with the kernel's
+    pinned operation order and zero-guards."""
+    from address_address_matching_ray.pipelines.er_em import (
+        SWEEP_THRESHOLDS,
+    )
+
+    thr_list = ", ".join(f"{t!r}::DOUBLE" for t in SWEEP_THRESHOLDS)
+    return f"""
+        WITH f AS (
+          SELECT c_custkey, c_nationkey,
+                 substr(c_name, length(c_name)-2, 3) AS name3,
+                 CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS cents,
+                 c_mktsegment AS seg
+          FROM customer),
+        p AS (
+          SELECT CASE WHEN l.name3 = r.name3 THEN 1 ELSE 0 END AS g_name,
+                 CASE WHEN l.seg = r.seg THEN 1 ELSE 0 END AS g_seg,
+                 CASE WHEN abs(l.cents - r.cents) < 10000 THEN 2
+                      WHEN abs(l.cents - r.cents) < 100000 THEN 1
+                      ELSE 0 END AS g_bal
+          FROM f l JOIN f r ON l.c_nationkey = r.c_nationkey
+                            AND l.c_custkey < r.c_custkey),
+        s AS (
+          SELECT
+            0.05::DOUBLE
+              * (CASE g_name WHEN 0 THEN 0.15::DOUBLE
+                             ELSE 0.85::DOUBLE END)
+              * (CASE g_seg WHEN 0 THEN 0.25::DOUBLE
+                            ELSE 0.75::DOUBLE END)
+              * (CASE g_bal WHEN 0 THEN 0.1::DOUBLE
+                            WHEN 1 THEN 0.3::DOUBLE
+                            ELSE 0.6::DOUBLE END) AS num,
+            (1.0::DOUBLE - 0.05::DOUBLE)
+              * (CASE g_name WHEN 0 THEN 0.99::DOUBLE
+                             ELSE 0.01::DOUBLE END)
+              * (CASE g_seg WHEN 0 THEN 0.8::DOUBLE
+                            ELSE 0.2::DOUBLE END)
+              * (CASE g_bal WHEN 0 THEN 0.7::DOUBLE
+                            WHEN 1 THEN 0.25::DOUBLE
+                            ELSE 0.05::DOUBLE END) AS den_u
+          FROM p),
+        post AS (
+          SELECT num / (num + den_u) AS post,
+                 CAST(floor((num / (num + den_u)) * 1000000.0::DOUBLE)
+                      AS BIGINT) AS mu
+          FROM s),
+        tot AS (SELECT sum(mu) AS mu_tot FROM post),
+        thr AS (SELECT unnest([{thr_list}]) AS threshold),
+        agg AS (
+          SELECT threshold,
+                 count(CASE WHEN post >= threshold THEN 1 END) AS n_above,
+                 coalesce(sum(CASE WHEN post >= threshold THEN mu END),
+                          0) AS mu_above
+          FROM thr CROSS JOIN post GROUP BY threshold),
+        fin AS (
+          SELECT threshold, n_above,
+                 CASE WHEN n_above = 0 THEN 0.0::DOUBLE
+                      ELSE (mu_above::DOUBLE / 1000000.0::DOUBLE)
+                           / n_above::DOUBLE END AS exp_precision,
+                 mu_above::DOUBLE / mu_tot::DOUBLE AS exp_recall
+          FROM agg, tot)
+        SELECT threshold, n_above, exp_precision, exp_recall,
+               CASE WHEN exp_precision + exp_recall = 0.0::DOUBLE
+                    THEN 0.0::DOUBLE
+                    ELSE ((2.0::DOUBLE * exp_precision) * exp_recall)
+                         / (exp_precision + exp_recall) END AS exp_f1
+        FROM fin ORDER BY threshold"""
 
 
 def _fs_em_sql(iters: int = 10) -> str:
@@ -2808,6 +2894,7 @@ def oracle_sql() -> dict[str, str]:
         # left-to-right in (name, seg, bal) field order like the
         # numpy kernel, denominator reuses the numerator term
         "fs_em_weights": _fs_em_sql(iters=10),
+        "match_threshold_sweep": _threshold_sweep_sql(),
         "fs_posteriors": """
             WITH f AS (
               SELECT c_custkey, c_nationkey,

@@ -806,3 +806,84 @@ def clerical_review_sample(sf_dir: str, lo: float = 0.01,
         return df[keep][["custkey_l", "custkey_r", "posterior"]]
 
     return fs_posteriors(sf_dir).map_batches(band, batch_format="pandas")
+
+
+#: Sweep grid for ``match_threshold_sweep`` — module-level literals so
+#: the DuckDB oracle embeds the exact same decimal tokens.
+SWEEP_THRESHOLDS = (0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.45,
+                    0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9,
+                    0.95)
+
+
+def match_threshold_sweep(sf_dir: str, lam: float = FIXED_LAMBDA,
+                          m=FIXED_M, u=FIXED_U):
+    """Threshold-selection sweep over the Fellegi–Sunter posterior
+    (Splink's "choose a match threshold from the score distribution"
+    analysis, done without labels): for every threshold t in
+    ``SWEEP_THRESHOLDS`` report, under the model,
+
+    * ``n_above``       — pairs with P(match|γ) ≥ t (the link volume),
+    * ``exp_precision`` — E[#true matches above t] / n_above,
+    * ``exp_recall``    — E[#true matches above t] / E[#true matches],
+    * ``exp_f1``        — their harmonic mean,
+
+    where E[#true matches in S] = Σ_{S} P(match|γ).
+
+    Distributed shape: ONE shuffle-free streaming pass over the pair
+    table; each batch emits exactly ``len(SWEEP_THRESHOLDS)`` partial
+    rows (count + posterior mass above each threshold, via one sort +
+    ``searchsorted`` per batch — not 19 elementwise scans), and the
+    driver folds the tiny partial table.  Posterior mass accumulates
+    in INTEGER micro-units (``floor(p·1e6)`` int64) so the reduce is
+    summation-order-free and bit-identical to the DuckDB oracle
+    (the ``embedding_kmeans``/``winsorized_stats`` recipe); the
+    posterior doubles themselves are bit-identical per row (proven by
+    the ``fs_posteriors`` oracle), so every ``p ≥ t`` decides the same
+    way in SQL.  Ratios are computed once, on the driver, with pinned
+    operation order."""
+    fields = list(CUSTOMER_FIELDS)
+    ma, ua = _as_param_arrays(m, u, fields)
+    thr = np.asarray(SWEEP_THRESHOLDS, dtype="float64")
+    nt = len(thr)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        num = np.full(t.num_rows, lam, dtype="float64")
+        den_u = np.full(t.num_rows, 1.0 - lam, dtype="float64")
+        for f in fields:
+            gv = t[f].to_numpy(zero_copy_only=False)
+            num = num * ma[f][gv]
+            den_u = den_u * ua[f][gv]
+        p = num / (num + den_u)
+        mu = np.floor(p * 1000000.0).astype("int64")
+        order = np.argsort(p, kind="stable")
+        ps = p[order]
+        suffix = np.concatenate([np.cumsum(mu[order][::-1])[::-1],
+                                 np.zeros(1, dtype="int64")])
+        idx = np.searchsorted(ps, thr, side="left")  # first ps >= t
+        return pd.DataFrame({
+            "thr_i": np.arange(nt, dtype="int64"),
+            "n_above": (len(ps) - idx).astype("int64"),
+            "mu_above": suffix[idx],
+            "mu_tot": np.full(nt, int(mu.sum()), dtype="int64")})
+
+    pdf = (pair_comparisons(sf_dir)
+           .map_batches(partial, batch_format="pyarrow")
+           .to_pandas())                      # ≤ 19 rows per input batch
+    g = (pdf.groupby("thr_i", sort=True)[["n_above", "mu_above", "mu_tot"]]
+         .sum())
+    n_above = g["n_above"].to_numpy(dtype="float64")
+    mu_above = g["mu_above"].to_numpy(dtype="float64")
+    mu_tot = g["mu_tot"].to_numpy(dtype="float64")
+    with np.errstate(invalid="ignore", divide="ignore"):
+        prec = (mu_above / 1000000.0) / n_above
+        rec = mu_above / mu_tot
+        f1 = ((2.0 * prec) * rec) / (prec + rec)
+    zero = g["n_above"].to_numpy() == 0
+    prec[zero] = 0.0
+    f1[zero | ((prec + rec) == 0.0)] = 0.0
+    return pd.DataFrame({
+        "threshold": thr,
+        "n_above": g["n_above"].to_numpy(dtype="int64"),
+        "exp_precision": prec,
+        "exp_recall": rec,
+        "exp_f1": f1})

@@ -303,3 +303,24 @@ def test_clerical_review_oracle(ray_session):
     assert len(got) > 0
     p = got["posterior"].to_numpy()
     assert ((p >= 0.01) & (p < 0.95)).all()
+
+
+def test_match_threshold_sweep_oracle(ray_session):
+    """Bit-exact vs the DuckDB replay (integer micro-unit mass sums,
+    pinned ratio op order), plus the analytic invariants: n_above and
+    exp_recall are non-increasing in the threshold, and precision is
+    the above-mass average so it sits in [0, 1]."""
+    got = _q("match_threshold_sweep").reset_index(drop=True)
+    exp = _oracle("match_threshold_sweep")
+    a = got.sort_values("threshold").reset_index(drop=True)
+    b = (exp[sorted(exp.columns)].sort_values("threshold")
+         .reset_index(drop=True))
+    for c in a.columns:
+        assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
+    n = a["n_above"].to_numpy()
+    assert (np.diff(n) <= 0).all()
+    assert (np.diff(a["exp_recall"].to_numpy()) <= 0).all()
+    pr = a["exp_precision"].to_numpy()
+    assert ((pr >= 0.0) & (pr <= 1.0)).all()
+    # the sf0.001 grid exercises the empty-tail zero-guard
+    assert n[-1] == 0 and a["exp_f1"].to_numpy()[-1] == 0.0
