@@ -191,6 +191,20 @@ def _q_jaccard_verify(sf_dir: str):
     return all_pairs_jaccard(docs).sort(["left_id", "right_id"])
 
 
+def _q_containment_pairs(sf_dir: str):
+    # asymmetric near-dup: token-set CONTAINMENT both directions
+    # (quoted/embedded text that resemblance misses), ≥80 either way;
+    # identical factorized kernel shape as jaccard_verify, oracled via
+    # the same list_intersect SQL chain with per-side denominators
+    from address_address_matching_ray.pipelines.dedup import (
+        containment_pairs,
+    )
+    from address_address_matching_ray.pipelines.relational import read
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    return containment_pairs(docs).sort(["left_id", "right_id"])
+
+
 def _q_embedding_dedup(sf_dir: str):
     from address_address_matching_ray.pipelines.similarity import embedding_dedup
 
@@ -1121,6 +1135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": _q_simhash_dedup,
         "ngram_dedup": _q_ngram_dedup,
         "jaccard_verify": _q_jaccard_verify,
+        "containment_pairs": _q_containment_pairs,
         "embedding_dedup": _q_embedding_dedup,
         # similarity search
         "ann_topk": _q_ann_topk,
@@ -2223,6 +2238,33 @@ def oracle_sql() -> dict[str, str]:
                    / 1e6 AS sim
             FROM p
             WHERE la + lb - i = 0 OR 100.0 * i / (la + lb - i) >= 70.0
+            ORDER BY left_id, right_id""",
+        # containment arithmetic as batch_set_containment (100.0*i/la
+        # left-assoc doubles, empty side -> 100, floor-1e-6 quantize)
+        "containment_pairs": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(
+                       string_split_regex(lower(text), '\s+'),
+                       x -> x <> '')) AS toks
+              FROM documents),
+            p AS (
+              SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                     len(list_intersect(a.toks, b.toks)) AS i,
+                     len(a.toks) AS la, len(b.toks) AS lb
+              FROM t a JOIN t b ON a.doc_id < b.doc_id),
+            c AS (
+              SELECT left_id, right_id,
+                     CASE WHEN la = 0 THEN 100.0
+                          ELSE 100.0 * i / la END AS c_lr,
+                     CASE WHEN lb = 0 THEN 100.0
+                          ELSE 100.0 * i / lb END AS c_rl
+              FROM p)
+            SELECT left_id, right_id,
+                   floor(c_lr * 1e6) / 1e6 AS cont_lr,
+                   floor(c_rl * 1e6) / 1e6 AS cont_rl
+            FROM c
+            WHERE greatest(c_lr, c_rl) >= 80.0
             ORDER BY left_id, right_id""",
         "ann_lsh_topk": _ann_lsh_sql(k=5, bits=6, probes=2, seed=4),
         "ann_ivf_topk": _ann_ivf_sql(k=5, n_centroids=16, nprobe=6),

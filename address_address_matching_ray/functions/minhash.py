@@ -276,3 +276,33 @@ def batch_set_jaccard(l_texts, r_texts, tokenize) -> np.ndarray:
     sizes = np.fromiter((len(s) for s in sets), np.int64, len(sets))
     union = sizes[lcode] + sizes[rcode] - inter
     return np.where(union > 0, 100.0 * inter / np.maximum(union, 1), 100.0)
+
+
+def batch_set_containment(l_texts, r_texts, tokenize
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """Token-set CONTAINMENT (in [0,100]) for aligned text pairs, both
+    directions: ``(100·|A∩B|/|A|, 100·|A∩B|/|B|)`` — the asymmetric
+    near-dup relation resemblance misses (a quoted paragraph inside a
+    long page scores low Jaccard but 100 containment).  Empty side →
+    100 (the empty set is contained in anything), matching the SQL
+    CASE in the oracle.  Same factorize-once shape (and the same
+    only-for-the-oracle-surface caveat) as ``batch_set_jaccard``."""
+    import pandas as pd
+
+    l_texts = np.asarray(l_texts, dtype=object)
+    r_texts = np.asarray(r_texts, dtype=object)
+    npairs = len(l_texts)
+    if npairs == 0:
+        z = np.array([], dtype=np.float64)
+        return z, z
+    codes, uniques = pd.factorize(np.concatenate([l_texts, r_texts]))
+    lcode, rcode = codes[:npairs], codes[npairs:]
+    sets = [set(tokenize(t)) for t in uniques]
+    inter = np.fromiter(
+        (len(sets[a] & sets[b]) for a, b in zip(lcode, rcode)),
+        np.int64, npairs)
+    sizes = np.fromiter((len(s) for s in sets), np.int64, len(sets))
+    la, lb = sizes[lcode], sizes[rcode]
+    c_lr = np.where(la > 0, 100.0 * inter / np.maximum(la, 1), 100.0)
+    c_rl = np.where(lb > 0, 100.0 * inter / np.maximum(lb, 1), 100.0)
+    return c_lr, c_rl

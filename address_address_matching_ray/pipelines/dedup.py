@@ -793,3 +793,68 @@ def novelty_filter(new_pages, snapshot_pages, buckets: int = 64):
         snapshot_pages.map_batches(snap_keys, batch_format="pandas"),
         id_col="_nk", keep=False, buckets=buckets)
     return out.drop_columns(["_nk"]).sort("curl")
+
+
+def containment_pairs(docs_ds, threshold: float = 80.0,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      max_corpus_rows: int = 100_000):
+    """All-pairs token-set CONTAINMENT ≥ ``threshold`` in either
+    direction — the asymmetric near-dup relation (quoted/embedded
+    text: a paragraph wholly inside a longer page scores low Jaccard
+    but 100 containment; Broder's resemblance-vs-containment
+    distinction).  Emits ``(left_id, right_id, cont_lr, cont_rl)``
+    with left < right; ``cont_lr`` = % of left's tokens inside right.
+
+    Like ``all_pairs_jaccard`` this is the O(n²)-by-design ORACLE
+    surface for the containment arithmetic, corpus-size-guarded.
+    At scale, containment candidates need size-aware generation
+    (prefix filtering / partitioned MinHash over the SMALLER side):
+    resemblance-LSH (minhash_dedup's keyer) co-buckets near-equal
+    pairs but systematically misses small-in-big containment — that
+    gap is the documented reason this surface exists separately
+    rather than as a verify mode of the LSH pipelines."""
+    import ray
+
+    from address_address_matching_ray.functions.minhash import (
+        batch_set_containment,
+    )
+
+    slim = _slim_texts(docs_ds, text_col, id_col)
+    n = slim.count()
+    if n > max_corpus_rows:
+        raise ValueError(
+            f"containment_pairs is the O(n²) verify-math oracle, not a "
+            f"dedup pipeline: corpus has {n} rows > {max_corpus_rows}")
+    corpus = slim.to_pandas().sort_values("doc_id")
+    ids = corpus["doc_id"].to_numpy(dtype="uint64")
+    txt = corpus["norm_text"].to_numpy(dtype=object)
+    ref = ray.put((ids, txt))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        k, tx = ray.get(ref)
+        l_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype("uint64")
+        l_txt = t["norm_text"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(k, l_ids, side="right")
+        lens = len(k) - pos
+        total = int(lens.sum())
+        empty = pa.table({"left_id": pa.array([], pa.int64()),
+                          "right_id": pa.array([], pa.int64()),
+                          "cont_lr": pa.array([], pa.float64()),
+                          "cont_rl": pa.array([], pa.float64())})
+        if total == 0:
+            return empty
+        r_idx = (np.repeat(pos - np.concatenate([[0], np.cumsum(lens)[:-1]]),
+                           lens) + np.arange(total))
+        l_rep = np.repeat(np.arange(len(l_ids)), lens)
+        c_lr, c_rl = batch_set_containment(l_txt[l_rep], tx[r_idx],
+                                           str.split)
+        keep = np.maximum(c_lr, c_rl) >= threshold
+        if not keep.any():
+            return empty
+        return pa.table({
+            "left_id": pa.array(l_ids[l_rep[keep]].astype("int64")),
+            "right_id": pa.array(k[r_idx[keep]].astype("int64")),
+            "cont_lr": pa.array(np.floor(c_lr[keep] * 1e6) / 1e6),
+            "cont_rl": pa.array(np.floor(c_rl[keep] * 1e6) / 1e6)})
+
+    return slim.map_batches(pairs, batch_format="pyarrow", batch_size=256)

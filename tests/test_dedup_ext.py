@@ -84,3 +84,39 @@ def test_quantize_embeddings_reconstruction(ray_session):
     ok[:, 5] = True  # constant dim reconstructs exactly via mn
     assert (err[:, np.arange(d) != 5] <= (span / 255.0)[None,
             np.arange(d) != 5] * 1.01).all()
+
+
+def test_containment_asymmetry_vs_jaccard(ray_session):
+    """A short doc wholly inside a long one: containment flags it
+    (cont_lr = 100) while Jaccard stays below the dedup threshold —
+    the relation the resemblance family systematically misses."""
+    import ray.data as rd
+
+    from address_address_matching_ray.pipelines.dedup import (
+        all_pairs_jaccard, containment_pairs,
+    )
+
+    short = "alpha beta gamma"
+    long = ("alpha beta gamma " +
+            " ".join(f"tok{i}" for i in range(60)))
+    other = " ".join(f"zzz{i}" for i in range(20))
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.array([1, 2, 3], dtype="uint64"),
+        "text": [short, long, other]}))
+
+    cont = containment_pairs(docs, threshold=80.0).to_pandas()
+    assert len(cont) == 1
+    row = cont.iloc[0]
+    assert (row.left_id, row.right_id) == (1, 2)
+    assert row.cont_lr == 100.0          # all of short is inside long
+    assert row.cont_rl < 10.0            # long is mostly NOT in short
+
+    jac = all_pairs_jaccard(docs, threshold=70.0).to_pandas()
+    assert len(jac) == 0                 # resemblance misses the pair
+
+    # empty-set convention: empty text is contained in anything
+    docs2 = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.array([1, 2], dtype="uint64"),
+        "text": ["", "alpha beta"]}))
+    c2 = containment_pairs(docs2, threshold=80.0).to_pandas()
+    assert len(c2) == 1 and c2.iloc[0].cont_lr == 100.0
