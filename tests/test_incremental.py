@@ -84,3 +84,45 @@ def test_incremental_empty_delta(ray_session):
                               buckets=8, num_partitions=4)
     assert _canon(inc.clusters).equals(_canon(prior.clusters))
     assert inc.new_clusters.count() == 0
+
+
+def test_incremental_chained_absorbs_match_full(ray_session):
+    """Steady-state ingest: absorbing two successive deltas (ids ≡ 1,
+    then ids ≡ 2 mod 3) must land on the same labels as one full run
+    over everything — the absorb is closed under composition, not just
+    a one-shot shortcut."""
+    import pyarrow as pa
+
+    n, seed = 1500, 31
+
+    def third(ds, want: int):
+        def f(t: pa.Table, want=want) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((ids % 3) == want))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    def mod_le(ds, hi: int):
+        def f(t: pa.Table, hi=hi) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((ids % 3) <= hi))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    pages = lambda: synth_pages(n, seed=seed)  # noqa: E731
+    prior = run_linkage(third(pages(), 0), buckets=8, num_partitions=4)
+
+    step1 = incremental_linkage(third(pages(), 1), prior.clusters,
+                                prior_extracted_ds=prior.extracted,
+                                buckets=8, num_partitions=4)
+    # second absorb: prior state is step1's output; keys re-derived
+    # from the union-so-far extracted stream (ids % 3 <= 1)
+    from address_address_matching_ray.stages.extract import extract_stage
+
+    step2 = incremental_linkage(
+        third(pages(), 2), step1.clusters.materialize(),
+        prior_extracted_ds=extract_stage(mod_le(pages(), 1)),
+        buckets=8, num_partitions=4)
+
+    full = run_linkage(pages(), buckets=8, num_partitions=4)
+    assert _canon(step2.clusters).equals(_canon(full.clusters))
