@@ -205,6 +205,23 @@ def _q_containment_pairs(sf_dir: str):
     return containment_pairs(docs).sort(["left_id", "right_id"])
 
 
+def _q_containment_join(sf_dir: str):
+    # the SCALE path for containment: EXACT prefix-filtered similarity
+    # join (PPJoin-style — no LSH miss rate), proven against the same
+    # SQL as the O(n²) surface; docs with empty token sets can emit no
+    # prefix, so the oracle adds la>0 AND lb>0 (none exist in testdata
+    # — row counts match containment_pairs exactly)
+    from address_address_matching_ray.pipelines.dedup import (
+        containment_join,
+    )
+    from address_address_matching_ray.pipelines.relational import read
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    return (containment_join(docs)
+            .drop_columns(["dropped_pairs"])
+            .sort(["left_id", "right_id"]))
+
+
 def _q_embedding_dedup(sf_dir: str):
     from address_address_matching_ray.pipelines.similarity import embedding_dedup
 
@@ -1136,6 +1153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_dedup": _q_ngram_dedup,
         "jaccard_verify": _q_jaccard_verify,
         "containment_pairs": _q_containment_pairs,
+        "containment_join": _q_containment_join,
         "embedding_dedup": _q_embedding_dedup,
         # similarity search
         "ann_topk": _q_ann_topk,
@@ -2259,6 +2277,32 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 100.0 * i / la END AS c_lr,
                      CASE WHEN lb = 0 THEN 100.0
                           ELSE 100.0 * i / lb END AS c_rl
+              FROM p)
+            SELECT left_id, right_id,
+                   floor(c_lr * 1e6) / 1e6 AS cont_lr,
+                   floor(c_rl * 1e6) / 1e6 AS cont_rl
+            FROM c
+            WHERE greatest(c_lr, c_rl) >= 80.0
+            ORDER BY left_id, right_id""",
+        # exact prefix-filtered scale path: same arithmetic, docs with
+        # empty token sets excluded (they emit no prefix tokens)
+        "containment_join": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(
+                       string_split_regex(lower(text), '\s+'),
+                       x -> x <> '')) AS toks
+              FROM documents),
+            p AS (
+              SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                     len(list_intersect(a.toks, b.toks)) AS i,
+                     len(a.toks) AS la, len(b.toks) AS lb
+              FROM t a JOIN t b ON a.doc_id < b.doc_id
+              WHERE len(a.toks) > 0 AND len(b.toks) > 0),
+            c AS (
+              SELECT left_id, right_id,
+                     100.0 * i / la AS c_lr,
+                     100.0 * i / lb AS c_rl
               FROM p)
             SELECT left_id, right_id,
                    floor(c_lr * 1e6) / 1e6 AS cont_lr,

@@ -120,3 +120,60 @@ def test_containment_asymmetry_vs_jaccard(ray_session):
         "text": ["", "alpha beta"]}))
     c2 = containment_pairs(docs2, threshold=80.0).to_pandas()
     assert len(c2) == 1 and c2.iloc[0].cont_lr == 100.0
+
+
+def test_containment_join_exact_vs_bruteforce(ray_session):
+    """Prefix filtering is LOSSLESS: on a corpus engineered with
+    boundary pairs (overlap exactly ⌈t·|A|⌉) and shared hot tokens,
+    the scale join equals the O(n²) surface row-for-row."""
+    import ray.data as rd
+
+    from address_address_matching_ray.pipelines.dedup import (
+        containment_join, containment_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(40)]
+    texts, ids = [], []
+    for i in range(120):
+        k = int(rng.integers(3, 12))
+        texts.append(" ".join(rng.choice(vocab, size=k, replace=False)))
+        ids.append(i)
+    # boundary pair: |A|=5, overlap=4 → c_lr = 80.0 exactly (a float
+    # ceil of 0.8·5 would compute α=5 and silently miss it)
+    texts += ["a b c d e", "a b c d zzz qqq rrr sss"]
+    ids += [500, 501]
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.array(ids, dtype="uint64"), "text": texts}))
+
+    j = (containment_join(docs, threshold=80.0).to_pandas()
+         .sort_values(["left_id", "right_id"]).reset_index(drop=True))
+    p = (containment_pairs(docs, threshold=80.0).to_pandas()
+         .sort_values(["left_id", "right_id"]).reset_index(drop=True))
+    assert j[["left_id", "right_id", "cont_lr", "cont_rl"]].equals(p)
+    assert (j["dropped_pairs"] == 0).all()
+    b = j[(j.left_id == 500) & (j.right_id == 501)]
+    assert len(b) == 1 and b.iloc[0].cont_lr == 80.0
+
+
+def test_containment_join_cap_accounting(ray_session):
+    """token_df_cap truncates hot index blocks but never silently:
+    emitted pairs carry the per-token drop count."""
+    import ray.data as rd
+
+    from address_address_matching_ray.pipelines.dedup import (
+        containment_join,
+    )
+
+    # every doc = the same 3 tokens → every token has df=40, and every
+    # pair is containment-100 both ways
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.array(range(40), dtype="uint64"),
+        "text": ["x y z"] * 40}))
+    full = containment_join(docs, threshold=80.0).to_pandas()
+    assert len(full) == 40 * 39 // 2 and (full.dropped_pairs == 0).all()
+
+    capped = containment_join(docs, threshold=80.0,
+                              token_df_cap=10).to_pandas()
+    assert 0 < len(capped) < len(full)
+    assert (capped.dropped_pairs == 30).all()   # df 40 − cap 10
