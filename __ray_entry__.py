@@ -205,6 +205,20 @@ def _q_containment_pairs(sf_dir: str):
     return containment_pairs(docs).sort(["left_id", "right_id"])
 
 
+def _q_jaccard_join(sf_dir: str):
+    # EXACT prefix-filtered Jaccard join -- the deterministic
+    # alternative to minhash LSH candidate generation (no miss rate);
+    # identical output to all_pairs_jaccard / the jaccard_verify SQL
+    # restricted to non-empty token sets
+    from address_address_matching_ray.pipelines.dedup import jaccard_join
+    from address_address_matching_ray.pipelines.relational import read
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    return (jaccard_join(docs)
+            .drop_columns(["dropped_pairs"])
+            .sort(["left_id", "right_id"]))
+
+
 def _q_containment_join(sf_dir: str):
     # the SCALE path for containment: EXACT prefix-filtered similarity
     # join (PPJoin-style — no LSH miss rate), proven against the same
@@ -1154,6 +1168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_verify": _q_jaccard_verify,
         "containment_pairs": _q_containment_pairs,
         "containment_join": _q_containment_join,
+        "jaccard_join": _q_jaccard_join,
         "embedding_dedup": _q_embedding_dedup,
         # similarity search
         "ann_topk": _q_ann_topk,
@@ -2256,6 +2271,26 @@ def oracle_sql() -> dict[str, str]:
                    / 1e6 AS sim
             FROM p
             WHERE la + lb - i = 0 OR 100.0 * i / (la + lb - i) >= 70.0
+            ORDER BY left_id, right_id""",
+        # exact prefix-filtered Jaccard join: same arithmetic as
+        # jaccard_verify, docs with empty token sets excluded
+        "jaccard_join": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(
+                       string_split_regex(lower(text), '\s+'),
+                       x -> x <> '')) AS toks
+              FROM documents),
+            p AS (
+              SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                     len(list_intersect(a.toks, b.toks)) AS i,
+                     len(a.toks) AS la, len(b.toks) AS lb
+              FROM t a JOIN t b ON a.doc_id < b.doc_id
+              WHERE len(a.toks) > 0 AND len(b.toks) > 0)
+            SELECT left_id, right_id,
+                   floor(100.0 * i / (la + lb - i) * 1e6) / 1e6 AS sim
+            FROM p
+            WHERE 100.0 * i / (la + lb - i) >= 70.0
             ORDER BY left_id, right_id""",
         # containment arithmetic as batch_set_containment (100.0*i/la
         # left-assoc doubles, empty side -> 100, floor-1e-6 quantize)

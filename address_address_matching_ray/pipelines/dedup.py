@@ -861,6 +861,27 @@ def containment_pairs(docs_ds, threshold: float = 80.0,
     return slim.map_batches(pairs, batch_format="pyarrow", batch_size=256)
 
 
+def jaccard_join(docs_ds, threshold: float = 70.0,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 buckets: int = 64, token_df_cap: int = 100_000):
+    """EXACT token-set Jaccard similarity join at scale — the
+    deterministic, no-miss-rate alternative to ``minhash_edges``'
+    LSH candidate generation, built on the same prefix-filter
+    machinery as ``containment_join``.
+
+    Exactness argument for Jaccard: ``J = i/(a+b−i) ≥ t`` with
+    ``b ≥ i`` forces ``i ≥ t·a`` (and symmetrically ``i ≥ t·b``), so
+    each doc's ``⌈t·sz⌉``-prefix catches every qualifying pair through
+    its own side; the size filter keeps only index docs with
+    ``t·a ≤ b`` AND ``a ≥ t·b`` (both necessary for J ≥ t).  Output
+    matches ``all_pairs_jaccard`` / the ``jaccard_verify`` oracle
+    (same kernel arithmetic, same floor-1e-6 ``sim``), restricted to
+    docs with non-empty token sets.  Same hot-token cap accounting
+    (``dropped_pairs``)."""
+    return _prefix_join(docs_ds, threshold, "jaccard", text_col, id_col,
+                        buckets, token_df_cap)
+
+
 def containment_join(docs_ds, threshold: float = 80.0,
                      text_col: str = "text", id_col: str = "doc_id",
                      buckets: int = 64, token_df_cap: int = 100_000):
@@ -901,8 +922,15 @@ def containment_join(docs_ds, threshold: float = 80.0,
     stopword-only doc.  Exactness therefore holds whenever
     ``dropped_pairs`` comes back all-zero, which the sf-scale oracle
     parity asserts."""
+    return _prefix_join(docs_ds, threshold, "containment", text_col,
+                        id_col, buckets, token_df_cap)
+
+
+def _prefix_join(docs_ds, threshold: float, mode: str, text_col: str,
+                 id_col: str, buckets: int, token_df_cap: int):
     import ray  # noqa: F401
 
+    assert mode in ("containment", "jaccard")
     t_micro = int(round(threshold * 10_000))      # percent → 1e-6 units
 
     slim = _slim_texts(docs_ds, text_col, id_col).materialize()
@@ -1056,6 +1084,9 @@ def containment_join(docs_ds, threshold: float = 80.0,
         dx = m["doc_id_x"].to_numpy("uint64")
         ok = (da != dx) & (szx * np.int64(1_000_000)
                            >= np.int64(t_micro) * sza)
+        if mode == "jaccard":
+            # J ≥ t also needs a ≥ t·b — prune the other direction too
+            ok &= sza * np.int64(1_000_000) >= np.int64(t_micro) * szx
         da, dx = da[ok], dx[ok]
         out = pd.DataFrame({
             "left_id": np.minimum(da, dx),
@@ -1073,7 +1104,7 @@ def containment_join(docs_ds, threshold: float = 80.0,
     # ── attach texts (gated broadcast / shuffle) + exact verify ──
     pt = _pair_texts(cand, slim, buckets=buckets)
 
-    def verify(t: pa.Table) -> pa.Table:
+    def verify_containment(t: pa.Table) -> pa.Table:
         lt = t["l_text"].to_numpy(zero_copy_only=False)
         rt = t["r_text"].to_numpy(zero_copy_only=False)
         n = len(lt)
@@ -1095,4 +1126,26 @@ def containment_join(docs_ds, threshold: float = 80.0,
             "cont_rl": pa.array(np.floor(c_rl[keep] * 1e6) / 1e6),
             "dropped_pairs": t["dropped_pairs"].filter(pa.array(keep))})
 
+    def verify_jaccard(t: pa.Table) -> pa.Table:
+        lt = t["l_text"].to_numpy(zero_copy_only=False)
+        rt = t["r_text"].to_numpy(zero_copy_only=False)
+        n = len(lt)
+        sim = np.empty(n, dtype="float64")
+        for j in range(n):           # same transient-loop shape; same
+            sa = set(lt[j].split())  # arithmetic as batch_set_jaccard
+            sb = set(rt[j].split())
+            i = len(sa & sb)
+            u = len(sa) + len(sb) - i
+            sim[j] = 100.0 * i / u if u else 100.0
+        keep = sim >= threshold
+        return pa.table({
+            "left_id": pc.cast(t["left_id"], pa.int64()).filter(
+                pa.array(keep)),
+            "right_id": pc.cast(t["right_id"], pa.int64()).filter(
+                pa.array(keep)),
+            "sim": pa.array(np.floor(sim[keep] * 1e6) / 1e6),
+            "dropped_pairs": t["dropped_pairs"].filter(pa.array(keep))})
+
+    verify = (verify_containment if mode == "containment"
+              else verify_jaccard)
     return pt.map_batches(verify, batch_format="pyarrow")

@@ -177,3 +177,33 @@ def test_containment_join_cap_accounting(ray_session):
                               token_df_cap=10).to_pandas()
     assert 0 < len(capped) < len(full)
     assert (capped.dropped_pairs == 30).all()   # df 40 − cap 10
+
+
+def test_jaccard_join_exact_vs_bruteforce(ray_session):
+    """Prefix-filtered Jaccard join is LOSSLESS: equals the O(n²)
+    all_pairs_jaccard surface row-for-row on a corpus dense with
+    near-threshold pairs (J straddling 70 both ways)."""
+    import ray.data as rd
+
+    from address_address_matching_ray.pipelines.dedup import (
+        all_pairs_jaccard, jaccard_join,
+    )
+
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(4, 14)),
+                                 replace=False)) for _ in range(150)]
+    # exact-boundary pair: |A∩B|=7, |A∪B|=10 → J = 70.0 exactly
+    texts += ["a b c d e f g h i", "a b c d e f g j"]
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.array(range(len(texts)), dtype="uint64"),
+        "text": texts}))
+
+    j = (jaccard_join(docs, threshold=70.0).to_pandas()
+         .sort_values(["left_id", "right_id"]).reset_index(drop=True))
+    p = (all_pairs_jaccard(docs, threshold=70.0).to_pandas()
+         .sort_values(["left_id", "right_id"]).reset_index(drop=True))
+    assert j[["left_id", "right_id", "sim"]].equals(p)
+    assert (j["dropped_pairs"] == 0).all()
+    b = j[(j.left_id == 150) & (j.right_id == 151)]
+    assert len(b) == 1 and b.iloc[0].sim == 70.0
