@@ -1054,6 +1054,19 @@ def _q_clerical_review(sf_dir: str):
     return clerical_review_sample(sf_dir)
 
 
+def _q_one_to_one_matches(sf_dir: str):
+    """Mutual-nearest-neighbor 1:1 assignment over the FS-scored
+    candidate pairs (reciprocal best hit with a posterior floor) —
+    the deterministic assignment step after pair scoring.  Posterior
+    doubles are bit-identical per row (fs_posteriors parity), so the
+    argmax sorts and the floor decide the same way in SQL."""
+    from address_address_matching_ray.pipelines.er_em import (
+        one_to_one_matches,
+    )
+
+    return one_to_one_matches(sf_dir)
+
+
 def _q_component_sizes(sf_dir: str):
     from address_address_matching_ray.pipelines.graph import (
         component_size_distribution,
@@ -1257,6 +1270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "name_levenshtein": _q_name_levenshtein,
         "name_damerau": _q_name_damerau,
         "clerical_review": _q_clerical_review,
+        "one_to_one_matches": _q_one_to_one_matches,
         "c4_line_filter": _q_c4_line_filter,
         "line_dedup": _q_line_dedup,
         # iterative / fuzzy — planted-blob pytest gates, no SQL oracle
@@ -3055,6 +3069,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT custkey_l, custkey_r, g_name, g_seg, g_bal,
                    num / (num + den_u) AS posterior
             FROM s ORDER BY custkey_l, custkey_r""",
+        # mutual-nearest-neighbor 1:1 assignment: same posterior CTE
+        # chain (bit-identical doubles), argmax per entity over BOTH
+        # pair directions with (posterior DESC, nbr ASC) tie-break,
+        # kept iff reciprocal
+        "one_to_one_matches": """
+            WITH f AS (
+              SELECT c_custkey, c_nationkey,
+                     substr(c_name, length(c_name)-2, 3) AS name3,
+                     CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS cents,
+                     c_mktsegment AS seg
+              FROM customer),
+            p AS (
+              SELECT l.c_custkey AS custkey_l, r.c_custkey AS custkey_r,
+                     CASE WHEN l.name3 = r.name3 THEN 1 ELSE 0 END
+                       AS g_name,
+                     CASE WHEN l.seg = r.seg THEN 1 ELSE 0 END AS g_seg,
+                     CASE WHEN abs(l.cents - r.cents) < 10000 THEN 2
+                          WHEN abs(l.cents - r.cents) < 100000 THEN 1
+                          ELSE 0 END AS g_bal
+              FROM f l JOIN f r ON l.c_nationkey = r.c_nationkey
+                                AND l.c_custkey < r.c_custkey),
+            s AS (
+              SELECT custkey_l, custkey_r,
+                0.05::DOUBLE
+                  * (CASE g_name WHEN 0 THEN 0.15::DOUBLE
+                                 ELSE 0.85::DOUBLE END)
+                  * (CASE g_seg WHEN 0 THEN 0.25::DOUBLE
+                                ELSE 0.75::DOUBLE END)
+                  * (CASE g_bal WHEN 0 THEN 0.1::DOUBLE
+                                WHEN 1 THEN 0.3::DOUBLE
+                                ELSE 0.6::DOUBLE END) AS num,
+                (1.0::DOUBLE - 0.05::DOUBLE)
+                  * (CASE g_name WHEN 0 THEN 0.99::DOUBLE
+                                 ELSE 0.01::DOUBLE END)
+                  * (CASE g_seg WHEN 0 THEN 0.8::DOUBLE
+                                ELSE 0.2::DOUBLE END)
+                  * (CASE g_bal WHEN 0 THEN 0.7::DOUBLE
+                                WHEN 1 THEN 0.25::DOUBLE
+                                ELSE 0.05::DOUBLE END) AS den_u
+              FROM p),
+            sc AS (SELECT custkey_l, custkey_r,
+                          num/(num+den_u) AS posterior
+                   FROM s WHERE num/(num+den_u) >= 0.2),
+            dir AS (SELECT custkey_l AS k, custkey_r AS nbr, posterior
+                    FROM sc
+                    UNION ALL
+                    SELECT custkey_r, custkey_l, posterior FROM sc),
+            best AS (SELECT k, nbr, posterior FROM (
+              SELECT *, row_number() OVER (PARTITION BY k
+                ORDER BY posterior DESC, nbr) AS rn FROM dir)
+              WHERE rn = 1)
+            SELECT a.k AS custkey_l, a.nbr AS custkey_r, a.posterior
+            FROM best a JOIN best b ON a.nbr = b.k AND b.nbr = a.k
+            WHERE a.k < a.nbr ORDER BY custkey_l, custkey_r""",
         # TF-adjusted posterior: agreement-u on segment is the value's
         # relative frequency (BIGINT/BIGINT -> DOUBLE division, same
         # op on the numpy side); rest of the chain as fs_posteriors

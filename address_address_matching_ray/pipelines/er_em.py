@@ -887,3 +887,106 @@ def match_threshold_sweep(sf_dir: str, lam: float = FIXED_LAMBDA,
         "exp_precision": prec,
         "exp_recall": rec,
         "exp_f1": f1})
+
+
+def one_to_one_matches(sf_dir: str, floor: float = 0.2,
+                       lam: float = FIXED_LAMBDA, m=FIXED_M, u=FIXED_U,
+                       buckets: int = 64):
+    """1:1 assignment over the scored candidate pairs — mutual-
+    nearest-neighbor matching (reciprocal best hit): keep pair (a, b)
+    iff b is a's highest-posterior neighbor AND a is b's, with a
+    posterior floor.  This is the deterministic, shuffle-friendly
+    stand-in for the assignment step an ER system runs after scoring
+    (the reference keeps only the best candidate per query,
+    ultimate_address_matcher.py:868-1050, but never enforces that a
+    candidate is not claimed by two queries; MNN adds exactly that
+    one-to-one guarantee and is the standard greedy-matching
+    first round).
+
+    Ties (the posterior is DISCRETE — one value per gamma vector) are
+    broken by the smaller neighbor key, so the argmax is associative
+    and the per-batch combiner below is exact.
+
+    Distributed shape (pair table never re-materialized, 2 bucketed
+    shuffles over slim int rows):
+      1. score + floor-filter each batch (stateless, shuffle-free);
+         explode each kept pair into its 2 directed (k, nbr) rows;
+      2. per-batch argmax per k (lexsort + first-occurrence mask — a
+         vectorized combiner, exact by associativity) → ≤1 row per
+         (k, batch); ONE hash(k)-bucket shuffle finishes the argmax;
+      3. bucket the per-entity best rows by the UNORDERED pair hash,
+         so (a→b) and (b→a) land in one bucket; a pair with both
+         directions present is mutual.  Output (custkey_l < custkey_r,
+         posterior), sorted.
+
+    The posterior doubles are bit-identical to the DuckDB oracle per
+    row (``fs_posteriors`` parity), so `p >= floor` and the
+    posterior-DESC sorts decide identically in SQL."""
+    fields = list(CUSTOMER_FIELDS)
+    ma, ua = _as_param_arrays(m, u, fields)
+    mix = np.uint64(0x9E3779B97F4A7C15)
+
+    def directed_best(t: pa.Table) -> pd.DataFrame:
+        num = np.full(t.num_rows, lam, dtype="float64")
+        den_u = np.full(t.num_rows, 1.0 - lam, dtype="float64")
+        for f in fields:
+            gv = t[f].to_numpy(zero_copy_only=False)
+            num = num * ma[f][gv]
+            den_u = den_u * ua[f][gv]
+        p = num / (num + den_u)
+        keep = p >= floor
+        l = t["custkey_l"].to_numpy(zero_copy_only=False)[keep]
+        r = t["custkey_r"].to_numpy(zero_copy_only=False)[keep]
+        p = p[keep]
+        k = np.concatenate([l, r])
+        nbr = np.concatenate([r, l])
+        pp = np.concatenate([p, p])
+        # per-batch argmax combiner: key asc, posterior desc, nbr asc
+        order = np.lexsort((nbr, -pp, k))
+        k, nbr, pp = k[order], nbr[order], pp[order]
+        first = (np.concatenate([[True], k[1:] != k[:-1]])
+                 if len(k) else np.zeros(0, dtype=bool))
+        out = pd.DataFrame({"k": k[first], "nbr": nbr[first],
+                            "posterior": pp[first]})
+        out["_b"] = (out["k"].to_numpy().astype("uint64") * mix
+                     % np.uint64(buckets)).astype("int64")
+        return out
+
+    def bucket_best(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["k"].to_numpy()
+        nbr = g["nbr"].to_numpy()
+        pp = g["posterior"].to_numpy()
+        order = np.lexsort((nbr, -pp, k))
+        k, nbr, pp = k[order], nbr[order], pp[order]
+        first = (np.concatenate([[True], k[1:] != k[:-1]])
+                 if len(k) else np.zeros(0, dtype=bool))
+        out = pd.DataFrame({"k": k[first], "nbr": nbr[first],
+                            "posterior": pp[first]})
+        lo = np.minimum(out["k"].to_numpy(), out["nbr"].to_numpy())
+        hi = np.maximum(out["k"].to_numpy(), out["nbr"].to_numpy())
+        with np.errstate(over="ignore"):
+            out["_b2"] = (((lo.astype("uint64") * mix)
+                           ^ hi.astype("uint64"))
+                          % np.uint64(buckets)).astype("int64")
+        return out
+
+    def mutual(g: pd.DataFrame) -> pd.DataFrame:
+        lo = np.minimum(g["k"].to_numpy(), g["nbr"].to_numpy())
+        hi = np.maximum(g["k"].to_numpy(), g["nbr"].to_numpy())
+        pair = pd.DataFrame({"custkey_l": lo, "custkey_r": hi,
+                             "posterior": g["posterior"].to_numpy()})
+        dupd = pair.groupby(["custkey_l", "custkey_r"], sort=False,
+                            as_index=False).agg(
+            posterior=("posterior", "first"), n=("posterior", "size"))
+        both = dupd[dupd["n"] == 2]
+        return both[["custkey_l", "custkey_r", "posterior"]]
+
+    return (pair_comparisons(sf_dir)
+            .map_batches(directed_best, batch_format="pyarrow")
+            .groupby("_b").map_groups(
+                lambda g: bucket_best(g.drop(columns=["_b"])),
+                batch_format="pandas")
+            .groupby("_b2").map_groups(
+                lambda g: mutual(g.drop(columns=["_b2"])),
+                batch_format="pandas")
+            .sort(["custkey_l", "custkey_r"]))

@@ -324,3 +324,22 @@ def test_match_threshold_sweep_oracle(ray_session):
     assert ((pr >= 0.0) & (pr <= 1.0)).all()
     # the sf0.001 grid exercises the empty-tail zero-guard
     assert n[-1] == 0 and a["exp_f1"].to_numpy()[-1] == 0.0
+
+
+def test_one_to_one_matches_oracle_and_1to1(ray_session):
+    got = _q("one_to_one_matches").reset_index(drop=True)
+    exp = _oracle("one_to_one_matches")
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                  check_exact=True)
+    # the 1:1 guarantee: no entity appears in more than one kept pair
+    ids = np.concatenate([got["custkey_l"].to_numpy(),
+                          got["custkey_r"].to_numpy()])
+    assert len(np.unique(ids)) == len(ids)
+    # every kept pair clears the posterior floor
+    assert (got["posterior"].to_numpy() >= 0.2).all()
+    # MNN is a SUBSET of the scored pairs above the floor
+    pairs = _q("fs_posteriors")
+    above = pairs[pairs["posterior"] >= 0.2]
+    key = set(zip(above["custkey_l"], above["custkey_r"]))
+    assert all((l, r) in key
+               for l, r in zip(got["custkey_l"], got["custkey_r"]))
