@@ -3317,18 +3317,22 @@ def oracle_sql() -> dict[str, str]:
             s3c AS (SELECT sum(g*(g-1)//2) AS cap FROM
                     (SELECT count(*) AS g FROM c
                      GROUP BY t, c_nationkey, c_mktsegment))
-            SELECT 'nation' AS scheme, s1.cand AS n_candidate_pairs,
-                   tp.p AS n_truth_pairs, s1c.cap AS n_captured_pairs,
+            SELECT 'nation' AS scheme,
+                   s1.cand::BIGINT AS n_candidate_pairs,
+                   tp.p::BIGINT AS n_truth_pairs,
+                   s1c.cap::BIGINT AS n_captured_pairs,
                    1.0 - s1.cand / (tot.n*(tot.n-1)//2)
                      AS reduction_ratio,
                    s1c.cap / tp.p AS pairs_completeness
             FROM s1, s1c, tp, tot
             UNION ALL
-            SELECT 'nation_segment', s3.cand, tp.p, s3c.cap,
+            SELECT 'nation_segment', s3.cand::BIGINT, tp.p::BIGINT,
+                   s3c.cap::BIGINT,
                    1.0 - s3.cand / (tot.n*(tot.n-1)//2),
                    s3c.cap / tp.p FROM s3, s3c, tp, tot
             UNION ALL
-            SELECT 'segment', s2.cand, tp.p, s2c.cap,
+            SELECT 'segment', s2.cand::BIGINT, tp.p::BIGINT,
+                   s2c.cap::BIGINT,
                    1.0 - s2.cand / (tot.n*(tot.n-1)//2),
                    s2c.cap / tp.p FROM s2, s2c, tp, tot
             ORDER BY scheme""",
