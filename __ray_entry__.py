@@ -1104,6 +1104,12 @@ def _q_blocking_metrics(sf_dir: str):
     return blocking_metrics(sf_dir)
 
 
+def _q_cluster_eval(sf_dir: str):
+    from address_address_matching_ray.pipelines.er_em import cluster_eval
+
+    return cluster_eval(sf_dir)
+
+
 def _q_graph_components(sf_dir: str):
     from address_address_matching_ray.pipelines.graph import (
         user_graph_components,
@@ -1264,6 +1270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_threshold_sweep": _q_match_threshold_sweep,
         "tf_posteriors": _q_tf_posteriors,
         "blocking_metrics": _q_blocking_metrics,
+        "cluster_eval": _q_cluster_eval,
         "golden_records": _q_golden_records,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "name_jaro": _q_name_jaro,
@@ -3336,6 +3343,62 @@ def oracle_sql() -> dict[str, str]:
                    1.0 - s2.cand / (tot.n*(tot.n-1)//2),
                    s2c.cap / tp.p FROM s2, s2c, tp, tot
             ORDER BY scheme""",
+        # clustering-quality metrics: all sums are exact integers (the
+        # B-cubed terms as (n*n*1000000) // cluster_size micro-units,
+        # matching the Ray side's int64 floor division); the final
+        # doubles are ONE pinned expression per metric on both sides
+        "cluster_eval": """
+            WITH lab AS (
+              SELECT c_nationkey * 8 + CASE c_mktsegment
+                       WHEN 'AUTOMOBILE' THEN 0 WHEN 'BUILDING' THEN 1
+                       WHEN 'FURNITURE' THEN 2 WHEN 'HOUSEHOLD' THEN 3
+                       WHEN 'MACHINERY' THEN 4 ELSE 7 END AS pred,
+                     c_custkey % 50 AS truth
+              FROM customer),
+            cells AS (SELECT pred, truth, count(*)::BIGINT AS n
+                      FROM lab GROUP BY pred, truth),
+            p AS (SELECT pred, sum(n)::BIGINT AS np FROM cells
+                  GROUP BY pred),
+            t AS (SELECT truth, sum(n)::BIGINT AS nt FROM cells
+                  GROUP BY truth),
+            s AS (SELECT
+              (SELECT sum(n) FROM cells)::BIGINT AS n_records,
+              (SELECT count(*) FROM p)::BIGINT AS n_pred,
+              (SELECT count(*) FROM t)::BIGINT AS n_truth,
+              (SELECT sum(n*(n-1)//2) FROM cells)::BIGINT AS tp,
+              (SELECT sum(np*(np-1)//2) FROM p)::BIGINT AS pp,
+              (SELECT sum(nt*(nt-1)//2) FROM t)::BIGINT AS tpair,
+              (SELECT sum((n*n*1000000) // np)
+               FROM cells JOIN p USING (pred))::BIGINT AS b3pm,
+              (SELECT sum((n*n*1000000) // nt)
+               FROM cells JOIN t USING (truth))::BIGINT AS b3rm),
+            m AS (SELECT *,
+              CASE WHEN pp > 0 THEN tp::DOUBLE / pp ELSE 0.0 END AS prec,
+              CASE WHEN tpair > 0 THEN tp::DOUBLE / tpair
+                   ELSE 0.0 END AS rec,
+              (b3pm::DOUBLE / 1000000.0) / n_records AS b3p,
+              (b3rm::DOUBLE / 1000000.0) / n_records AS b3r
+              FROM s)
+            SELECT * FROM (
+              SELECT 'b3_f1' AS metric,
+                     CASE WHEN b3p + b3r > 0
+                          THEN 2.0*b3p*b3r/(b3p+b3r)
+                          ELSE 0.0 END AS value FROM m
+              UNION ALL SELECT 'b3_precision', b3p FROM m
+              UNION ALL SELECT 'b3_recall', b3r FROM m
+              UNION ALL SELECT 'n_pred_clusters', n_pred::DOUBLE FROM m
+              UNION ALL SELECT 'n_records', n_records::DOUBLE FROM m
+              UNION ALL SELECT 'n_truth_clusters', n_truth::DOUBLE FROM m
+              UNION ALL SELECT 'pairwise_f1',
+                        CASE WHEN prec + rec > 0
+                             THEN 2.0*prec*rec/(prec+rec)
+                             ELSE 0.0 END FROM m
+              UNION ALL SELECT 'pairwise_precision', prec FROM m
+              UNION ALL SELECT 'pairwise_recall', rec FROM m
+              UNION ALL SELECT 'pred_pairs', pp::DOUBLE FROM m
+              UNION ALL SELECT 'tp_pairs', tp::DOUBLE FROM m
+              UNION ALL SELECT 'truth_pairs', tpair::DOUBLE FROM m)
+            ORDER BY metric""",
         # C4 line filter over planted 10-word lines; string_agg skips
         # the NULLed-out failing lines, ORDER BY i keeps line order
         "c4_line_filter": """

@@ -990,3 +990,134 @@ def one_to_one_matches(sf_dir: str, floor: float = 0.2,
                 lambda g: mutual(g.drop(columns=["_b2"])),
                 batch_format="pandas")
             .sort(["custkey_l", "custkey_r"]))
+
+
+# deterministic segment codes shared with the DuckDB oracle's CASE
+# mapping (TPC-H's five fixed market segments; unknown values -> 7)
+SEGMENT_CODES: dict[str, int] = {
+    "AUTOMOBILE": 0, "BUILDING": 1, "FURNITURE": 2,
+    "HOUSEHOLD": 3, "MACHINERY": 4}
+
+
+def cluster_pair_metrics(labels_ds, *, pred_col: str = "pred",
+                         truth_col: str = "truth", buckets: int = 64,
+                         micro: int = 1_000_000) -> pd.DataFrame:
+    """Clustering-quality evaluation for entity resolution: pairwise
+    precision/recall/F1 and B-cubed precision/recall/F1 (Bagga &
+    Baldwin 1998; the standard ER cluster metrics, e.g. Menestrina et
+    al. "Evaluating entity resolution results", VLDB 2010) of a
+    predicted clustering against truth labels.
+
+    Everything reduces to the (pred, truth) CONTINGENCY CELLS — no
+    record pair is ever materialized:
+
+      pairwise: TP = Σ_cells C(n,2);  pred_pairs = Σ_p C(n_p,2);
+                truth_pairs = Σ_t C(n_t,2)
+      B³ precision = (1/N) Σ_cells n²/n_p;  recall = (1/N) Σ n²/n_t
+
+    Distributed shape: per-batch cell-count combiner → ONE pred-hash
+    bucketed sum collapses cells globally (``join.bucketed_sum`` —
+    cells are slim int rows, ≤ one per (cell, batch) on the wire) →
+    two bucketed scalar passes (by pred / by truth: a bucket holds ALL
+    cells of its pred (resp. truth) clusters, so n_p / n_t and the B³
+    terms are bucket-local) → the driver folds O(buckets) scalar rows.
+
+    Float discipline (hash-oracle-exact): all sums are integers; the
+    B³ terms are integer micro-units ``(n²·micro) // n_p`` (floor
+    division matches DuckDB ``//``; ``micro=1e6`` keeps ``n²·micro``
+    inside int64 for cluster sizes up to ~3M — asserted); the only
+    double arithmetic is the final per-metric expression, computed in
+    the same operation order as the oracle SQL."""
+    from .join import bucketed_sum
+
+    mix = np.uint64(0x9E3779B97F4A7C15)
+
+    def cell_partials(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "pred": t[pred_col].to_numpy(zero_copy_only=False),
+            "truth": t[truth_col].to_numpy(zero_copy_only=False)})
+        g = df.groupby(["pred", "truth"], as_index=False, sort=False)
+        out = g.size().rename(columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    cells = bucketed_sum(
+        labels_ds.map_batches(cell_partials, batch_format="pyarrow"),
+        ["pred", "truth"], ["n"], buckets=buckets,
+        bucket_on="pred").materialize()   # collapsed slim int rows
+
+    def side_partials(g: pd.DataFrame, side: str) -> pd.DataFrame:
+        n = g["n"].to_numpy().astype("int64")
+        assert n.max(initial=0) < 3_000_000, "raise micro arithmetic width"
+        sizes = g.groupby(side)["n"].transform("sum").to_numpy()
+        csz = g.groupby(side)["n"].sum().to_numpy().astype("int64")
+        return pd.DataFrame({
+            "n_records": [int(n.sum())],
+            "n_clusters": [len(csz)],
+            "cluster_pairs": [int((csz * (csz - 1) // 2).sum())],
+            "tp_pairs": [int((n * (n - 1) // 2).sum())],
+            "b3_microsum": [int(((n * n * micro) // sizes).sum())]})
+
+    def tag(side: str):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.reset_index(drop=True)
+            with np.errstate(over="ignore"):
+                h = df[side].to_numpy().astype("uint64") * mix
+            df["_b"] = (h % np.uint64(buckets)).astype("int64")
+            return df
+        return f
+
+    def fold(side: str) -> pd.Series:
+        parts = (cells.map_batches(tag(side), batch_format="pandas")
+                 .groupby("_b").map_groups(
+                     lambda g: side_partials(g.drop(columns=["_b"]), side),
+                     batch_format="pandas")
+                 .to_pandas())          # O(buckets) scalar rows
+        return parts.sum()
+
+    a, b = fold("pred"), fold("truth")
+    n_rec, tp = int(a["n_records"]), int(a["tp_pairs"])
+    pred_pairs, truth_pairs = int(a["cluster_pairs"]), int(b["cluster_pairs"])
+    # final doubles: ONE pinned expression per metric, identical to SQL
+    p = tp / pred_pairs if pred_pairs else 0.0
+    r = tp / truth_pairs if truth_pairs else 0.0
+    f1 = 2.0 * p * r / (p + r) if (p + r) > 0 else 0.0
+    b3p = (int(a["b3_microsum"]) / float(micro)) / n_rec
+    b3r = (int(b["b3_microsum"]) / float(micro)) / n_rec
+    b3f = 2.0 * b3p * b3r / (b3p + b3r) if (b3p + b3r) > 0 else 0.0
+    out = pd.DataFrame({"metric": [
+        "b3_f1", "b3_precision", "b3_recall", "n_pred_clusters",
+        "n_records", "n_truth_clusters", "pairwise_f1",
+        "pairwise_precision", "pairwise_recall", "pred_pairs",
+        "tp_pairs", "truth_pairs"],
+        "value": [b3f, b3p, b3r, float(int(a["n_clusters"])),
+                  float(n_rec), float(int(b["n_clusters"])), f1, p, r,
+                  float(pred_pairs), float(tp), float(truth_pairs)]})
+    return out
+
+
+def cluster_eval(sf_dir: str, truth_mod: int = TRUTH_MOD,
+                 buckets: int = 64) -> pd.DataFrame:
+    """Query surface: evaluate the ``nation_segment`` blocking scheme
+    AS a clustering (its resolution upper bound) against the planted
+    duplicate truth ``c_custkey % truth_mod`` — the same truth key
+    ``blocking_metrics`` and ``golden_records`` use.  Pairwise P/R here
+    relate to ``blocking_metrics``' pairs-completeness (recall is
+    captured/truth pairs for the same scheme); B³ adds the per-record
+    view those pair counts can't see."""
+    from .relational import read
+
+    ds = read(sf_dir, "customer",
+              columns=["c_custkey", "c_nationkey", "c_mktsegment"])
+
+    def lab(t: pa.Table) -> pd.DataFrame:
+        seg = (t["c_mktsegment"].to_pandas().map(SEGMENT_CODES)
+               .fillna(7).astype("int64"))
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        return pd.DataFrame({
+            "pred": nk.astype("int64") * 8 + seg.to_numpy(),
+            "truth": (t["c_custkey"].to_numpy(zero_copy_only=False)
+                      % truth_mod).astype("int64")})
+
+    return cluster_pair_metrics(
+        ds.map_batches(lab, batch_format="pyarrow"), buckets=buckets)

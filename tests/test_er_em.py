@@ -343,3 +343,54 @@ def test_one_to_one_matches_oracle_and_1to1(ray_session):
     key = set(zip(above["custkey_l"], above["custkey_r"]))
     assert all((l, r) in key
                for l, r in zip(got["custkey_l"], got["custkey_r"]))
+
+
+def test_cluster_eval_oracle_and_bruteforce(ray_session):
+    """Bit-exact vs the DuckDB contingency-cell replay, and the
+    pairwise metrics re-derived by brute-force pair enumeration on a
+    small planted labels table (the generic core, independent of the
+    customer-table wrapper)."""
+    import itertools
+
+    import ray
+
+    from address_address_matching_ray.pipelines.er_em import (
+        cluster_pair_metrics,
+    )
+
+    got = _q("cluster_eval").reset_index(drop=True)
+    exp = _oracle("cluster_eval")
+    assert list(got["metric"]) == list(exp["metric"])
+    assert (got["value"].to_numpy().view("int64") ==
+            exp["value"].to_numpy().view("int64")).all(), \
+        "metric doubles must be bit-identical to the DuckDB chain"
+
+    rng = np.random.default_rng(7)
+    lab = pd.DataFrame({"pred": rng.integers(0, 9, 400),
+                        "truth": rng.integers(0, 7, 400)})
+    m = cluster_pair_metrics(ray.data.from_pandas(lab), buckets=8)
+    vals = dict(zip(m["metric"], m["value"]))
+    tp = pp = tr = 0
+    for i, j in itertools.combinations(range(len(lab)), 2):
+        sp = lab["pred"][i] == lab["pred"][j]
+        st = lab["truth"][i] == lab["truth"][j]
+        pp += sp
+        tr += st
+        tp += sp and st
+    assert vals["tp_pairs"] == tp
+    assert vals["pred_pairs"] == pp
+    assert vals["truth_pairs"] == tr
+    assert vals["pairwise_precision"] == tp / pp
+    assert vals["pairwise_recall"] == tp / tr
+    # B3 by per-record definition (within micro-unit quantization)
+    cell = lab.groupby(["pred", "truth"]).size()
+    npred = lab.groupby("pred").size()
+    ntru = lab.groupby("truth").size()
+    b3p = sum(c * (c / npred[p]) for (p, t), c in cell.items()) / len(lab)
+    b3r = sum(c * (c / ntru[t]) for (p, t), c in cell.items()) / len(lab)
+    assert abs(vals["b3_precision"] - b3p) < 1e-4
+    assert abs(vals["b3_recall"] - b3r) < 1e-4
+    # partition-invariance: 1-row batches give identical integers
+    m2 = cluster_pair_metrics(
+        ray.data.from_pandas(lab).repartition(40), buckets=8)
+    assert (m2["value"].to_numpy() == m["value"].to_numpy()).all()
