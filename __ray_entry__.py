@@ -1110,6 +1110,14 @@ def _q_cluster_eval(sf_dir: str):
     return cluster_eval(sf_dir)
 
 
+def _q_meta_blocking(sf_dir: str):
+    from address_address_matching_ray.pipelines.er_em import (
+        meta_blocking_pairs,
+    )
+
+    return meta_blocking_pairs(sf_dir)
+
+
 def _q_graph_components(sf_dir: str):
     from address_address_matching_ray.pipelines.graph import (
         user_graph_components,
@@ -1271,6 +1279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tf_posteriors": _q_tf_posteriors,
         "blocking_metrics": _q_blocking_metrics,
         "cluster_eval": _q_cluster_eval,
+        "meta_blocking": _q_meta_blocking,
         "golden_records": _q_golden_records,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "name_jaro": _q_name_jaro,
@@ -3343,6 +3352,35 @@ def oracle_sql() -> dict[str, str]:
                    1.0 - s2.cand / (tot.n*(tot.n-1)//2),
                    s2c.cap / tp.p FROM s2, s2c, tp, tot
             ORDER BY scheme""",
+        # meta-blocking: CBS edge weights are exact integers and the
+        # WEP mean test is the integer cross-multiplication
+        # w * n_edges > sum_w on both sides — no float mean exists
+        "meta_blocking": """
+            WITH c AS (
+              SELECT c_custkey AS k, c_nationkey AS nk,
+                     CASE c_mktsegment
+                       WHEN 'AUTOMOBILE' THEN 0 WHEN 'BUILDING' THEN 1
+                       WHEN 'FURNITURE' THEN 2 WHEN 'HOUSEHOLD' THEN 3
+                       WHEN 'MACHINERY' THEN 4 ELSE 7 END AS sg
+              FROM customer),
+            b AS (
+              SELECT nk AS block_id, k FROM c
+              UNION ALL SELECT 4294967296 + sg, k FROM c
+              UNION ALL SELECT 2*4294967296 + nk*8 + sg, k FROM c),
+            sz AS (SELECT block_id, count(*) AS n FROM b
+                   GROUP BY block_id),
+            bp AS (SELECT b.block_id, b.k FROM b JOIN sz USING (block_id)
+                   WHERE sz.n <= 1000),
+            e AS (SELECT a.k AS l, b2.k AS r
+                  FROM bp a JOIN bp b2 USING (block_id)
+                  WHERE a.k < b2.k),
+            w AS (SELECT l, r, count(*)::BIGINT AS w FROM e
+                  GROUP BY l, r),
+            tot AS (SELECT count(*)::BIGINT AS ne, sum(w)::BIGINT AS sw
+                    FROM w)
+            SELECT l AS custkey_l, r AS custkey_r, w
+            FROM w, tot WHERE w * ne > sw
+            ORDER BY custkey_l, custkey_r""",
         # clustering-quality metrics: all sums are exact integers (the
         # B-cubed terms as (n*n*1000000) // cluster_size micro-units,
         # matching the Ray side's int64 floor division); the final

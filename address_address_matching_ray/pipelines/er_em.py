@@ -1121,3 +1121,84 @@ def cluster_eval(sf_dir: str, truth_mod: int = TRUTH_MOD,
 
     return cluster_pair_metrics(
         ds.map_batches(lab, batch_format="pyarrow"), buckets=buckets)
+
+
+def meta_blocking_pairs(sf_dir: str, max_block_size: int = 1000,
+                        buckets: int = 64):
+    """Meta-blocking (Papadakis et al., "Meta-Blocking: Taking Entity
+    Resolution to the Next Level", TKDE 2014): treat the union of
+    blocking schemes as a BLOCK GRAPH — records are nodes, an edge
+    joins every co-blocked pair, weighted by how many blocks share it
+    (CBS, common-blocks scheme) — then prune low-evidence edges.  Two
+    standard steps:
+
+      1. block purging: drop blocks larger than ``max_block_size``
+         (oversized blocks are near-useless evidence and quadratic
+         cost — the reason meta-blocking exists);
+      2. weighted-edge pruning (WEP): keep edges with weight strictly
+         above the global mean, compared in INTEGERS
+         (``w · n_edges > Σw``) so no float mean is ever formed.
+
+    Distributed shape: block membership rows are slim (block_id,
+    custkey) int64 pairs; ONE block-hash bucket shuffle makes purge
+    sizes and pair expansion bucket-local (all rows of one block
+    co-locate — the ``pair_comparisons`` recipe); pair weights
+    collapse through ``join.bucketed_sum``; the edge table is
+    materialized ONCE as an explicit barrier (the containment-join
+    lesson: pinned handoffs beat one mega-DAG) and consumed by the
+    O(batches)-row total fold and the final filter.  Output pairs are
+    exact integers end-to-end — hash-oracle-exact by construction."""
+    from .join import bucketed_sum
+    from .relational import read
+
+    mix = np.uint64(0x9E3779B97F4A7C15)
+    ds = read(sf_dir, "customer",
+              columns=["c_custkey", "c_nationkey", "c_mktsegment"])
+
+    def membership(t: pa.Table) -> pd.DataFrame:
+        k = t["c_custkey"].to_numpy(zero_copy_only=False).astype("int64")
+        nk = (t["c_nationkey"].to_numpy(zero_copy_only=False)
+              .astype("int64"))
+        sg = (t["c_mktsegment"].to_pandas().map(SEGMENT_CODES)
+              .fillna(7).astype("int64").to_numpy())
+        base = np.int64(1) << 32
+        block = np.concatenate([nk, base + sg, 2 * base + nk * 8 + sg])
+        out = pd.DataFrame({"block_id": block, "custkey": np.tile(k, 3)})
+        with np.errstate(over="ignore"):
+            h = out["block_id"].to_numpy().astype("uint64") * mix
+        out["_b"] = (h % np.uint64(buckets)).astype("int64")
+        return out
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        sz = g.groupby("block_id")["custkey"].transform("size")
+        g = g[sz.to_numpy() <= max_block_size]
+        m = g.merge(g, on="block_id")
+        m = m[m["custkey_x"] < m["custkey_y"]]
+        out = (m.groupby(["custkey_x", "custkey_y"], as_index=False,
+                         sort=False).size()
+               .rename(columns={"custkey_x": "l", "custkey_y": "r",
+                                "size": "w"}))
+        out["w"] = out["w"].astype("int64")
+        return out
+
+    pairs = (ds.map_batches(membership, batch_format="pyarrow")
+             .groupby("_b").map_groups(
+                 lambda g: expand(g.drop(columns=["_b"])),
+                 batch_format="pandas"))
+    weights = bucketed_sum(pairs, ["l", "r"], ["w"], buckets=buckets,
+                           bucket_on="l").materialize()
+
+    tot = (weights.map_batches(
+        lambda df: pd.DataFrame({"ne": [len(df)],
+                                 "sw": [int(df["w"].sum())]}),
+        batch_format="pandas").to_pandas().sum())   # O(batches) rows
+    n_edges, sum_w = int(tot["ne"]), int(tot["sw"])
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["w"].to_numpy() * n_edges > sum_w
+        out = df[keep].rename(columns={"l": "custkey_l",
+                                       "r": "custkey_r"})
+        return out[["custkey_l", "custkey_r", "w"]]
+
+    return (weights.map_batches(prune, batch_format="pandas")
+            .sort(["custkey_l", "custkey_r"]))

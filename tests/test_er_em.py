@@ -394,3 +394,38 @@ def test_cluster_eval_oracle_and_bruteforce(ray_session):
     m2 = cluster_pair_metrics(
         ray.data.from_pandas(lab).repartition(40), buckets=8)
     assert (m2["value"].to_numpy() == m["value"].to_numpy()).all()
+
+
+def test_meta_blocking_oracle_and_invariants(ray_session):
+    got = _q("meta_blocking").reset_index(drop=True)
+    exp = _oracle("meta_blocking")
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                  check_exact=True)
+    w = got["w"].to_numpy()
+    assert ((w >= 1) & (w <= 3)).all()   # CBS weight = #schemes max
+    # WEP: every kept edge is strictly above the global mean weight,
+    # recomputed here over the unpruned edge set via the oracle CTEs
+    con = _con()
+    tot = con.execute("""
+        WITH c AS (SELECT c_custkey AS k, c_nationkey AS nk,
+                     CASE c_mktsegment
+                       WHEN 'AUTOMOBILE' THEN 0 WHEN 'BUILDING' THEN 1
+                       WHEN 'FURNITURE' THEN 2 WHEN 'HOUSEHOLD' THEN 3
+                       WHEN 'MACHINERY' THEN 4 ELSE 7 END AS sg
+                   FROM customer),
+        b AS (SELECT nk AS block_id, k FROM c
+              UNION ALL SELECT 4294967296 + sg, k FROM c
+              UNION ALL SELECT 2*4294967296 + nk*8 + sg, k FROM c),
+        e AS (SELECT a.k AS l, b2.k AS r
+              FROM b a JOIN b b2 USING (block_id) WHERE a.k < b2.k),
+        w AS (SELECT l, r, count(*) AS w FROM e GROUP BY l, r)
+        SELECT count(*) AS ne, sum(w) AS sw FROM w""").fetchone()
+    ne, sw = int(tot[0]), int(tot[1])
+    assert (w * ne > sw).all()
+    # a mutually-exclusive scheme triple can never exceed weight 3 and
+    # every kept pair shares nation AND segment at this data shape
+    nat = con.execute(
+        "SELECT c_custkey, c_nationkey, c_mktsegment FROM customer"
+    ).fetchdf().set_index("c_custkey")
+    for l, r in zip(got["custkey_l"][:50], got["custkey_r"][:50]):
+        assert nat.loc[l, "c_nationkey"] == nat.loc[r, "c_nationkey"]
