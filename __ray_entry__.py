@@ -689,6 +689,16 @@ def _q_label_centroids(sf_dir: str):
                                 columns=["label", "embedding"]))
 
 
+def _q_dedup_spans(sf_dir: str):
+    from address_address_matching_ray.pipelines.relational import read
+    from address_address_matching_ray.pipelines.text import (
+        remove_duplicate_spans,
+    )
+
+    return remove_duplicate_spans(
+        read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def _q_duplicate_ngrams(sf_dir: str):
     from address_address_matching_ray.pipelines.relational import read
     from address_address_matching_ray.pipelines.text import (
@@ -1260,6 +1270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": _q_label_centroids,
         "event_correlations": _q_event_correlations,
         "duplicate_ngrams": _q_duplicate_ngrams,
+        "dedup_spans": _q_dedup_spans,
         "quality_filter": _q_quality_filter,
         "funnel_conversion": _q_funnel_conversion,
         "cohort_retention": _q_cohort_retention,
@@ -2644,6 +2655,46 @@ def oracle_sql() -> dict[str, str]:
                        / GREATEST(COALESCE(per.n_pos, 0), 1) AS dup_frac
             FROM documents doc LEFT JOIN per ON doc.doc_id = per.doc_id
             ORDER BY doc.doc_id""",
+        # duplicate-span removal: keeper = min doc_id per n-gram; a
+        # token drops iff covered by a duplicated n-gram in a non-
+        # keeper doc.  SQL n-gram strings stand in for the Ray side's
+        # 64-bit rolling hashes (duplicate_ngrams' collision caveat)
+        "dedup_spans": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t
+              FROM documents),
+            pos AS (
+              SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS ng
+              FROM toks, UNNEST(generate_series(1, len(t)-8+1)) AS u(i)
+              WHERE len(t) >= 8),
+            keep AS (SELECT ng, min(doc_id) AS keeper FROM pos
+                     GROUP BY ng),
+            drops AS (
+              SELECT DISTINCT p.doc_id, v.j
+              FROM pos p JOIN keep k USING (ng),
+                   UNNEST(generate_series(p.i, p.i+7)) AS v(j)
+              WHERE p.doc_id <> k.keeper),
+            tok2 AS (
+              SELECT doc_id, unnest(t) AS w,
+                     unnest(generate_series(1, len(t))) AS j
+              FROM toks),
+            kept AS (
+              SELECT t2.doc_id, t2.w, t2.j FROM tok2 t2
+              LEFT JOIN drops dr
+                ON dr.doc_id = t2.doc_id AND dr.j = t2.j
+              WHERE dr.j IS NULL),
+            agg AS (
+              SELECT doc_id, string_agg(w, ' ' ORDER BY j)
+                       AS clean_text,
+                     count(*)::BIGINT AS n_kept
+              FROM kept GROUP BY doc_id)
+            SELECT tk.doc_id,
+                   COALESCE(a.clean_text, '') AS clean_text,
+                   len(tk.t)::BIGINT AS n_tokens,
+                   (len(tk.t) - COALESCE(a.n_kept, 0))::BIGINT
+                     AS n_removed
+            FROM toks tk LEFT JOIN agg a USING (doc_id)
+            ORDER BY tk.doc_id""",
         "quality_filter": """
             WITH words AS (
               SELECT doc_id,

@@ -398,11 +398,12 @@ def _flat_ngram_hashes(df: pd.DataFrame, text_col: str, n: int):
     boundaries: ONE ``hash_array`` over the exploded token column and
     one flat polynomial combine — no per-document Python loop.
 
-    Returns ``(ng, od, npos)``: n-gram hash per valid position
-    (uint64), owner row index per position, and per-row valid-position
-    counts.  Shared by ``duplicate_ngram_coverage`` (corpus-wide dup
-    fraction) and ``decontaminate`` (benchmark-overlap filtering) so
-    both surfaces hash identically.
+    Returns ``(ng, od, npos, pos)``: n-gram hash per valid position
+    (uint64), owner row index per position, per-row valid-position
+    counts, and the 0-based doc-local token offset per valid position.
+    Shared by ``duplicate_ngram_coverage`` (corpus-wide dup fraction),
+    ``decontaminate`` (benchmark-overlap filtering) and
+    ``remove_duplicate_spans`` so all surfaces hash identically.
     """
     toks = df[text_col].fillna("").str.split()
     lengths = toks.str.len().fillna(0).astype("int64").to_numpy()
@@ -410,7 +411,7 @@ def _flat_ngram_hashes(df: pd.DataFrame, text_col: str, n: int):
     ex = toks.explode().dropna()
     if len(ex) == 0:
         return (np.empty(0, dtype="uint64"), np.empty(0, dtype="int64"),
-                npos)
+                npos, np.empty(0, dtype="int64"))
     h = pd.util.hash_array(ex.to_numpy(object), categorize=False)
     roll = h.copy()
     with np.errstate(over="ignore"):
@@ -422,7 +423,7 @@ def _flat_ngram_hashes(df: pd.DataFrame, text_col: str, n: int):
     starts = np.cumsum(lengths) - lengths
     offs = np.arange(len(h)) - starts[owner]
     valid = offs <= (lengths[owner] - n)
-    return roll[valid], owner[valid], npos
+    return roll[valid], owner[valid], npos, offs[valid].astype("int64")
 
 
 def duplicate_ngram_coverage(docs_ds, n: int = 8, buckets: int = 64,
@@ -465,7 +466,7 @@ def duplicate_ngram_coverage(docs_ds, n: int = 8, buckets: int = 64,
         df = df.reset_index(drop=True)
         doc_ids = df[id_col].to_numpy()
         parts = []
-        ng, od, npos = _flat_ngram_hashes(df, text_col, n)
+        ng, od, npos, _ = _flat_ngram_hashes(df, text_col, n)
         if len(ng) > 0:
             with np.errstate(over="ignore"):
                 b = ((ng * mix) % np.uint64(buckets)).astype("int64")
@@ -587,7 +588,7 @@ def decontaminate(docs_ds, bench_ds, n: int = 8,
     from address_address_matching_ray.stages.bcast import get_cached
 
     def bench_hashes(df: pd.DataFrame) -> pd.DataFrame:
-        ng, _, _ = _flat_ngram_hashes(df.reset_index(drop=True),
+        ng, _, _, _ = _flat_ngram_hashes(df.reset_index(drop=True),
                                       text_col, n)
         return pd.DataFrame({"h": np.unique(ng)})
 
@@ -604,7 +605,7 @@ def decontaminate(docs_ds, bench_ds, n: int = 8,
         def score(df: pd.DataFrame) -> pd.DataFrame:
             df = df.reset_index(drop=True)
             keys = get_cached(ref)
-            ng, od, npos = _flat_ngram_hashes(df, text_col, n)
+            ng, od, npos, _ = _flat_ngram_hashes(df, text_col, n)
             hits = np.zeros(len(df), dtype="int64")
             if len(ng) > 0 and len(keys) > 0:
                 pos = np.minimum(np.searchsorted(keys, ng),
@@ -628,7 +629,7 @@ def decontaminate(docs_ds, bench_ds, n: int = 8,
 
     def corpus_rows(df: pd.DataFrame) -> pd.DataFrame:
         df = df.reset_index(drop=True)
-        ng, od, npos = _flat_ngram_hashes(df, text_col, n)
+        ng, od, npos, _ = _flat_ngram_hashes(df, text_col, n)
         doc_ids = df[id_col].to_numpy()
         return pd.concat([
             pd.DataFrame({id_col: doc_ids[od], "h": ng,
@@ -716,7 +717,7 @@ def bloom_decontaminate(docs_ds, bench_ds, n: int = 8, m_log2: int = 24,
     m_words = max(1, (1 << m_log2) >> 6)
 
     def bench_positions(df: pd.DataFrame) -> pd.DataFrame:
-        ng, _, _ = _flat_ngram_hashes(df.reset_index(drop=True),
+        ng, _, _, _ = _flat_ngram_hashes(df.reset_index(drop=True),
                                       text_col, n)
         if len(ng) == 0:
             return pd.DataFrame({"p": np.empty(0, dtype="uint64")})
@@ -734,7 +735,7 @@ def bloom_decontaminate(docs_ds, bench_ds, n: int = 8, m_log2: int = 24,
     def score(df: pd.DataFrame) -> pd.DataFrame:
         bm = get_cached(ref)
         df = df.reset_index(drop=True)
-        ng, od, npos = _flat_ngram_hashes(df, text_col, n)
+        ng, od, npos, _ = _flat_ngram_hashes(df, text_col, n)
         hits = np.zeros(len(df), dtype="int64")
         if len(ng) > 0:
             flagged = bloom_contains(bm, ng, k)
@@ -991,3 +992,111 @@ def corpus_line_dedup(ds, col: str = "text", id_col: str = "doc_id",
                 lambda g: reassemble(g.drop(columns=["_b"])),
                 batch_format="pandas")
             .sort(id_col))
+
+
+def remove_duplicate_spans(docs_ds, n: int = 8, buckets: int = 64,
+                           text_col: str = "text",
+                           id_col: str = "doc_id"):
+    """Cross-document duplicate-SPAN removal — the acting counterpart
+    of ``duplicate_ngram_coverage``'s diagnostic (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr-style at word-n-gram granularity): a token is removed
+    when it is covered by any word n-gram that also occurs in another
+    document, UNLESS this document is the n-gram's keeper (the minimum
+    doc_id containing it) — so exactly one copy of every duplicated
+    span survives corpus-wide, deterministically.
+
+    Shape at 100 TB (the coverage operator's contract, plus one
+    reassembly): the keyer emits slim (hash:u64, doc_id, pos) rows —
+    text never enters the first shuffle.  Bucketing by n-gram hash
+    co-locates all occurrences, so keeper election (`min doc_id` per
+    hash) and drop emission are bucket-local: a row drops iff its
+    doc_id differs from the hash's min — which already implies ≥2
+    distinct docs.  Drop positions then meet the documents in ONE
+    doc-hash bucketed union shuffle (the asof-join recipe: both sides
+    stream into the same exchange) where interval coverage is a
+    vectorized difference-array cumsum over the flat token axis.
+    Same 2⁻⁶⁴ rolling-hash collision caveat as ``duplicate_ngrams``
+    (the oracle compares n-gram STRINGS)."""
+    mix = np.uint64(0x9E3779B97F4A7C15)
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        ng, od, _, pos = _flat_ngram_hashes(df, text_col, n)
+        ids = df[id_col].to_numpy()
+        with np.errstate(over="ignore"):
+            b = ((ng * mix) % np.uint64(buckets)).astype("int64")
+        return pd.DataFrame({id_col: ids[od], "h": ng, "pos": pos,
+                             "_b": b})
+
+    def bucket_drops(g: pd.DataFrame) -> pd.DataFrame:
+        keeper = g.groupby("h", sort=False)[id_col].transform("min")
+        d = g[g[id_col].to_numpy() != keeper.to_numpy()]
+        return d[[id_col, "pos"]]
+
+    drops = (docs_ds.map_batches(emit, batch_format="pandas")
+             .groupby("_b").map_groups(
+                 lambda g: bucket_drops(g.drop(columns=["_b"])),
+                 batch_format="pandas"))
+
+    def _doc_bucket(ids: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            h = pd.util.hash_array(ids) * mix
+        return (h % np.uint64(buckets)).astype("int64")
+
+    def tag_drops(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "pos": df["pos"].to_numpy().astype("int64"),
+            text_col: pd.Series([None] * len(df), dtype=object)})
+        out["_b2"] = _doc_bucket(out[id_col].to_numpy())
+        return out
+
+    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "pos": np.full(len(df), -1, dtype="int64"),
+            text_col: df[text_col].astype(object).to_numpy()})
+        out["_b2"] = _doc_bucket(out[id_col].to_numpy())
+        return out
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["pos"] < 0].reset_index(drop=True)
+        dr = g[g["pos"] >= 0]
+        toks = docs[text_col].fillna("").str.split()
+        lengths = toks.str.len().fillna(0).astype("int64").to_numpy()
+        total = int(lengths.sum())
+        starts = np.cumsum(lengths) - lengths
+        owner = np.repeat(np.arange(len(docs)), lengths)
+        flat = (np.concatenate(toks.to_numpy()) if total
+                else np.empty(0, dtype=object))
+        # map drop rows to their doc's flat offset; coverage of the
+        # [pos, pos+n) intervals via one difference-array cumsum
+        row_of = pd.Series(np.arange(len(docs)),
+                           index=docs[id_col].to_numpy())
+        dpos = (starts[row_of[dr[id_col].to_numpy()].to_numpy()]
+                + dr["pos"].to_numpy()) if len(dr) else \
+            np.empty(0, dtype="int64")
+        diff = np.zeros(total + n + 1, dtype="int64")
+        np.add.at(diff, dpos, 1)
+        np.add.at(diff, dpos + n, -1)
+        covered = np.cumsum(diff[:total]) > 0
+        kept = ~covered
+        joined = (pd.Series(flat[kept])
+                  .groupby(owner[kept], sort=False).agg(" ".join)
+                  if kept.any() else pd.Series([], dtype=object))
+        clean = pd.Series([""] * len(docs), dtype=object)
+        clean.iloc[joined.index.to_numpy()] = joined.to_numpy()
+        n_removed = np.bincount(owner[covered],
+                                minlength=len(docs)).astype("int64")
+        return pd.DataFrame({
+            id_col: docs[id_col].to_numpy(),
+            "clean_text": clean.to_numpy(),
+            "n_tokens": lengths,
+            "n_removed": n_removed})
+
+    both = (drops.map_batches(tag_drops, batch_format="pandas")
+            .union(docs_ds.map_batches(tag_docs, batch_format="pandas")))
+    return (both.groupby("_b2").map_groups(
+        lambda g: reassemble(g.drop(columns=["_b2"])),
+        batch_format="pandas").sort(id_col))

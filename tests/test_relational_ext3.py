@@ -285,3 +285,55 @@ def test_centroid_similarity_oracle(ray_session):
     n_labels = con.execute(
         "SELECT count(DISTINCT label) FROM embeddings").fetchone()[0]
     assert len(got) == n_labels * (n_labels - 1) // 2
+
+
+def test_dedup_spans_oracle(ray_session):
+    import __ray_entry__ as e
+
+    got = e.queries()["dedup_spans"](SF).to_pandas()
+    exp = _con().execute(e.oracle_sql()["dedup_spans"]).fetchdf()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp,
+                                  check_dtype=False, check_exact=True)
+
+
+def test_dedup_spans_planted(ray_session):
+    """A verbatim 10-token span planted in three docs: the minimum
+    doc_id keeps it intact, the other two lose exactly the covered
+    tokens; sub-n docs and unique docs are untouched; 1-row batches
+    give identical output (partition invariance)."""
+    import ray as rd
+
+    from address_address_matching_ray.pipelines.text import (
+        remove_duplicate_spans,
+    )
+
+    span = " ".join(f"s{i}" for i in range(10))
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            f"alpha beta {span} gamma delta",
+            f"left{0} {span} right0 right1 right2 right3 right4",
+            f"{span}",
+            "too short to have ngrams",
+            "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9 u10",
+        ]})
+    out = (remove_duplicate_spans(rd.data.from_pandas(docs), n=8,
+                                  buckets=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # doc 1 is the keeper: nothing removed
+    assert out.loc[0, "n_removed"] == 0
+    assert out.loc[0, "clean_text"] == docs.loc[0, "text"]
+    # docs 2 and 3 lose the whole span (every 8-gram inside it also
+    # occurs in doc 1 -- including the boundary 8-grams? no: only the
+    # pure-span windows are shared, which cover all 10 span tokens)
+    assert out.loc[1, "n_removed"] == 10
+    assert out.loc[1, "clean_text"] == \
+        "left0 right0 right1 right2 right3 right4"
+    assert out.loc[2, "n_removed"] == 10
+    assert out.loc[2, "clean_text"] == ""
+    # short and unique docs untouched
+    assert out.loc[3, "n_removed"] == 0 and out.loc[4, "n_removed"] == 0
+    out2 = (remove_duplicate_spans(
+        rd.data.from_pandas(docs).repartition(5), n=8, buckets=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, out2)
