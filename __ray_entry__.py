@@ -463,6 +463,22 @@ def _q_approx_distinct_users(sf_dir: str):
     return approx_distinct_users(sf_dir)
 
 
+def _q_hll_registers(sf_dir: str):
+    from address_address_matching_ray.pipelines.temporal import (
+        hll_registers,
+    )
+
+    return hll_registers(sf_dir)
+
+
+def _q_hll_distinct_users(sf_dir: str):
+    from address_address_matching_ray.pipelines.temporal import (
+        hll_distinct_users,
+    )
+
+    return hll_distinct_users(sf_dir)
+
+
 def _q_approx_value_percentiles(sf_dir: str):
     # KLL-sketched per-group quantiles (unbounded-key-cardinality
     # shape); approximate by nature → no SQL oracle, rows-only check +
@@ -1241,6 +1257,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_windows": _q_sliding_windows,
         "distinct_users": _q_distinct_users,
         "approx_distinct_users": _q_approx_distinct_users,
+        "hll_registers": _q_hll_registers,
+        "hll_distinct_users": _q_hll_distinct_users,
         "value_percentiles": _q_value_percentiles,
         "approx_value_percentiles": _q_approx_value_percentiles,
         "top_events_per_user": _q_top_events_per_user,
@@ -2960,6 +2978,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type ORDER BY event_type""",
         "approx_distinct_users": _approx_distinct_users_sql(),
+        # HyperLogLog register table: splitmix64 replayed in SQL, the
+        # p-bit bucket via >> 52, the remainder's leading zeros via
+        # the BIT-string strpos trick (exact — no float log), register
+        # merge = integer MAX.  All integers, hash-exact; the float
+        # estimator is pytest-gated (libm ln differs in the last ulp)
+        "hll_registers": f"""
+            WITH h AS (
+              SELECT DISTINCT event_type,
+                     {_splitmix64_sql('user_id')}::UBIGINT AS hv
+              FROM events),
+            rr AS (
+              SELECT event_type, (hv >> 52)::BIGINT AS idx,
+                     ((hv::HUGEINT * 4096)
+                      % 18446744073709551616)::UBIGINT AS rest
+              FROM h),
+            rk AS (
+              SELECT event_type, idx,
+                     CASE WHEN rest = 0 THEN 53
+                          ELSE strpos(CAST(CAST(rest AS BIT)
+                                      AS VARCHAR), '1')
+                     END AS rnk
+              FROM rr)
+            SELECT event_type, idx, max(rnk)::BIGINT AS rnk
+            FROM rk GROUP BY event_type, idx
+            ORDER BY event_type, idx""",
         "top_events_per_user": """
             SELECT user_id, event_id, value, rank FROM (
               SELECT user_id, event_id, value,

@@ -502,3 +502,72 @@ def campaign_attribution(sf_dir: str, n_campaigns: int = 250,
                          start="start_ts", end="end_ts",
                          buckets=buckets)
             .sort(["event_id", "interval_id"]))
+
+
+def hll_registers(sf_dir: str, p: int = 12):
+    """HyperLogLog register table per event_type (Flajolet et al.
+    2007): the FIXED-size (2^p registers) mergeable distinct-count
+    state, exposed as sparse (event_type, idx, rnk) integer rows so the
+    DuckDB oracle can replay it hash-exactly (splitmix64 in SQL + the
+    BIT-string leading-zeros trick; the float estimator lives in
+    ``hll_distinct_users`` and is pytest-gated instead, because libm
+    ``ln`` differs from DuckDB's in the last ulp).
+
+    Shape at 100 TB: each batch contributes ≤ min(distinct_users,
+    2^p) register rows per event_type — bounded combiner state like
+    KMV/KLL — and the global merge is a register-wise max per bounded
+    (type, idx) key space (≤ types · 2^p rows ever shuffled)."""
+    from address_address_matching_ray.functions.sketch import hll_partial
+
+    ds = read(sf_dir, "events", columns=["event_type", "user_id"])
+    m = 1 << p
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for et, g in df.groupby("event_type", sort=False):
+            regs = hll_partial(
+                hash_values(g["user_id"].to_numpy()), p)
+            nz = np.flatnonzero(regs)
+            out.append(pd.DataFrame({
+                "event_type": et, "idx": nz.astype("int64"),
+                "rnk": regs[nz].astype("int64")}))
+        return (pd.concat(out, ignore_index=True) if out else
+                pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                              "idx": pd.Series([], dtype="int64"),
+                              "rnk": pd.Series([], dtype="int64")}))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(m, dtype="int64")
+        np.maximum.at(regs, g["idx"].to_numpy(), g["rnk"].to_numpy())
+        nz = np.flatnonzero(regs)
+        return pd.DataFrame({"event_type": g["event_type"].iloc[0],
+                             "idx": nz.astype("int64"),
+                             "rnk": regs[nz]})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("event_type").map_groups(merge,
+                                              batch_format="pandas")
+            .sort(["event_type", "idx"]))
+
+
+def hll_distinct_users(sf_dir: str, p: int = 12):
+    """COUNT(DISTINCT user_id) per event_type via the HLL registers —
+    the fixed-2^p-byte-state alternative to the KMV surface
+    (``approx_distinct_users``); error ~ 1.04/sqrt(2^p).  Estimator
+    accuracy and merge associativity are pytest-gated
+    (``test_temporal``)."""
+    from address_address_matching_ray.functions.sketch import hll_estimate
+
+    m = 1 << p
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(m, dtype="uint8")
+        regs[g["idx"].to_numpy()] = g["rnk"].to_numpy().astype("uint8")
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_users_est": [hll_estimate(regs, p)]})
+
+    return (hll_registers(sf_dir, p)
+            .groupby("event_type").map_groups(finalize,
+                                              batch_format="pandas")
+            .sort("event_type"))

@@ -345,3 +345,52 @@ def test_overlap_join_chunk_boundaries(ray_session):
     # the end-exclusive point (pid=3 at +6h) must not match interval 0
     assert not ((got["pid"] == 3) & (got["iid"] == 0)).any()
     assert ((got["pid"] == 4) & (got["iid"] == 0)).any()
+
+
+def test_hll_error_bound_and_merge_order():
+    from address_address_matching_ray.functions.sketch import (
+        hash_values, hll_estimate, hll_merge, hll_partial,
+    )
+
+    p = 12
+    # linear-counting regime: near-exact at low occupancy
+    h = hash_values(np.arange(500, dtype=np.int64))
+    est = hll_estimate(hll_partial(np.repeat(h, 3), p), p)
+    assert abs(est - 500) / 500 < 0.05
+    # raw-estimator regime: 1.04/sqrt(4096) ≈ 1.6% rse; allow 4 sigma
+    n = 1_000_000
+    h = hash_values(np.arange(n, dtype=np.int64))
+    full = hll_partial(h, p)
+    est = hll_estimate(full, p)
+    assert abs(est - n) / n < 0.065
+    # merge = register max: associative, commutative, idempotent --
+    # any shard order reproduces the single-pass registers exactly
+    chunks = [hll_partial(c, p) for c in np.array_split(h, 17)]
+    merged = chunks[0]
+    for c in chunks[:0:-1]:          # reversed order on purpose
+        merged = hll_merge(merged, c)
+    assert (merged == full).all()
+    assert (hll_merge(full, full) == full).all()
+
+
+def test_hll_pipeline_registers_and_estimate(ray_session):
+    import duckdb
+
+    import __ray_entry__ as e
+
+    got = e.queries()["hll_registers"](SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    exp = con.execute(e.oracle_sql()["hll_registers"]).fetchdf()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp,
+                                  check_dtype=False, check_exact=True)
+    # the estimate surface: sf0.001 sits in the linear-counting
+    # regime, so the estimate lands within a few % of exact
+    est = e.queries()["hll_distinct_users"](SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "user_id"])
+    exact = ev.groupby("event_type")["user_id"].nunique()
+    for _, r in est.iterrows():
+        assert abs(r.n_users_est - exact[r.event_type]) \
+            / exact[r.event_type] < 0.05
