@@ -1076,6 +1076,14 @@ def cluster_pair_metrics(labels_ds, *, pred_col: str = "pred",
         return parts.sum()
 
     a, b = fold("pred"), fold("truth")
+    if len(a) == 0 or int(a.get("n_records", 0)) == 0:
+        # empty input: all-zero metrics rather than a NaN crash (the
+        # empty-write lesson from sources/sink.py)
+        return pd.DataFrame({"metric": [
+            "b3_f1", "b3_precision", "b3_recall", "n_pred_clusters",
+            "n_records", "n_truth_clusters", "pairwise_f1",
+            "pairwise_precision", "pairwise_recall", "pred_pairs",
+            "tp_pairs", "truth_pairs"], "value": [0.0] * 12})
     n_rec, tp = int(a["n_records"]), int(a["tp_pairs"])
     pred_pairs, truth_pairs = int(a["cluster_pairs"]), int(b["cluster_pairs"])
     # final doubles: ONE pinned expression per metric, identical to SQL
