@@ -1044,7 +1044,11 @@ def cluster_pair_metrics(labels_ds, *, pred_col: str = "pred",
     cells = bucketed_sum(
         labels_ds.map_batches(cell_partials, batch_format="pyarrow"),
         ["pred", "truth"], ["n"], buckets=buckets,
-        bucket_on="pred").materialize()   # collapsed slim int rows
+        # pinned barrier consumed by BOTH scalar passes below; worst
+        # case (near-singleton clusters) is one 24 B row per record —
+        # ~2% of corpus bytes, object-store-spillable — vs re-deriving
+        # the full input twice
+        bucket_on="pred").materialize()
 
     def side_partials(g: pd.DataFrame, side: str) -> pd.DataFrame:
         n = g["n"].to_numpy().astype("int64")
