@@ -996,7 +996,9 @@ def corpus_line_dedup(ds, col: str = "text", id_col: str = "doc_id",
 
 def remove_duplicate_spans(docs_ds, n: int = 8, buckets: int = 64,
                            text_col: str = "text",
-                           id_col: str = "doc_id"):
+                           id_col: str = "doc_id",
+                           broadcast_limit: int = 20_000_000,
+                           force_join: bool = False):
     """Cross-document duplicate-SPAN removal — the acting counterpart
     of ``duplicate_ngram_coverage``'s diagnostic (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better",
@@ -1012,12 +1014,18 @@ def remove_duplicate_spans(docs_ds, n: int = 8, buckets: int = 64,
     co-locates all occurrences, so keeper election (`min doc_id` per
     hash) and drop emission are bucket-local: a row drops iff its
     doc_id differs from the hash's min — which already implies ≥2
-    distinct docs.  Drop positions then meet the documents in ONE
-    doc-hash bucketed union shuffle (the asof-join recipe: both sides
-    stream into the same exchange) where interval coverage is a
-    vectorized difference-array cumsum over the flat token axis.
-    Same 2⁻⁶⁴ rolling-hash collision caveat as ``duplicate_ngrams``
-    (the oracle compares n-gram STRINGS)."""
+    distinct docs.  The drop set is duplication-bounded (one row per
+    duplicated position, NOT per position), so below
+    ``broadcast_limit`` rows it is broadcast once (``ray.put`` of two
+    sorted int64 arrays) and the strip is a SHUFFLE-FREE map — text
+    never moves (the ``corpus_line_dedup`` recipe).  Above the limit,
+    drop positions meet the documents in ONE doc-hash bucketed union
+    shuffle (the asof-join recipe).  Both paths share the same
+    difference-array-cumsum strip kernel and emit identical results
+    (path-parity test).  Same 2⁻⁶⁴ rolling-hash collision caveat as
+    ``duplicate_ngrams`` (the oracle compares n-gram STRINGS)."""
+    import ray
+
     mix = np.uint64(0x9E3779B97F4A7C15)
 
     def emit(df: pd.DataFrame) -> pd.DataFrame:
@@ -1034,11 +1042,74 @@ def remove_duplicate_spans(docs_ds, n: int = 8, buckets: int = 64,
         d = g[g[id_col].to_numpy() != keeper.to_numpy()]
         return d[[id_col, "pos"]]
 
+    # pinned barrier: consumed by the count probe AND the chosen strip
+    # path (the containment-join lesson); rows are duplication-bounded
     drops = (docs_ds.map_batches(emit, batch_format="pandas")
              .groupby("_b").map_groups(
                  lambda g: bucket_drops(g.drop(columns=["_b"])),
-                 batch_format="pandas"))
+                 batch_format="pandas")).materialize()
 
+    def strip_docs(docs: pd.DataFrame, dpos: np.ndarray) -> pd.DataFrame:
+        """Shared strip kernel: ``dpos`` holds the FLAT token indices
+        (over this frame's concatenated tokens) where a duplicated
+        n-gram interval starts; coverage of the [p, p+n) intervals is
+        one difference-array cumsum."""
+        toks = docs[text_col].fillna("").str.split()
+        lengths = toks.str.len().fillna(0).astype("int64").to_numpy()
+        total = int(lengths.sum())
+        owner = np.repeat(np.arange(len(docs)), lengths)
+        flat = (np.concatenate(toks.to_numpy()) if total
+                else np.empty(0, dtype=object))
+        diff = np.zeros(total + n + 1, dtype="int64")
+        np.add.at(diff, dpos, 1)
+        np.add.at(diff, dpos + n, -1)
+        covered = np.cumsum(diff[:total]) > 0
+        kept = ~covered
+        joined = (pd.Series(flat[kept])
+                  .groupby(owner[kept], sort=False).agg(" ".join)
+                  if kept.any() else pd.Series([], dtype=object))
+        clean = pd.Series([""] * len(docs), dtype=object)
+        clean.iloc[joined.index.to_numpy()] = joined.to_numpy()
+        n_removed = np.bincount(owner[covered],
+                                minlength=len(docs)).astype("int64")
+        return pd.DataFrame({
+            id_col: docs[id_col].to_numpy(),
+            "clean_text": clean.to_numpy(),
+            "n_tokens": lengths,
+            "n_removed": n_removed})
+
+    def _doc_starts(docs: pd.DataFrame) -> np.ndarray:
+        lens = (docs[text_col].fillna("").str.split().str.len()
+                .fillna(0).astype("int64").to_numpy())
+        return np.cumsum(lens) - lens
+
+    if drops.count() <= broadcast_limit and not force_join:
+        # broadcast path: two sorted int64 arrays, strip shuffle-free
+        dd = drops.to_pandas()      # bounded by broadcast_limit rows
+        order = np.lexsort((dd["pos"].to_numpy(),
+                            dd[id_col].to_numpy()))
+        ref = ray.put((dd[id_col].to_numpy()[order],
+                       dd["pos"].to_numpy()[order].astype("int64")))
+
+        def strip(docs: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+            docs = docs.reset_index(drop=True)
+            did, dp = ray.get(_ref)
+            ids = docs[id_col].to_numpy()
+            lo = np.searchsorted(did, ids, side="left")
+            hi = np.searchsorted(did, ids, side="right")
+            cnt = hi - lo
+            rep = np.repeat(np.arange(len(docs)), cnt)
+            base = np.repeat(np.cumsum(cnt) - cnt, cnt)
+            take = np.repeat(lo, cnt) + (np.arange(int(cnt.sum()))
+                                         - base)
+            dpos = _doc_starts(docs)[rep] + dp[take]
+            return strip_docs(docs, dpos)
+
+        return docs_ds.map_batches(strip,
+                                   batch_format="pandas").sort(id_col)
+
+    # join path: drop positions meet the docs in ONE doc-hash bucketed
+    # union shuffle (text moves once)
     def _doc_bucket(ids: np.ndarray) -> np.ndarray:
         with np.errstate(over="ignore"):
             h = pd.util.hash_array(ids) * mix
@@ -1063,37 +1134,13 @@ def remove_duplicate_spans(docs_ds, n: int = 8, buckets: int = 64,
     def reassemble(g: pd.DataFrame) -> pd.DataFrame:
         docs = g[g["pos"] < 0].reset_index(drop=True)
         dr = g[g["pos"] >= 0]
-        toks = docs[text_col].fillna("").str.split()
-        lengths = toks.str.len().fillna(0).astype("int64").to_numpy()
-        total = int(lengths.sum())
-        starts = np.cumsum(lengths) - lengths
-        owner = np.repeat(np.arange(len(docs)), lengths)
-        flat = (np.concatenate(toks.to_numpy()) if total
-                else np.empty(0, dtype=object))
-        # map drop rows to their doc's flat offset; coverage of the
-        # [pos, pos+n) intervals via one difference-array cumsum
         row_of = pd.Series(np.arange(len(docs)),
                            index=docs[id_col].to_numpy())
-        dpos = (starts[row_of[dr[id_col].to_numpy()].to_numpy()]
+        dpos = (_doc_starts(docs)[row_of[dr[id_col].to_numpy()]
+                                  .to_numpy()]
                 + dr["pos"].to_numpy()) if len(dr) else \
             np.empty(0, dtype="int64")
-        diff = np.zeros(total + n + 1, dtype="int64")
-        np.add.at(diff, dpos, 1)
-        np.add.at(diff, dpos + n, -1)
-        covered = np.cumsum(diff[:total]) > 0
-        kept = ~covered
-        joined = (pd.Series(flat[kept])
-                  .groupby(owner[kept], sort=False).agg(" ".join)
-                  if kept.any() else pd.Series([], dtype=object))
-        clean = pd.Series([""] * len(docs), dtype=object)
-        clean.iloc[joined.index.to_numpy()] = joined.to_numpy()
-        n_removed = np.bincount(owner[covered],
-                                minlength=len(docs)).astype("int64")
-        return pd.DataFrame({
-            id_col: docs[id_col].to_numpy(),
-            "clean_text": clean.to_numpy(),
-            "n_tokens": lengths,
-            "n_removed": n_removed})
+        return strip_docs(docs, dpos)
 
     both = (drops.map_batches(tag_drops, batch_format="pandas")
             .union(docs_ds.map_batches(tag_docs, batch_format="pandas")))

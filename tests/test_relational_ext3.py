@@ -337,3 +337,22 @@ def test_dedup_spans_planted(ray_session):
         rd.data.from_pandas(docs).repartition(5), n=8, buckets=4)
         .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_dedup_spans_path_parity(ray_session):
+    """Broadcast strip ≡ union-shuffle strip on a corpus with real
+    duplication (sf0.001 documents)."""
+    import __ray_entry__ as e
+
+    from address_address_matching_ray.pipelines.text import (
+        remove_duplicate_spans,
+    )
+
+    a = (remove_duplicate_spans(_read_docs(), n=8)
+         .to_pandas().reset_index(drop=True))
+    b = (remove_duplicate_spans(_read_docs(), n=8, force_join=True)
+         .to_pandas().reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    exp = _con().execute(e.oracle_sql()["dedup_spans"]).fetchdf()
+    pd.testing.assert_frame_equal(a, exp, check_dtype=False,
+                                  check_exact=True)
