@@ -1144,6 +1144,14 @@ def _q_meta_blocking(sf_dir: str):
     return meta_blocking_pairs(sf_dir)
 
 
+def _q_name_qgram(sf_dir: str):
+    from address_address_matching_ray.pipelines.er_em import (
+        name_qgram_dice,
+    )
+
+    return name_qgram_dice(sf_dir)
+
+
 def _q_monge_elkan(sf_dir: str):
     from address_address_matching_ray.pipelines.er_em import (
         name_monge_elkan,
@@ -1318,6 +1326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_eval": _q_cluster_eval,
         "meta_blocking": _q_meta_blocking,
         "monge_elkan": _q_monge_elkan,
+        "name_qgram": _q_name_qgram,
         "golden_records": _q_golden_records,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "name_jaro": _q_name_jaro,
@@ -3352,6 +3361,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.c_custkey AS custkey_l, r.c_custkey AS custkey_r,
                    damerau_levenshtein(l.c_name, r.c_name)::BIGINT
                      AS dl_dist
+            FROM customer l JOIN customer r
+              ON l.c_nationkey = r.c_nationkey
+             AND l.c_custkey < r.c_custkey
+            ORDER BY custkey_l, custkey_r""",
+        # q-gram Dice: distinct-bigram set sizes are integers (DuckDB
+        # list comprehension + list_intersect), ONE pinned division
+        "name_qgram": """
+            SELECT l.c_custkey AS custkey_l, r.c_custkey AS custkey_r,
+                   CASE WHEN len(list_distinct(
+                          [l.c_name[i:i+1] FOR i IN
+                           range(1, len(l.c_name))]))
+                        + len(list_distinct(
+                          [r.c_name[i:i+1] FOR i IN
+                           range(1, len(r.c_name))])) = 0 THEN 0.0
+                   ELSE 2.0 * len(list_intersect(
+                          list_distinct([l.c_name[i:i+1] FOR i IN
+                                         range(1, len(l.c_name))]),
+                          list_distinct([r.c_name[i:i+1] FOR i IN
+                                         range(1, len(r.c_name))])))
+                        / (len(list_distinct(
+                            [l.c_name[i:i+1] FOR i IN
+                             range(1, len(l.c_name))]))
+                           + len(list_distinct(
+                            [r.c_name[i:i+1] FOR i IN
+                             range(1, len(r.c_name))])))
+                   END AS dice
             FROM customer l JOIN customer r
               ON l.c_nationkey = r.c_nationkey
              AND l.c_custkey < r.c_custkey

