@@ -472,3 +472,42 @@ def test_name_qgram_dice_oracle_and_properties(ray_session):
     # identical customer-name prefixes dominate: every blocked pair
     # shares 'Customer#0000...' so dice is high but < 1 for distinct
     assert d.min() > 0.5 and (d < 1.0).all()
+
+
+def test_meta_blocking_purge_path(ray_session):
+    """max_block_size small enough to purge the nation and segment
+    blocks at sf0.001 — only pairs evidenced by surviving blocks
+    remain, verified against a parameterized DuckDB replay."""
+    from address_address_matching_ray.pipelines.er_em import (
+        meta_blocking_pairs,
+    )
+
+    cap = 10
+    got = (meta_blocking_pairs(SF, max_block_size=cap)
+           .to_pandas().reset_index(drop=True))
+    exp = _con().execute(f"""
+        WITH c AS (SELECT c_custkey AS k, c_nationkey AS nk,
+                     CASE c_mktsegment
+                       WHEN 'AUTOMOBILE' THEN 0 WHEN 'BUILDING' THEN 1
+                       WHEN 'FURNITURE' THEN 2 WHEN 'HOUSEHOLD' THEN 3
+                       WHEN 'MACHINERY' THEN 4 ELSE 7 END AS sg
+                   FROM customer),
+        b AS (SELECT nk AS block_id, k FROM c
+              UNION ALL SELECT 4294967296 + sg, k FROM c
+              UNION ALL SELECT 2*4294967296 + nk*8 + sg, k FROM c),
+        sz AS (SELECT block_id, count(*) AS n FROM b GROUP BY block_id),
+        bp AS (SELECT b.block_id, b.k FROM b JOIN sz USING (block_id)
+               WHERE sz.n <= {cap}),
+        e AS (SELECT a.k AS l, b2.k AS r
+              FROM bp a JOIN bp b2 USING (block_id) WHERE a.k < b2.k),
+        w AS (SELECT l, r, count(*)::BIGINT AS w FROM e GROUP BY l, r),
+        tot AS (SELECT count(*)::BIGINT AS ne, sum(w)::BIGINT AS sw
+                FROM w)
+        SELECT l AS custkey_l, r AS custkey_r, w
+        FROM w, tot WHERE w * ne > sw
+        ORDER BY custkey_l, custkey_r""").fetchdf()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                  check_exact=True)
+    # purging reduced the evidence base vs the default cap
+    full = _q("meta_blocking")
+    assert len(got) < len(full) or len(full) == 0
