@@ -1144,6 +1144,14 @@ def _q_meta_blocking(sf_dir: str):
     return meta_blocking_pairs(sf_dir)
 
 
+def _q_posterior_calibration(sf_dir: str):
+    from address_address_matching_ray.pipelines.er_em import (
+        posterior_calibration,
+    )
+
+    return posterior_calibration(sf_dir)
+
+
 def _q_name_qgram(sf_dir: str):
     from address_address_matching_ray.pipelines.er_em import (
         name_qgram_dice,
@@ -1327,6 +1335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "meta_blocking": _q_meta_blocking,
         "monge_elkan": _q_monge_elkan,
         "name_qgram": _q_name_qgram,
+        "posterior_calibration": _q_posterior_calibration,
         "golden_records": _q_golden_records,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "name_jaro": _q_name_jaro,
@@ -3197,6 +3206,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT custkey_l, custkey_r, g_name, g_seg, g_bal,
                    num / (num + den_u) AS posterior
             FROM s ORDER BY custkey_l, custkey_r""",
+        # posterior calibration: same posterior CTE chain, bin =
+        # min(floor(p*20), 19), predicted mass as floor(p*1e6) int64
+        # micro-units, final ratios one pinned expression each
+        "posterior_calibration": """
+            WITH f AS (
+              SELECT c_custkey, c_nationkey,
+                     substr(c_name, length(c_name)-2, 3) AS name3,
+                     CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS cents,
+                     c_mktsegment AS seg
+              FROM customer),
+            p AS (
+              SELECT l.c_custkey AS custkey_l, r.c_custkey AS custkey_r,
+                     CASE WHEN l.name3 = r.name3 THEN 1 ELSE 0 END
+                       AS g_name,
+                     CASE WHEN l.seg = r.seg THEN 1 ELSE 0 END AS g_seg,
+                     CASE WHEN abs(l.cents - r.cents) < 10000 THEN 2
+                          WHEN abs(l.cents - r.cents) < 100000 THEN 1
+                          ELSE 0 END AS g_bal
+              FROM f l JOIN f r ON l.c_nationkey = r.c_nationkey
+                                AND l.c_custkey < r.c_custkey),
+            s AS (
+              SELECT *,
+                0.05::DOUBLE
+                  * (CASE g_name WHEN 0 THEN 0.15::DOUBLE
+                                 ELSE 0.85::DOUBLE END)
+                  * (CASE g_seg WHEN 0 THEN 0.25::DOUBLE
+                                ELSE 0.75::DOUBLE END)
+                  * (CASE g_bal WHEN 0 THEN 0.1::DOUBLE
+                                WHEN 1 THEN 0.3::DOUBLE
+                                ELSE 0.6::DOUBLE END) AS num,
+                (1.0::DOUBLE - 0.05::DOUBLE)
+                  * (CASE g_name WHEN 0 THEN 0.99::DOUBLE
+                                 ELSE 0.01::DOUBLE END)
+                  * (CASE g_seg WHEN 0 THEN 0.8::DOUBLE
+                                ELSE 0.2::DOUBLE END)
+                  * (CASE g_bal WHEN 0 THEN 0.7::DOUBLE
+                                WHEN 1 THEN 0.25::DOUBLE
+                                ELSE 0.05::DOUBLE END) AS den_u
+              FROM p),
+            sc AS (
+              SELECT custkey_l, custkey_r,
+                     num / (num + den_u) AS posterior
+              FROM s),
+            binned AS (
+              SELECT least(floor(posterior * 20.0)::BIGINT, 19)
+                       AS bin,
+                     CASE WHEN custkey_l % 50 = custkey_r % 50
+                          THEN 1 ELSE 0 END AS lab,
+                     floor(posterior * 1000000.0)::BIGINT AS p6
+              FROM sc)
+            SELECT bin, count(*)::BIGINT AS n_pairs,
+                   sum(lab)::BIGINT AS n_match,
+                   (sum(p6)::DOUBLE / 1000000.0) / count(*)
+                     AS avg_pred,
+                   sum(lab)::DOUBLE / count(*) AS frac_match
+            FROM binned GROUP BY bin ORDER BY bin""",
         # mutual-nearest-neighbor 1:1 assignment: same posterior CTE
         # chain (bit-identical doubles), argmax per entity over BOTH
         # pair directions with (posterior DESC, nbr ASC) tie-break,

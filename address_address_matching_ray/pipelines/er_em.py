@@ -157,6 +157,15 @@ def fs_posteriors(sf_dir: str, lam: float = FIXED_LAMBDA,
     ``lam * CASE.. * CASE.. * CASE..`` chain — per-row arithmetic has
     no summation-order hazard.  Stateless shuffle-free scoring map
     over ``pair_comparisons``."""
+    return _scored_pairs(sf_dir, lam, m, u).sort(
+        ["custkey_l", "custkey_r"])
+
+
+def _scored_pairs(sf_dir: str, lam: float = FIXED_LAMBDA,
+                  m=FIXED_M, u=FIXED_U):
+    """Unsorted posterior-scored pair stream (the ``fs_posteriors``
+    kernel without its presentation sort) — shared by calibration and
+    other consumers that bin/aggregate rather than list pairs."""
     fields = list(CUSTOMER_FIELDS)
     ma, ua = _as_param_arrays(m, u, fields)
 
@@ -176,8 +185,7 @@ def fs_posteriors(sf_dir: str, lam: float = FIXED_LAMBDA,
             "posterior": num / (num + den_u)})
 
     return (pair_comparisons(sf_dir)
-            .map_batches(score, batch_format="pyarrow")
-            .sort(["custkey_l", "custkey_r"]))
+            .map_batches(score, batch_format="pyarrow"))
 
 
 def fs_em(pairs_ds, fields: dict[str, int] | None = None,
@@ -1336,3 +1344,52 @@ def name_qgram_dice(sf_dir: str):
         lambda g: expand(g.drop(columns=["_b"])), batch_format="pandas")
         .map_batches(score, batch_format="pandas")
         .sort(["custkey_l", "custkey_r"]))
+
+
+def posterior_calibration(sf_dir: str, bins: int = 20,
+                          truth_mod: int = TRUTH_MOD,
+                          lam: float = FIXED_LAMBDA,
+                          m=FIXED_M, u=FIXED_U) -> pd.DataFrame:
+    """Reliability diagram of the Fellegi–Sunter posteriors against
+    the planted duplicate truth (``c_custkey % truth_mod``): per
+    posterior bin, how often pairs actually match — the calibration
+    check an ER team runs before trusting model scores as
+    probabilities (Niculescu-Mizil & Caruana 2005 framing; Splink's
+    "probability calibration" chart).
+
+    Exactness discipline: the posterior doubles are bit-identical to
+    the SQL chain (the ``fs_posteriors`` parity), bin assignment is
+    ``min(floor(p·bins), bins-1)`` computed identically, predicted
+    mass is summed as ``floor(p·1e6)`` int64 micro-units, and the two
+    final ratios are ONE pinned double expression each.  Shuffle
+    shape: per-batch combiner collapses to ≤ ``bins`` rows; the global
+    reduce is a bounded-enum groupby (the native path is fine at ≤20
+    keys) — scored pairs stream, nothing is listed or sorted."""
+    from ray.data.aggregate import Sum
+
+    scored = _scored_pairs(sf_dir, lam, m, u)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = df["posterior"].to_numpy()
+        b = np.minimum((p * bins).astype("int64"), bins - 1)
+        lab = ((df["custkey_l"].to_numpy() % truth_mod) ==
+               (df["custkey_r"].to_numpy() % truth_mod)).astype("int64")
+        p6 = np.floor(p * 1e6).astype("int64")
+        out = pd.DataFrame({"bin": b, "n_pairs": 1, "n_match": lab,
+                            "sum_p6": p6})
+        return out.groupby("bin", as_index=False, sort=False).sum()
+
+    agg = (scored.map_batches(partial, batch_format="pandas")
+           .groupby("bin")
+           .aggregate(Sum("n_pairs", alias_name="n_pairs"),
+                      Sum("n_match", alias_name="n_match"),
+                      Sum("sum_p6", alias_name="sum_p6"))
+           .sort("bin").to_pandas())    # ≤ bins rows — driver-safe
+    n = agg["n_pairs"].to_numpy().astype("int64")
+    return pd.DataFrame({
+        "bin": agg["bin"].to_numpy().astype("int64"),
+        "n_pairs": n,
+        "n_match": agg["n_match"].to_numpy().astype("int64"),
+        "avg_pred": (agg["sum_p6"].to_numpy().astype("int64")
+                     / 1e6) / n,
+        "frac_match": agg["n_match"].to_numpy().astype("int64") / n})

@@ -511,3 +511,20 @@ def test_meta_blocking_purge_path(ray_session):
     # purging reduced the evidence base vs the default cap
     full = _q("meta_blocking")
     assert len(got) < len(full) or len(full) == 0
+
+
+def test_posterior_calibration_oracle_and_mass(ray_session):
+    got = _q("posterior_calibration").reset_index(drop=True)
+    exp = _oracle("posterior_calibration")
+    for c in ["bin", "n_pairs", "n_match"]:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    for c in ["avg_pred", "frac_match"]:
+        assert (got[c].to_numpy().view("int64") ==
+                exp[c].to_numpy().view("int64")).all(), c
+    # mass conservation: bin pair counts sum to the scored-pair count
+    assert got["n_pairs"].sum() == len(_q("fs_posteriors"))
+    # avg_pred lies inside its bin's interval (quantization ≤ 1e-6)
+    lo = got["bin"].to_numpy() / 20.0 - 1e-6
+    hi = (got["bin"].to_numpy() + 1) / 20.0 + 1e-6
+    ap = got["avg_pred"].to_numpy()
+    assert ((ap >= lo) & (ap <= hi)).all()
