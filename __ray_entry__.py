@@ -3635,14 +3635,28 @@ def oracle_sql() -> dict[str, str]:
                FROM cells JOIN p USING (pred))::BIGINT AS b3pm,
               (SELECT sum((n*n*1000000) // nt)
                FROM cells JOIN t USING (truth))::BIGINT AS b3rm),
+            s2 AS (SELECT *,
+              (n_records * (n_records - 1) // 2)::BIGINT AS totp
+              FROM s),
             m AS (SELECT *,
               CASE WHEN pp > 0 THEN tp::DOUBLE / pp ELSE 0.0 END AS prec,
               CASE WHEN tpair > 0 THEN tp::DOUBLE / tpair
                    ELSE 0.0 END AS rec,
               (b3pm::DOUBLE / 1000000.0) / n_records AS b3p,
-              (b3rm::DOUBLE / 1000000.0) / n_records AS b3r
-              FROM s)
+              (b3rm::DOUBLE / 1000000.0) / n_records AS b3r,
+              CASE WHEN totp > 0
+                   THEN pp::DOUBLE * tpair::DOUBLE / totp::DOUBLE
+                   ELSE 0.0 END AS e_tp
+              FROM s2)
             SELECT * FROM (
+              SELECT 'ari' AS metric,
+                     CASE WHEN 0.5*(pp::DOUBLE + tpair::DOUBLE) - e_tp
+                               <> 0.0
+                          THEN (tp::DOUBLE - e_tp)
+                               / (0.5*(pp::DOUBLE + tpair::DOUBLE)
+                                  - e_tp)
+                          ELSE 0.0 END AS value FROM m
+              UNION ALL
               SELECT 'b3_f1' AS metric,
                      CASE WHEN b3p + b3r > 0
                           THEN 2.0*b3p*b3r/(b3p+b3r)

@@ -1092,10 +1092,11 @@ def cluster_pair_metrics(labels_ds, *, pred_col: str = "pred",
         # empty input: all-zero metrics rather than a NaN crash (the
         # empty-write lesson from sources/sink.py)
         return pd.DataFrame({"metric": [
-            "b3_f1", "b3_precision", "b3_recall", "n_pred_clusters",
-            "n_records", "n_truth_clusters", "pairwise_f1",
-            "pairwise_precision", "pairwise_recall", "pred_pairs",
-            "tp_pairs", "truth_pairs"], "value": [0.0] * 12})
+            "ari", "b3_f1", "b3_precision", "b3_recall",
+            "n_pred_clusters", "n_records", "n_truth_clusters",
+            "pairwise_f1", "pairwise_precision", "pairwise_recall",
+            "pred_pairs", "tp_pairs", "truth_pairs"],
+            "value": [0.0] * 13})
     n_rec, tp = int(a["n_records"]), int(a["tp_pairs"])
     pred_pairs, truth_pairs = int(a["cluster_pairs"]), int(b["cluster_pairs"])
     # final doubles: ONE pinned expression per metric, identical to SQL
@@ -1105,12 +1106,19 @@ def cluster_pair_metrics(labels_ds, *, pred_col: str = "pred",
     b3p = (int(a["b3_microsum"]) / float(micro)) / n_rec
     b3r = (int(b["b3_microsum"]) / float(micro)) / n_rec
     b3f = 2.0 * b3p * b3r / (b3p + b3r) if (b3p + b3r) > 0 else 0.0
+    # Adjusted Rand Index (Hubert & Arabie 1985) from the same pair
+    # sums; expected-index term and both ratios in pinned double order
+    tot_pairs = n_rec * (n_rec - 1) // 2
+    e = (float(pred_pairs) * float(truth_pairs) / float(tot_pairs)
+         if tot_pairs else 0.0)
+    ari_den = 0.5 * (float(pred_pairs) + float(truth_pairs)) - e
+    ari = (float(tp) - e) / ari_den if ari_den != 0.0 else 0.0
     out = pd.DataFrame({"metric": [
-        "b3_f1", "b3_precision", "b3_recall", "n_pred_clusters",
-        "n_records", "n_truth_clusters", "pairwise_f1",
-        "pairwise_precision", "pairwise_recall", "pred_pairs",
-        "tp_pairs", "truth_pairs"],
-        "value": [b3f, b3p, b3r, float(int(a["n_clusters"])),
+        "ari", "b3_f1", "b3_precision", "b3_recall",
+        "n_pred_clusters", "n_records", "n_truth_clusters",
+        "pairwise_f1", "pairwise_precision", "pairwise_recall",
+        "pred_pairs", "tp_pairs", "truth_pairs"],
+        "value": [ari, b3f, b3p, b3r, float(int(a["n_clusters"])),
                   float(n_rec), float(int(b["n_clusters"])), f1, p, r,
                   float(pred_pairs), float(tp), float(truth_pairs)]})
     return out

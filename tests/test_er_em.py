@@ -528,3 +528,35 @@ def test_posterior_calibration_oracle_and_mass(ray_session):
     hi = (got["bin"].to_numpy() + 1) / 20.0 + 1e-6
     ap = got["avg_pred"].to_numpy()
     assert ((ap >= lo) & (ap <= hi)).all()
+
+
+def test_cluster_eval_ari_bruteforce(ray_session):
+    """ARI against sklearn-free brute force on a planted labels table:
+    identical clusterings give ARI 1.0; independent ones near 0."""
+    import ray
+
+    from address_address_matching_ray.pipelines.er_em import (
+        cluster_pair_metrics,
+    )
+
+    rng = np.random.default_rng(11)
+    same = rng.integers(0, 6, 300)
+    m = cluster_pair_metrics(
+        ray.data.from_pandas(pd.DataFrame({"pred": same, "truth": same})),
+        buckets=4)
+    vals = dict(zip(m["metric"], m["value"]))
+    assert vals["ari"] == 1.0
+    # brute-force Hubert-Arabie on a random pair of labelings
+    lab = pd.DataFrame({"pred": rng.integers(0, 9, 400),
+                        "truth": rng.integers(0, 7, 400)})
+    m2 = cluster_pair_metrics(ray.data.from_pandas(lab), buckets=8)
+    v2 = dict(zip(m2["metric"], m2["value"]))
+    cells = lab.groupby(["pred", "truth"]).size()
+    tp = sum(c * (c - 1) // 2 for c in cells)
+    pp = sum(c * (c - 1) // 2 for c in lab.groupby("pred").size())
+    tr = sum(c * (c - 1) // 2 for c in lab.groupby("truth").size())
+    tot = 400 * 399 // 2
+    e = float(pp) * float(tr) / float(tot)
+    ari = (float(tp) - e) / (0.5 * (float(pp) + float(tr)) - e)
+    assert v2["ari"] == ari
+    assert abs(v2["ari"]) < 0.2   # independent labelings: near zero
