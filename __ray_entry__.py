@@ -3663,6 +3663,8 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 0.0 END AS value FROM m
               UNION ALL SELECT 'b3_precision', b3p FROM m
               UNION ALL SELECT 'b3_recall', b3r FROM m
+              UNION ALL SELECT 'fowlkes_mallows',
+                        sqrt(prec * rec) FROM m
               UNION ALL SELECT 'n_pred_clusters', n_pred::DOUBLE FROM m
               UNION ALL SELECT 'n_records', n_records::DOUBLE FROM m
               UNION ALL SELECT 'n_truth_clusters', n_truth::DOUBLE FROM m

@@ -1093,10 +1093,10 @@ def cluster_pair_metrics(labels_ds, *, pred_col: str = "pred",
         # empty-write lesson from sources/sink.py)
         return pd.DataFrame({"metric": [
             "ari", "b3_f1", "b3_precision", "b3_recall",
-            "n_pred_clusters", "n_records", "n_truth_clusters",
-            "pairwise_f1", "pairwise_precision", "pairwise_recall",
-            "pred_pairs", "tp_pairs", "truth_pairs"],
-            "value": [0.0] * 13})
+            "fowlkes_mallows", "n_pred_clusters", "n_records",
+            "n_truth_clusters", "pairwise_f1", "pairwise_precision",
+            "pairwise_recall", "pred_pairs", "tp_pairs",
+            "truth_pairs"], "value": [0.0] * 14})
     n_rec, tp = int(a["n_records"]), int(a["tp_pairs"])
     pred_pairs, truth_pairs = int(a["cluster_pairs"]), int(b["cluster_pairs"])
     # final doubles: ONE pinned expression per metric, identical to SQL
@@ -1113,12 +1113,15 @@ def cluster_pair_metrics(labels_ds, *, pred_col: str = "pred",
          if tot_pairs else 0.0)
     ari_den = 0.5 * (float(pred_pairs) + float(truth_pairs)) - e
     ari = (float(tp) - e) / ari_den if ari_den != 0.0 else 0.0
+    # Fowlkes-Mallows = sqrt(precision * recall); IEEE sqrt is
+    # correctly rounded, so the double matches SQL bit-for-bit
+    fm = math.sqrt(p * r)
     out = pd.DataFrame({"metric": [
         "ari", "b3_f1", "b3_precision", "b3_recall",
-        "n_pred_clusters", "n_records", "n_truth_clusters",
-        "pairwise_f1", "pairwise_precision", "pairwise_recall",
-        "pred_pairs", "tp_pairs", "truth_pairs"],
-        "value": [ari, b3f, b3p, b3r, float(int(a["n_clusters"])),
+        "fowlkes_mallows", "n_pred_clusters", "n_records",
+        "n_truth_clusters", "pairwise_f1", "pairwise_precision",
+        "pairwise_recall", "pred_pairs", "tp_pairs", "truth_pairs"],
+        "value": [ari, b3f, b3p, b3r, fm, float(int(a["n_clusters"])),
                   float(n_rec), float(int(b["n_clusters"])), f1, p, r,
                   float(pred_pairs), float(tp), float(truth_pairs)]})
     return out
