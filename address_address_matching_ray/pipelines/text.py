@@ -167,9 +167,22 @@ def approx_word_frequencies(docs_ds, text_col: str = "text",
             .head(top_k).reset_index(drop=True))
 
 
+def _bucket_ids(ids: np.ndarray, buckets: int) -> np.ndarray:
+    """Doc-id → hash bucket, dtype-general: golden-ratio multiply for
+    integer ids (the ``corpus_line_dedup`` convention), siphash via
+    ``pd.util.hash_array`` for strings."""
+    if np.issubdtype(ids.dtype, np.integer):
+        with np.errstate(over="ignore"):
+            h = ids.astype("uint64") * np.uint64(0x9E3779B97F4A7C15)
+    else:
+        h = pd.util.hash_array(np.asarray(ids, dtype=object))
+    return (h % np.uint64(buckets)).astype("int64")
+
+
 def tfidf_top_terms(docs_ds, n_docs: int | None = None,
                     text_col: str = "text", id_col: str = "doc_id",
-                    k: int = 3, max_vocab: int = 50_000_000):
+                    k: int = 3, max_vocab: int = 50_000_000,
+                    buckets: int = 64, force_join: bool = False):
     """Per-doc top-k TF-IDF terms (the corpus keyword-extraction op):
     tf = in-doc count, idf = ln(N/df), score rounded to 1e-6, ties
     broken term-ascending.
@@ -178,12 +191,19 @@ def tfidf_top_terms(docs_ds, n_docs: int | None = None,
 
     1. document frequencies — per-batch distinct (doc, term) explode →
        partial term counts (each doc lives wholly in one batch, so
-       partials sum exactly) → one groupby; the df table is broadcast
-       via ``ray.put`` (``max_vocab`` guards the driver pull — beyond
-       it, bucket terms as in ``word_frequencies`` and attach idf with
-       a bucketed join instead).
+       partials sum exactly) → one groupby; below ``max_vocab`` terms
+       the df table is broadcast via ``ray.put``.
     2. fused tf + per-doc top-k inside ONE map_batches call, so a doc's
        terms are never split across tasks and no per-doc shuffle exists.
+
+    Above ``max_vocab`` (real 100-TB webtext vocabularies — typo
+    tokens, URLs, code — blow past any broadcast) or under
+    ``force_join`` the idf attach switches to the scale path: the
+    exploded (doc, term, tf) stream joins the df table inside the term
+    hash buckets both sides already carry, then ONE doc-hash bucket
+    shuffle co-locates each doc's scored terms for the top-k.  Scores
+    are single multiplies (order-free), so both paths emit identical
+    rows (path-parity tested with a forced tiny gate).
     """
     import ray
 
@@ -204,47 +224,129 @@ def tfidf_top_terms(docs_ds, n_docs: int | None = None,
         # shuffle the full distinct-term STRING key space (the
         # corpus_line_dedup lesson; webtext vocabularies are ~100M)
         h = pd.util.hash_array(out["term"].to_numpy(object))
-        out["_b"] = (h % np.uint64(64)).astype("int64")
+        out["_b"] = (h % np.uint64(buckets)).astype("int64")
         return out
 
     dfreq = (docs_ds.map_batches(df_batch, batch_format="pandas")
              .groupby("_b").map_groups(
                  lambda g: g.groupby("term", sort=False, as_index=False)
                  ["df"].sum(),
-                 batch_format="pandas"))
+                 batch_format="pandas")
+             # both paths consume dfreq after count(); without this the
+             # counting shuffle would run twice
+             .materialize())
     n_vocab = dfreq.count()
-    if n_vocab > max_vocab:
-        raise NotImplementedError(
-            f"vocabulary {n_vocab} exceeds the broadcast gate {max_vocab}; "
-            "use the bucketed-join idf attach")
-    dfp = dfreq.to_pandas()
-    idf = pd.Series(np.log(n_docs / dfp["df"].to_numpy(np.float64)),
-                    index=dfp["term"].to_numpy(object))
-    lookup = ray.put(idf)
 
-    def topk_batch(df: pd.DataFrame) -> pd.DataFrame:
-        s = get_cached(lookup)
+    if n_vocab <= max_vocab and not force_join:
+        dfp = dfreq.to_pandas()
+        idf = pd.Series(np.log(n_docs / dfp["df"].to_numpy(np.float64)),
+                        index=dfp["term"].to_numpy(object))
+        lookup = ray.put(idf)
+
+        def topk_batch(df: pd.DataFrame) -> pd.DataFrame:
+            s = get_cached(lookup)
+            df = df.reset_index(drop=True)
+            ex = (df[text_col].fillna("").str.lower().str.split()
+                  .explode().dropna())
+            t = pd.DataFrame({"_r": ex.index.to_numpy(np.int64),
+                              "term": ex.to_numpy(object)})
+            g = (t.groupby(["_r", "term"], sort=False).size()
+                 .reset_index(name="tf"))
+            g["score"] = np.round(
+                g["tf"].to_numpy(np.float64)
+                * s.reindex(g["term"].to_numpy(object))
+                .to_numpy(np.float64), 6)
+            g = g.sort_values(["_r", "score", "term"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+            top = g.groupby("_r", sort=False).head(k).copy()
+            top["rank"] = top.groupby("_r", sort=False).cumcount() + 1
+            return pd.DataFrame({
+                id_col: df[id_col].to_numpy()[top["_r"].to_numpy()],
+                "term": top["term"].to_numpy(object),
+                "score": top["score"].to_numpy(),
+                "rank": top["rank"].astype("int64").to_numpy()})
+
+        return (docs_ds.map_batches(topk_batch, batch_format="pandas")
+                .sort([id_col, "rank"]))
+
+    # --- bucketed-join idf attach (the >max_vocab scale path) ------
+    # Shuffle rows are slim: (doc_id, term, tf int64) on the left and
+    # the (term, df) vocab shard on the right, both already hashed
+    # into the same term buckets; the per-doc top-k then needs exactly
+    # one more shuffle keyed on doc-id hash.  idf = ln(n_docs/df) and
+    # score = round(tf·idf, 6) are the same scalar expressions as the
+    # broadcast path, so outputs are bit-identical.
+    # schema probe is metadata-cheap on the read/map lineages these
+    # query surfaces feed; the placeholder id on the df side must
+    # match the left dtype so the union has one block schema
+    _sch = docs_ds.schema()
+    id_dtype = np.dtype(dict(zip(_sch.names, _sch.types))[id_col]
+                        .to_pandas_dtype())
+    def tf_rows(df: pd.DataFrame) -> pd.DataFrame:
         df = df.reset_index(drop=True)
         ex = (df[text_col].fillna("").str.lower().str.split()
               .explode().dropna())
         t = pd.DataFrame({"_r": ex.index.to_numpy(np.int64),
                           "term": ex.to_numpy(object)})
-        g = t.groupby(["_r", "term"], sort=False).size().reset_index(name="tf")
-        g["score"] = np.round(
-            g["tf"].to_numpy(np.float64)
-            * s.reindex(g["term"].to_numpy(object)).to_numpy(np.float64), 6)
-        g = g.sort_values(["_r", "score", "term"],
-                          ascending=[True, False, True], kind="mergesort")
-        top = g.groupby("_r", sort=False).head(k).copy()
-        top["rank"] = top.groupby("_r", sort=False).cumcount() + 1
-        return pd.DataFrame({
-            id_col: df[id_col].to_numpy()[top["_r"].to_numpy()],
-            "term": top["term"].to_numpy(object),
-            "score": top["score"].to_numpy(),
-            "rank": top["rank"].astype("int64").to_numpy()})
+        g = (t.groupby(["_r", "term"], sort=False).size()
+             .reset_index(name="tf"))
+        out = pd.DataFrame({
+            id_col: df[id_col].to_numpy()[g["_r"].to_numpy()],
+            "term": g["term"].to_numpy(object),
+            "tf": g["tf"].to_numpy().astype("int64")})
+        h = pd.util.hash_array(out["term"].to_numpy(object))
+        out["_b"] = (h % np.uint64(buckets)).astype("int64")
+        out["_side"] = np.int64(0)
+        return out
 
-    return (docs_ds.map_batches(topk_batch, batch_format="pandas")
-            .sort([id_col, "rank"]))
+    def df_side(df: pd.DataFrame) -> pd.DataFrame:
+        if np.issubdtype(id_dtype, np.number):
+            pad = np.zeros(len(df), dtype=id_dtype)
+        else:
+            pad = np.full(len(df), "", dtype=object)
+        out = pd.DataFrame({
+            id_col: pad,
+            "term": df["term"].to_numpy(object),
+            "tf": df["df"].to_numpy().astype("int64")})
+        h = pd.util.hash_array(out["term"].to_numpy(object))
+        out["_b"] = (h % np.uint64(buckets)).astype("int64")
+        out["_side"] = np.int64(1)
+        return out
+
+    def attach_idf(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["_side"] == 0]
+        right = g[g["_side"] == 1]
+        idf = pd.Series(
+            np.log(n_docs / right["tf"].to_numpy(np.float64)),
+            index=right["term"].to_numpy(object))
+        out = pd.DataFrame({
+            id_col: left[id_col].to_numpy(),
+            "term": left["term"].to_numpy(object),
+            "score": np.round(
+                left["tf"].to_numpy(np.float64)
+                * idf.reindex(left["term"].to_numpy(object))
+                .to_numpy(np.float64), 6)})
+        out["_d"] = _bucket_ids(out[id_col].to_numpy(), buckets)
+        return out
+
+    def doc_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "score", "term"],
+                          ascending=[True, False, True], kind="mergesort")
+        top = g.groupby(id_col, sort=False).head(k).copy()
+        top["rank"] = (top.groupby(id_col, sort=False).cumcount() + 1
+                       ).astype("int64")
+        return top[[id_col, "term", "score", "rank"]]
+
+    scored = (docs_ds.map_batches(tf_rows, batch_format="pandas")
+              .union(dfreq.map_batches(df_side, batch_format="pandas"))
+              .groupby("_b").map_groups(
+                  lambda g: attach_idf(g.drop(columns=["_b"])),
+                  batch_format="pandas"))
+    return (scored.groupby("_d").map_groups(
+        lambda g: doc_topk(g.drop(columns=["_d"])),
+        batch_format="pandas")
+        .sort([id_col, "rank"]))
 
 
 def bigram_counts(docs_ds, text_col: str = "text", top_k: int = 20,
@@ -322,17 +424,29 @@ def host_page_counts(pages_ds, top_k: int = 20, buckets: int = 64):
 
 def doc_unigram_logprob(docs_ds, text_col: str = "text",
                         id_col: str = "doc_id",
-                        max_vocab: int = 50_000_000):
+                        max_vocab: int = 50_000_000,
+                        buckets: int = 64, force_join: bool = False):
     """Per-doc cross-entropy under the corpus unigram LM (the classic
     cheap LM-quality score): xent = mean over tokens of
     −ln(count(w)/total_words).  Two vectorized passes, both reusing the
     ``word_frequencies`` combiner shape:
 
     1. corpus term counts (per-batch partials → one groupby) →
-       broadcast log-probability table via ``ray.put`` (``max_vocab``
-       gated; beyond it attach with a bucketed join);
+       broadcast log-probability table via ``ray.put`` below
+       ``max_vocab``;
     2. per-doc token explode + reindex against the worker-cached table,
        ``reduceat`` mean per doc — one map_batches, no per-doc state.
+
+    Above ``max_vocab`` terms (or under ``force_join``) the attach
+    switches to the bucketed-join scale path: per-token
+    (doc, pos, term) rows join the count table inside the term hash
+    buckets both already carry, then ONE doc-hash bucket shuffle
+    re-assembles each doc and ``reduceat``s its −log p values sorted
+    by the carried token position — the SAME addition order as the
+    broadcast path, so xent is bit-identical (path-parity tested with
+    a forced tiny gate).  The join path ships one slim row per token
+    (~24 B); that is the honest cost of an exact >50M-vocab corpus
+    pass and it streams through both shuffles.
     """
     import ray
 
@@ -346,48 +460,132 @@ def doc_unigram_logprob(docs_ds, text_col: str = "text",
         # term-hash buckets, not a distinct-STRING-key Ray groupby
         # (the corpus_line_dedup lesson)
         h = pd.util.hash_array(out["term"].to_numpy(object))
-        out["_b"] = (h % np.uint64(64)).astype("int64")
+        out["_b"] = (h % np.uint64(buckets)).astype("int64")
         return out
 
     freq = (docs_ds.map_batches(partial, batch_format="pandas")
             .groupby("_b").map_groups(
                 lambda g: g.groupby("term", sort=False, as_index=False)
                 ["cnt"].sum(),
-                batch_format="pandas"))
+                batch_format="pandas")
+            # consumed again after count() (to_pandas or join side)
+            .materialize())
     n_vocab = freq.count()
-    if n_vocab > max_vocab:
-        raise NotImplementedError(
-            f"vocabulary {n_vocab} exceeds the broadcast gate {max_vocab}; "
-            "attach log-probs with a bucketed join instead")
-    fp = freq.to_pandas()
-    total = float(fp["cnt"].sum())
-    logp = pd.Series(np.log(fp["cnt"].to_numpy(np.float64) / total),
-                     index=fp["term"].to_numpy(object))
-    lookup = ray.put(logp)
 
-    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
-        lp = get_cached(lookup)
+    if n_vocab <= max_vocab and not force_join:
+        fp = freq.to_pandas()
+        total = float(fp["cnt"].sum())
+        logp = pd.Series(np.log(fp["cnt"].to_numpy(np.float64) / total),
+                         index=fp["term"].to_numpy(object))
+        lookup = ray.put(logp)
+
+        def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+            lp = get_cached(lookup)
+            df = df.reset_index(drop=True)
+            ex = (df[text_col].fillna("").str.lower().str.split()
+                  .explode().dropna())
+            if len(ex) == 0:
+                return pd.DataFrame({
+                    id_col: pd.Series([], dtype=df[id_col].dtype),
+                    "n_tokens": pd.Series([], dtype="int64"),
+                    "xent": pd.Series([], dtype="float64")})
+            rows = ex.index.to_numpy(np.int64)
+            v = -lp.reindex(ex.to_numpy(object)).to_numpy(np.float64)
+            starts = np.flatnonzero(np.diff(rows, prepend=-1))
+            sums = np.add.reduceat(v, starts)
+            n = np.diff(np.append(starts, len(v))).astype("int64")
+            present = rows[starts]
+            return pd.DataFrame({
+                id_col: df[id_col].to_numpy()[present],
+                "n_tokens": n,
+                "xent": np.round(sums / n, 6)})
+
+        return (docs_ds.map_batches(per_doc, batch_format="pandas")
+                .sort(id_col))
+
+    # --- bucketed-join log-prob attach (the >max_vocab scale path) --
+    total = float(freq.sum("cnt"))
+    _sch = docs_ds.schema()
+    id_dtype = np.dtype(dict(zip(_sch.names, _sch.types))[id_col]
+                        .to_pandas_dtype())
+
+    def tok_rows(df: pd.DataFrame) -> pd.DataFrame:
         df = df.reset_index(drop=True)
         ex = (df[text_col].fillna("").str.lower().str.split()
               .explode().dropna())
-        if len(ex) == 0:
+        rows = ex.index.to_numpy(np.int64)
+        if len(rows):
+            seg = np.flatnonzero(np.diff(rows, prepend=-1))
+            pos = np.arange(len(rows)) - np.repeat(
+                seg, np.diff(np.append(seg, len(rows))))
+        else:
+            pos = np.empty(0, dtype="int64")
+        out = pd.DataFrame({
+            id_col: df[id_col].to_numpy()[rows],
+            # pos carries the doc-local token index on side 0 and the
+            # corpus count on side 1 (one shared int64 slot per side)
+            "pos": pos.astype("int64"),
+            "term": ex.to_numpy(object)})
+        h = pd.util.hash_array(out["term"].to_numpy(object))
+        out["_b"] = (h % np.uint64(buckets)).astype("int64")
+        out["_side"] = np.int64(0)
+        return out
+
+    def cnt_side(df: pd.DataFrame) -> pd.DataFrame:
+        if np.issubdtype(id_dtype, np.number):
+            pad = np.zeros(len(df), dtype=id_dtype)
+        else:
+            pad = np.full(len(df), "", dtype=object)
+        out = pd.DataFrame({
+            id_col: pad,
+            "pos": df["cnt"].to_numpy().astype("int64"),
+            "term": df["term"].to_numpy(object)})
+        h = pd.util.hash_array(out["term"].to_numpy(object))
+        out["_b"] = (h % np.uint64(buckets)).astype("int64")
+        out["_side"] = np.int64(1)
+        return out
+
+    def attach_logp(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["_side"] == 0]
+        right = g[g["_side"] == 1]
+        lp = pd.Series(
+            np.log(right["pos"].to_numpy(np.float64) / total),
+            index=right["term"].to_numpy(object))
+        out = pd.DataFrame({
+            id_col: left[id_col].to_numpy(),
+            "pos": left["pos"].to_numpy().astype("int64"),
+            "v": -lp.reindex(left["term"].to_numpy(object))
+            .to_numpy(np.float64)})
+        out["_d"] = _bucket_ids(out[id_col].to_numpy(), buckets)
+        return out
+
+    def doc_xent(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
             return pd.DataFrame({
-                id_col: pd.Series([], dtype=df[id_col].dtype),
+                id_col: pd.Series([], dtype=g[id_col].dtype),
                 "n_tokens": pd.Series([], dtype="int64"),
                 "xent": pd.Series([], dtype="float64")})
-        rows = ex.index.to_numpy(np.int64)
-        v = -lp.reindex(ex.to_numpy(object)).to_numpy(np.float64)
-        starts = np.flatnonzero(np.diff(rows, prepend=-1))
+        g = g.sort_values([id_col, "pos"], kind="mergesort")
+        ids = g[id_col].to_numpy()
+        v = g["v"].to_numpy(np.float64)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(ids[1:] != ids[:-1]) + 1])
         sums = np.add.reduceat(v, starts)
         n = np.diff(np.append(starts, len(v))).astype("int64")
-        present = rows[starts]
         return pd.DataFrame({
-            id_col: df[id_col].to_numpy()[present],
+            id_col: ids[starts],
             "n_tokens": n,
             "xent": np.round(sums / n, 6)})
 
-    return (docs_ds.map_batches(per_doc, batch_format="pandas")
-            .sort(id_col))
+    attached = (docs_ds.map_batches(tok_rows, batch_format="pandas")
+                .union(freq.map_batches(cnt_side, batch_format="pandas"))
+                .groupby("_b").map_groups(
+                    lambda g: attach_logp(g.drop(columns=["_b"])),
+                    batch_format="pandas"))
+    return (attached.groupby("_d").map_groups(
+        lambda g: doc_xent(g.drop(columns=["_d"])),
+        batch_format="pandas")
+        .sort(id_col))
 
 
 _NG_BASE = np.uint64(1099511628211)

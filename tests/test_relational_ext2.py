@@ -470,3 +470,32 @@ def test_new_ops_empty_and_edge_inputs(ray_session):
         "text": ["single", "", "two words"]}))
     bg = bigram_counts(one_tok).to_pandas().reset_index(drop=True)
     assert bg["bigram"].tolist() == ["two words"]
+
+
+def test_tfidf_and_logprob_join_path_parity(ray_session):
+    """VERDICT r4 item #1: the >max_vocab bucketed-join attach must be
+    bit-identical to the broadcast path.  Forcing ``max_vocab=100``
+    takes the join path through the gate itself (sf0.001 vocab is far
+    larger), and ``force_join=True`` exercises the explicit override;
+    both must reproduce the broadcast-path rows exactly."""
+    from address_address_matching_ray.pipelines.relational import read
+    from address_address_matching_ray.pipelines.text import (
+        doc_unigram_logprob,
+        tfidf_top_terms,
+    )
+
+    def docs():
+        return read(SF, "documents", columns=["doc_id", "text"])
+
+    base = tfidf_top_terms(docs()).to_pandas().reset_index(drop=True)
+    gated = (tfidf_top_terms(docs(), max_vocab=100)
+             .to_pandas().reset_index(drop=True))
+    pd.testing.assert_frame_equal(base, gated[base.columns])
+    forced = (tfidf_top_terms(docs(), force_join=True)
+              .to_pandas().reset_index(drop=True))
+    pd.testing.assert_frame_equal(base, forced[base.columns])
+
+    xb = doc_unigram_logprob(docs()).to_pandas().reset_index(drop=True)
+    xg = (doc_unigram_logprob(docs(), max_vocab=100)
+          .to_pandas().reset_index(drop=True))
+    pd.testing.assert_frame_equal(xb, xg[xb.columns])
