@@ -35,9 +35,14 @@ class PairScorer:
         n = batch.num_rows
         get = lambda c: batch[c].to_pandas().fillna("").to_numpy(dtype=object)
 
-        q = {"street": np.array(
-                [" ".join(p for p in (a, b) if p) for a, b in
-                 zip(get("l_street_name"), get("l_street_type"))], dtype=object),
+        # "name type" joined over the nonempty parts, vectorized (the
+        # r4 VERDICT item: this ran at interpreter rate per pair)
+        sn, st = get("l_street_name"), get("l_street_type")
+        both = (pd.Series(sn, dtype=object) + " "
+                + pd.Series(st, dtype=object)).to_numpy(dtype=object)
+        street = np.where(sn != "", np.where(st != "", both, sn), st)
+
+        q = {"street": street.astype(object),
              "house": get("l_house"), "unit": get("l_unit"),
              "city": get("l_city"), "state": get("l_state"), "zip": get("l_zip")}
         r = {"street_name": get("r_street_name"), "street_type": get("r_street_type"),
@@ -50,12 +55,12 @@ class PairScorer:
 
         # similarity on pre-normalized full addresses; equality fast path
         l_na, r_na = get("l_norm_addr"), get("r_norm_addr")
-        eq = np.array([a == b for a, b in zip(l_na, r_na)])
+        eq = np.asarray(l_na == r_na, dtype=bool)
         similarity = np.full(n, 100.0)
         nz = np.nonzero(~eq)[0]
         if len(nz):
             similarity[nz] = fuzzy.apply_unique_pairs(
-                fuzzy.batch_ratio, [l_na[i] for i in nz], [r_na[i] for i in nz])
+                fuzzy.batch_ratio, l_na[nz], r_na[nz])
 
         exact = scoring.exactness(similarity, confidence, comp)
         tier = scoring.assign_tier(confidence)
