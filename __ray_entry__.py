@@ -387,6 +387,34 @@ def _q_sessions(sf_dir: str):
     return user_sessions(sf_dir)
 
 
+def _q_match_queries_jaro(sf_dir: str):
+    """The match cascade with the SQL-replayable Jaro scorer (VERDICT
+    r4 #4): key families, per-tier caps, cross pairs, dedup, ladder
+    floor, wrong-unit veto and the priority-sort winner all run through
+    the SAME ``_match_core`` as ``match_queries`` — this surface makes
+    that machinery hash-checkable end-to-end in DuckDB."""
+    import ray.data as rd
+    from address_address_matching_ray.pipelines.matching import (
+        match_queries_jaro,
+    )
+
+    parts = rd.read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_name", "p_type",
+                                     "p_size"])
+    out = match_queries_jaro(parts, buckets=8)
+
+    def proj(df):
+        import pandas as pd
+        return pd.DataFrame({
+            "query_id": df["query_id"].to_numpy("int64"),
+            "pid": df["pid"].astype(str),
+            "match_level": df["match_level"].astype(str),
+            "confidence": df["confidence"].to_numpy("float64"),
+            "similarity": df["similarity"].to_numpy("float64")})
+
+    return out.map_batches(proj, batch_format="pandas").sort("query_id")
+
+
 def _q_match_queries(sf_dir: str):
     """The reference's primary API shape: free-text queries vs an
     address-records table (round-trip self-match, U:1656 analog)."""
@@ -1353,6 +1381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_by_brand": _q_parts_by_brand,
         "region_supplier_balance": _q_region_supplier_balance,
         "match_queries": _q_match_queries,
+        "match_queries_jaro": _q_match_queries_jaro,
         # multimodal plumbing (deterministic fake decode)
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
@@ -3405,6 +3434,110 @@ def oracle_sql() -> dict[str, str]:
         # fuzzy metric, oracled: pure Jaro is engine-identical (the
         # Winkler prefix boost is what differs -- rapidfuzz boosts
         # unconditionally, classic/DuckDB gates at 0.7)
+        # the match cascade end-to-end (VERDICT r4 #4): pseudo-address
+        # derivation, 4 key families, per-tier caps (row_number over
+        # pid), distinct pairs, jaro scoring with ONE pinned weighted
+        # sum, ladder floor + wrong-unit veto, priority-sort winner --
+        # every expression mirrors matching._jaro_* / _score_candidates_jaro
+        "match_queries_jaro": f"""
+            WITH base AS (
+              SELECT p_partkey AS ck,
+                     {_norm_expr("p_name || ' ' || p_type")} AS street0,
+                     cast(p_partkey % 90 + 10 AS VARCHAR) AS house,
+                     'city' || cast(p_size % 25 AS VARCHAR) AS city,
+                     cast((p_size % 25) % 10 AS VARCHAR) AS state,
+                     cast(10 + p_size % 25 AS VARCHAR) AS zip
+              FROM part),
+            r0 AS (
+              SELECT cast(ck AS VARCHAR) AS pid, street0 AS street,
+                     house, city, state, zip,
+                     CASE WHEN ck % 3 = 0 THEN ''
+                          ELSE cast(ck % 7 AS VARCHAR) END AS unit
+              FROM base),
+            r AS (SELECT *, trim(regexp_replace(house || ' ' || street
+                     || ' ' || city || ' ' || state || ' ' || zip,
+                     '\\s+', ' ', 'g')) AS rnorm FROM r0),
+            q0 AS (
+              SELECT ck AS query_id,
+                     regexp_replace(street0, '\\s\\S+$', '') AS street,
+                     house, city, state, zip,
+                     CASE WHEN ck % 5 = 0 THEN ''
+                          ELSE cast(ck % 7 AS VARCHAR) END AS unit
+              FROM base WHERE ck % 4 = 1),
+            q AS (SELECT *, trim(regexp_replace(house || ' ' || street
+                     || ' ' || city || ' ' || state || ' ' || zip,
+                     '\\s+', ' ', 'g')) AS qnorm FROM q0),
+            rk AS (
+              SELECT *, 'e:' || zip || '|' || house AS bk FROM r
+              UNION ALL SELECT *, 'h:' || state || '|' || house FROM r
+              UNION ALL SELECT *, 'f:' || zip FROM r
+              UNION ALL SELECT *, 'k:' || state FROM r),
+            rcap AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY bk
+                                             ORDER BY pid) AS rn
+                FROM rk)
+              WHERE rn <= CASE substr(bk, 1, 1) WHEN 'e' THEN 1
+                               WHEN 'h' THEN 3 WHEN 'f' THEN 10
+                               ELSE 35 END),
+            qk AS (
+              SELECT *, 'e:' || zip || '|' || house AS bk FROM q
+              UNION ALL SELECT *, 'h:' || state || '|' || house FROM q
+              UNION ALL SELECT *, 'f:' || zip FROM q
+              UNION ALL SELECT *, 'k:' || state FROM q),
+            cand AS (
+              SELECT DISTINCT qk.query_id, qk.street AS qstreet,
+                     qk.house AS qhouse, qk.city AS qcity,
+                     qk.state AS qstate, qk.zip AS qzip,
+                     qk.unit AS qunit, qk.qnorm,
+                     rcap.pid, rcap.street AS rstreet,
+                     rcap.house AS rhouse, rcap.city AS rcity,
+                     rcap.state AS rstate, rcap.zip AS rzip,
+                     rcap.unit AS runit, rcap.rnorm
+              FROM qk JOIN rcap ON qk.bk = rcap.bk),
+            sc AS (
+              SELECT *,
+                jaro_similarity(qstreet, rstreet) * 100.0 AS js,
+                CASE WHEN qhouse = rhouse THEN 100.0 ELSE 0.0 END AS jh,
+                jaro_similarity(qcity, rcity) * 100.0 AS jc,
+                CASE WHEN qzip = rzip THEN 100.0 ELSE 0.0 END AS jz,
+                CASE WHEN qstate = rstate THEN 100.0 ELSE 0.0 END AS jst,
+                CASE WHEN qunit <> '' AND runit <> '' AND qunit = runit
+                     THEN 100.0 ELSE 0.0 END AS ju,
+                jaro_similarity(qnorm, rnorm) * 100.0 AS similarity,
+                CASE WHEN qunit <> '' AND runit <> '' AND qunit = runit
+                     THEN 50.0
+                     WHEN qunit <> '' AND runit <> '' THEN -20.0
+                     ELSE 0.0 END AS ua
+              FROM cand),
+            cf AS (SELECT *,
+                0.40 * js + 0.25 * jh + 0.15 * jc + 0.10 * jz
+                  + 0.05 * jst + 0.05 * ju AS confidence
+              FROM sc),
+            fx AS (SELECT *,
+                (similarity >= 95 AND confidence >= 95
+                 AND NOT (jh > 0 AND jh < 95) AND js >= 85
+                 AND NOT (jz > 0 AND jz < 80)) AS exact
+              FROM cf
+              WHERE confidence >= 5.0 AND NOT (ua < 0)),
+            win AS (SELECT *,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY (ua > 0) DESC, exact DESC,
+                                            confidence DESC, pid) AS w
+              FROM fx)
+            SELECT query_id, pid,
+              CASE WHEN confidence >= 95 THEN 'exact'
+                   WHEN confidence >= 85 THEN 'relaxed'
+                   WHEN confidence >= 75 THEN 'partial'
+                   WHEN confidence >= 65 THEN 'geographic'
+                   WHEN confidence >= 55 THEN 'fuzzy'
+                   WHEN confidence >= 45 THEN 'ultra_fuzzy'
+                   WHEN confidence >= 35 THEN 'semantic'
+                   WHEN confidence >= 25 THEN 'phonetic'
+                   WHEN confidence >= 15 THEN 'keyword'
+                   ELSE 'desperate' END AS match_level,
+              confidence, similarity
+            FROM win WHERE w = 1 ORDER BY query_id""",
         "name_jaro": """
             SELECT l.c_custkey AS custkey_l, r.c_custkey AS custkey_r,
                    jaro_similarity(l.c_name, r.c_name)

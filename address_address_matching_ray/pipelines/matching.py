@@ -237,18 +237,15 @@ def _empty_scored() -> pd.DataFrame:
     })
 
 
-def match_queries(queries_ds, records_ds, cfg: PipelineConfig | None = None,
-                  buckets: int = 32, candidates_per_query: int = 64):
-    """queries (query_id, query) × records (F2 schema) → best match per
-    query.  Unmatched queries are NOT silently dropped — join the result
-    back or check ``match_level == 'failed'`` rows from
-    ``attach_failed``."""
-    cfg = cfg or PipelineConfig()
-
-    qk = queries_ds.map_batches(_query_keys, fn_kwargs={"cfg": cfg},
-                                batch_format="pyarrow", batch_size=1024)
-    rk = records_ds.map_batches(_record_keys, fn_kwargs={"cfg": cfg},
-                                batch_format="pyarrow", batch_size=2048)
+def _match_core(qk, rk, cfg: PipelineConfig, buckets: int,
+                candidates_per_query: int, score_fn):
+    """The shared match machinery (VERDICT r4 #4: one body for every
+    scorer so the oracled jaro variant checks the SAME code paths the
+    rapidfuzz pipeline runs): tag → union → block-hash buckets → per-
+    tier-capped cross pairs → ``score_fn`` → query-hash buckets →
+    priority-sort winner.  ``score_fn`` maps a candidate frame (columns
+    query_id + Q_PAYLOAD + R_PAYLOAD) to the scored schema
+    (``_empty_scored`` columns)."""
 
     def tag(side):
         def f(t: pa.Table) -> pa.Table:
@@ -340,9 +337,7 @@ def match_queries(queries_ds, records_ds, cfg: PipelineConfig | None = None,
                 lambda g: cross_pairs(g.drop(columns=["bucket"])),
                 batch_format="pandas"))
 
-    scored = cand.map_batches(
-        lambda df: _score_candidates(df, cfg) if len(df) else _empty_scored(),
-        batch_format="pandas")
+    scored = cand.map_batches(score_fn, batch_format="pandas")
 
     # cross-bucket dedup of (query, pid) + tier-ladder filter, then best
     # per query (K1/K2 with the unit-priority collapse).  Acceptance
@@ -382,6 +377,176 @@ def match_queries(queries_ds, records_ds, cfg: PipelineConfig | None = None,
     return (scored.map_batches(add_qbucket, batch_format="pandas")
             .groupby("_qb").map_groups(best_in_bucket,
                                        batch_format="pandas"))
+
+
+def match_queries(queries_ds, records_ds, cfg: PipelineConfig | None = None,
+                  buckets: int = 32, candidates_per_query: int = 64):
+    """queries (query_id, query) × records (F2 schema) → best match per
+    query.  Unmatched queries are NOT silently dropped — join the result
+    back or check ``match_level == 'failed'`` rows from
+    ``attach_failed``."""
+    cfg = cfg or PipelineConfig()
+
+    qk = queries_ds.map_batches(_query_keys, fn_kwargs={"cfg": cfg},
+                                batch_format="pyarrow", batch_size=1024)
+    rk = records_ds.map_batches(_record_keys, fn_kwargs={"cfg": cfg},
+                                batch_format="pyarrow", batch_size=2048)
+    return _match_core(
+        qk, rk, cfg, buckets, candidates_per_query,
+        lambda df: _score_candidates(df, cfg) if len(df) else _empty_scored())
+
+
+# ── DuckDB-oracled jaro variant (VERDICT r4 #4) ────────────────
+#
+# ``match_queries_jaro`` drives the SAME ``_match_core`` machinery —
+# key-family blocking, per-tier max_results caps, capped cross pairs,
+# cross-bucket dedup, ladder floor, wrong-unit veto, priority-sort
+# winner — with a scorer built ONLY from SQL-replayable pieces: plain
+# Jaro (``fuzzy.jaro_winkler(prefix_weight=0)`` ≡ DuckDB
+# ``jaro_similarity * 100.0``, the ``name_jaro`` parity surface) and
+# exact-equality component scores.  The structured pseudo-addresses
+# are derived from the ``part`` table with expressions DuckDB can
+# mirror, so the whole cascade becomes hash-exact checkable end-to-end
+# — the machinery check the free-text pipeline (whose rapidfuzz
+# kernels are pytest-parity-gated instead) could never get from SQL.
+
+_JARO_FAMS = ("e", "h", "f", "k")   # caps 1 / 3 / 10 / 35 via TIER_CAPS
+
+
+def _jaro_struct(df: pd.DataFrame, queries: bool) -> pd.DataFrame:
+    """Structured pseudo-address fields from part rows; every
+    expression here is mirrored verbatim in the oracle SQL.  Queries
+    are the ``p_partkey % 4 == 1`` subset with the street's last token
+    dropped (so Jaro has real work) and a different unit-absence
+    modulus (so bonus/penalty/veto all occur)."""
+    ck = df["p_partkey"].to_numpy(np.int64)
+    nk = df["p_size"].to_numpy(np.int64) % 25
+    street = pd.Series(normalize_array(
+        (df["p_name"].fillna("") + " " + df["p_type"].fillna(""))
+        .to_numpy(dtype=object)), dtype=object)
+    if queries:
+        street = street.str.replace(r"\s\S+$", "", regex=True)
+    house = pd.Series((ck % 90 + 10).astype(str), dtype=object)
+    city = pd.Series("city" + pd.Series(nk.astype(str)), dtype=object)
+    state = pd.Series((nk % 10).astype(str), dtype=object)
+    zipc = pd.Series((10 + nk).astype(str), dtype=object)
+    unit_mod = 5 if queries else 3
+    unit = pd.Series(np.where(ck % unit_mod == 0, "",
+                              (ck % 7).astype(str)), dtype=object)
+    norm = ((house + " " + street + " " + city + " " + state + " " + zipc)
+            .str.replace(r"\s+", " ", regex=True).str.strip())
+    return pd.DataFrame({
+        "ck": ck, "street": street, "house": house, "city": city,
+        "state": state, "zip": zipc, "unit": unit, "norm": norm})
+
+
+def _jaro_keys(f: pd.DataFrame) -> pd.DataFrame:
+    """The four block-key families (shared expressions both sides):
+    e: zip|house · h: state|house · f: zip · k: state."""
+    return pd.concat([
+        f.assign(block_key="e:" + f["zip"] + "|" + f["house"]),
+        f.assign(block_key="h:" + f["state"] + "|" + f["house"]),
+        f.assign(block_key="f:" + f["zip"]),
+        f.assign(block_key="k:" + f["state"]),
+    ], ignore_index=True)
+
+
+def _jaro_query_keys(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[df["p_partkey"] % 4 == 1]
+    f = _jaro_struct(df, queries=True)
+    k = _jaro_keys(f)
+    return pd.DataFrame({
+        "query_id": k["ck"].to_numpy().astype("uint64"),
+        "q_street": k["street"], "q_house": k["house"],
+        "q_unit": k["unit"], "q_city": k["city"], "q_state": k["state"],
+        "q_zip": k["zip"], "q_norm": k["norm"], "query": k["norm"],
+        "block_key": k["block_key"]})
+
+
+def _jaro_record_keys(df: pd.DataFrame) -> pd.DataFrame:
+    f = _jaro_struct(df, queries=False)
+    k = _jaro_keys(f)
+    return pd.DataFrame({
+        "pid": k["ck"].astype(str).astype(object),
+        "ADDRESS": k["norm"], "HOUSE": k["house"], "STREET": k["street"],
+        "STRTYPE": "", "PREDIR": "", "CITY": k["city"],
+        "STATE": k["state"], "ZIP_CODE": k["zip"], "APTNBR": k["unit"],
+        "r_norm": k["norm"], "block_key": k["block_key"]})
+
+
+def _score_candidates_jaro(df: pd.DataFrame,
+                           cfg: PipelineConfig) -> pd.DataFrame:
+    """SQL-replayable scorer: component scores are plain Jaro
+    (street/city/full) or exact equality (house/zip/state/unit), the
+    confidence is ONE pinned left-associated weighted sum (same literal
+    order as the oracle), tiers/exactness/unit adjustment are the real
+    ``scoring`` helpers — all bit-reproducible in DuckDB."""
+    from address_address_matching_ray.functions import fuzzy
+
+    def jaro100(a, b):
+        return fuzzy.apply_unique_pairs(
+            lambda As, Bs: np.array(
+                [fuzzy.jaro_winkler(x, y, prefix_weight=0.0)
+                 for x, y in zip(As, Bs)], dtype="float64"),
+            a, b)
+
+    qs = df["q_street"].to_numpy(dtype=object)
+    rs = df["STREET"].to_numpy(dtype=object)
+    js = jaro100(qs, rs)
+    jc = jaro100(df["q_city"].to_numpy(dtype=object),
+                 df["CITY"].to_numpy(dtype=object))
+    jh = np.where(df["q_house"].to_numpy(dtype=object)
+                  == df["HOUSE"].to_numpy(dtype=object), 100.0, 0.0)
+    jz = np.where(df["q_zip"].to_numpy(dtype=object)
+                  == df["ZIP_CODE"].to_numpy(dtype=object), 100.0, 0.0)
+    jst = np.where(df["q_state"].to_numpy(dtype=object)
+                   == df["STATE"].to_numpy(dtype=object), 100.0, 0.0)
+    qu = df["q_unit"].to_numpy(dtype=object)
+    ru = df["APTNBR"].to_numpy(dtype=object)
+    ju = np.where((qu != "") & (ru != "") & (qu == ru), 100.0, 0.0)
+    # pinned double expression — literal order mirrored in the SQL
+    confidence = (0.40 * js + 0.25 * jh + 0.15 * jc + 0.10 * jz
+                  + 0.05 * jst + 0.05 * ju)
+    similarity = jaro100(df["q_norm"].to_numpy(dtype=object),
+                         df["r_norm"].to_numpy(dtype=object))
+    comp = {"street": js, "house": jh, "city": jc, "zip": jz,
+            "state": jst, "unit": ju}
+    exact = scoring.exactness(similarity, confidence, comp)
+    tier = scoring.assign_tier(confidence)
+    unit_adj = scoring.unit_adjustment(qu, ru, cfg)
+    out = df[["query_id", "query", "pid", "ADDRESS"]].copy()
+    out["confidence"] = confidence
+    out["similarity"] = similarity
+    out["exact"] = exact
+    out["tier_idx"] = tier
+    out["match_level"] = scoring.TIER_NAMES_ARR[tier]
+    out["unit_exact"] = unit_adj > 0
+    out["wrong_unit"] = unit_adj < 0
+    # quality formulas belong to the main scorer (parity-gated there);
+    # this surface reports confidence-derived stand-ins so the frame
+    # matches the shared scored schema
+    out["quality_score"] = confidence
+    out["confidence_adjusted"] = scoring.adjusted_confidence(
+        confidence, tier)
+    out["reliability"] = scoring.RELIABILITY_NAMES[
+        scoring.reliability(confidence)]
+    out["warnings"] = scoring.warning_strings(tier, similarity)
+    return out
+
+
+def match_queries_jaro(parts_ds, cfg: PipelineConfig | None = None,
+                       buckets: int = 32,
+                       candidates_per_query: int = 64):
+    """part-table pseudo-addresses through the full match cascade
+    with the Jaro-only scorer — returns the same best-per-query shape
+    as ``match_queries``, hash-checkable against the DuckDB oracle."""
+    cfg = cfg or PipelineConfig()
+    qk = parts_ds.map_batches(_jaro_query_keys, batch_format="pandas")
+    rk = parts_ds.map_batches(_jaro_record_keys, batch_format="pandas")
+    return _match_core(
+        qk, rk, cfg, buckets, candidates_per_query,
+        lambda df: (_score_candidates_jaro(df, cfg) if len(df)
+                    else _empty_scored()))
 
 
 def attach_failed(queries_ds, matches_ds,
