@@ -105,6 +105,54 @@ def run_bench() -> dict:
         runs.append(round(time.time() - t0, 3))
     timings["linkage"] = min(runs)
 
+    # ── standing quality gate (VERDICT r4 #6): evaluate the LAST
+    # headline run's clusters against the planted truth with the
+    # engine's own cluster_pair_metrics, untimed — a quality
+    # regression now fails the bench like a perf regression ──
+    import numpy as np
+    import pandas as pd
+
+    from address_address_matching_ray.pipelines.er_em import (
+        cluster_pair_metrics,
+    )
+    from address_address_matching_ray.sources.synth import synth_truth
+
+    def _tag(side):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({
+                "doc_id": df["doc_id"].to_numpy().astype("int64"),
+                side: df["cluster_id"].to_numpy().astype("int64")})
+            with np.errstate(over="ignore"):
+                h = (out["doc_id"].to_numpy().astype("uint64")
+                     * np.uint64(0x9E3779B97F4A7C15))
+            out["_b"] = (h % np.uint64(128)).astype("int64")
+            return out
+        return f
+
+    def _join(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["pred"].notna()][["doc_id", "pred"]]
+        r = g[g["truth"].notna()][["doc_id", "truth"]]
+        m = l.merge(r, on="doc_id")
+        return pd.DataFrame({"pred": m["pred"].astype("int64"),
+                             "truth": m["truth"].astype("int64")})
+
+    labels = (res.clusters.map_batches(_tag("pred"), batch_format="pandas")
+              .union(synth_truth(n_pages, seed=42)
+                     .map_batches(_tag("truth"), batch_format="pandas"))
+              .groupby("_b").map_groups(
+                  lambda g: _join(g.drop(columns=["_b"])),
+                  batch_format="pandas"))
+    met = cluster_pair_metrics(labels, buckets=128)
+    mv = dict(zip(met["metric"], met["value"]))
+    quality = {k: round(float(mv[k]), 4) for k in
+               ("pairwise_recall", "pairwise_precision", "pairwise_f1",
+                "b3_f1")}
+    quality_ok = (quality["pairwise_recall"] >= 0.995
+                  and quality["pairwise_f1"] >= 0.92)
+    if not quality_ok and os.environ.get("GRAFT_QUALITY_GATE", "1") == "1":
+        raise RuntimeError(
+            f"quality gate failed (recall>=0.995, f1>=0.92): {quality}")
+
     # ── secondary pipelines ──
     # best-of-reps here too: one hypervisor steal burst painted
     # segment_revenue 5.4× red in the r3 driver bench (VERDICT watch
@@ -138,6 +186,8 @@ def run_bench() -> dict:
         "secondary_runs": sec_runs,
         "n_clusters_rows": n_clusters,
         "pages_per_sec": round(n_pages / timings["linkage"], 1),
+        "quality": quality,
+        "quality_ok": quality_ok,
     }
     ray.shutdown()
     return result
