@@ -1077,6 +1077,18 @@ def _q_sorted_neighborhood(sf_dir: str):
     return sorted_neighborhood_pairs(sf_dir)
 
 
+def _q_kll_quantiles(sf_dir: str):
+    """KLL sketch quantiles with data-defined chunk/bucket/global merge
+    tree — the compaction itself replayed in SQL (VERDICT r4 #8): the
+    kernel is multiset-deterministic, so three recursive-CTE compress
+    phases + the weighted-rank query reproduce it bit-exactly."""
+    from address_address_matching_ray.pipelines.temporal import (
+        kll_quantiles_chunked,
+    )
+
+    return kll_quantiles_chunked(sf_dir)
+
+
 def _q_name_jaro(sf_dir: str):
     """First oracled fuzzy string metric: our Jaro
     (jaro_winkler(prefix_weight=0), 0-100 scale) is bit-identical to
@@ -1367,6 +1379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "golden_records": _q_golden_records,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "name_jaro": _q_name_jaro,
+        "kll_quantiles": _q_kll_quantiles,
         "name_levenshtein": _q_name_levenshtein,
         "name_damerau": _q_name_damerau,
         "clerical_review": _q_clerical_review,
@@ -1391,6 +1404,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ──────────────────────────────────────────────────────────────
 # oracle SQL (DuckDB) — column names match the Ray results exactly
 # ──────────────────────────────────────────────────────────────
+
+def _kll_comp_cte(name: str, src: str) -> str:
+    """One recursive-CTE replay of ``sketch.kll_compress`` (k=8 caps
+    embedded as literals: 8/6/4/3 then 2, sums 8/14/18/21 then 23+2L).
+    kll_compress is multiset-deterministic, so the working table only
+    needs (grp, value, level); each iteration compacts the lowest
+    over-cap level exactly like the numpy kernel."""
+    return f"""{name}(grp, it, value, level) AS (
+  SELECT grp, 0, value, level FROM {src}
+  UNION ALL
+  SELECT grp, it + 1, value,
+         CASE WHEN level = lstar AND promoted THEN level + 1 ELSE level END
+  FROM (
+    SELECT *,
+      (m % 2 = 1 AND ((off = 1 AND p = 0) OR (off = 0 AND p = m - 1))) AS leftover,
+      ((off = 0 AND p % 2 = 0 AND NOT (m % 2 = 1 AND p = m - 1))
+       OR (off = 1 AND m % 2 = 0 AND p % 2 = 1)
+       OR (off = 1 AND m % 2 = 1 AND p % 2 = 0 AND p >= 2)) AS promoted
+    FROM (
+      SELECT *, (lstar + m) % 2 AS off
+      FROM (
+        SELECT *,
+          min(CASE WHEN lcnt > cap THEN level END)
+            OVER (PARTITION BY grp) AS lstar,
+          row_number() OVER (PARTITION BY grp, level ORDER BY value) - 1 AS p,
+          lcnt AS m
+        FROM (
+          SELECT grp, it, value, level,
+            max(level) OVER (PARTITION BY grp) + 1 AS nl,
+            count(*) OVER (PARTITION BY grp) AS ntot,
+            count(*) OVER (PARTITION BY grp, level) AS lcnt
+          FROM {name}) s1
+        , LATERAL (SELECT
+            CASE WHEN s1.nl - 1 - s1.level = 0 THEN 8
+                 WHEN s1.nl - 1 - s1.level = 1 THEN 6
+                 WHEN s1.nl - 1 - s1.level = 2 THEN 4
+                 WHEN s1.nl - 1 - s1.level = 3 THEN 3 ELSE 2 END AS cap,
+            CASE WHEN s1.nl = 1 THEN 8 WHEN s1.nl = 2 THEN 14
+                 WHEN s1.nl = 3 THEN 18 WHEN s1.nl = 4 THEN 21
+                 ELSE 23 + 2 * (s1.nl - 5) END AS caps_sum) c
+      ) s2 ) s3 ) s4
+  WHERE ntot > caps_sum
+    AND (level <> lstar OR leftover OR promoted)
+),
+fin_{name} AS (
+  SELECT c.grp, c.value, c.level FROM {name} c
+  JOIN (SELECT grp, max(it) AS mi FROM {name} GROUP BY grp) f
+    ON c.grp = f.grp AND c.it = f.mi
+)"""
+
 
 def _norm_expr(col: str) -> str:
     """The ``normalize`` regex chain as a DuckDB expression over
@@ -3538,6 +3601,33 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 'desperate' END AS match_level,
               confidence, similarity
             FROM win WHERE w = 1 ORDER BY query_id""",
+        # the KLL sketch itself, replayed: chunk/bucket/global compress
+        # phases as recursive CTEs (see _kll_comp_cte), then the
+        # weighted-rank quantile query.  Exact because kll_compress is
+        # multiset-deterministic and the merge tree is data-defined.
+        "kll_quantiles": f"""
+            WITH RECURSIVE
+            base AS (SELECT (event_id // 64)::BIGINT AS grp,
+                            value::DOUBLE AS value, 0::BIGINT AS level
+                     FROM events WHERE value IS NOT NULL),
+            {_kll_comp_cte('ca', 'base')},
+            bb AS (SELECT (grp % 16)::BIGINT AS grp, value, level
+                   FROM fin_ca),
+            {_kll_comp_cte('cb', 'bb')},
+            cc0 AS (SELECT 0::BIGINT AS grp, value, level FROM fin_cb),
+            {_kll_comp_cte('cg', 'cc0')},
+            sk AS (SELECT value, pow(2.0, level) AS w FROM fin_cg),
+            cw AS (SELECT value,
+                     sum(w) OVER (ORDER BY value, w ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND CURRENT ROW) AS cwt,
+                     sum(w) OVER () AS tot FROM sk)
+            SELECT
+              min(value) FILTER (WHERE cwt >= 0.25 * tot) AS p25,
+              min(value) FILTER (WHERE cwt >= 0.5  * tot) AS p50,
+              min(value) FILTER (WHERE cwt >= 0.75 * tot) AS p75,
+              min(value) FILTER (WHERE cwt >= 0.9  * tot) AS p90,
+              tot::BIGINT AS n_est
+            FROM cw GROUP BY tot""",
         "name_jaro": """
             SELECT l.c_custkey AS custkey_l, r.c_custkey AS custkey_r,
                    jaro_similarity(l.c_name, r.c_name)

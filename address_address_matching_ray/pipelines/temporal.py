@@ -364,6 +364,59 @@ def value_percentiles(sf_dir: str):
             .sort("event_type"))
 
 
+def kll_quantiles_chunked(sf_dir: str, k: int = 8, chunk_size: int = 64,
+                          n_buckets: int = 16) -> pd.DataFrame:
+    """Corpus-level KLL quantiles with DATA-DEFINED merge structure —
+    the DuckDB-ORACLED sketch surface (VERDICT r4 #8).
+
+    ``approx_value_percentiles`` is rows-only-checkable because its
+    partials follow Ray's batch boundaries; here every boundary is a
+    function of the data: chunk = event_id // chunk_size, bucket =
+    chunk % n_buckets, and the merge tree is chunk → bucket → global.
+    ``kll_compress`` is MULTISET-deterministic (every compaction sorts
+    the level it compacts and the deterministic offset depends only on
+    level + count), so each phase — and therefore the whole tree — is
+    reproducible from the data alone, and the oracle replays all three
+    compress phases as recursive CTEs plus the weighted-rank query.
+
+    Scale shape: one bucket shuffle of (bucket, chunk, value) slim
+    rows, per-bucket chunk sketches + one in-task merge, then a
+    driver fold over ≤ n_buckets × ~caps_sum sketch rows (bounded by
+    the knobs, not the data).  At 100 TB raise chunk_size (the
+    per-chunk python call amortizes) and n_buckets.
+    """
+    ds = read(sf_dir, "events", columns=["event_id", "value"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=["value"])
+        chunk = df["event_id"].to_numpy(np.int64) // chunk_size
+        return pd.DataFrame({
+            "_bk": (chunk % n_buckets).astype("int64"),
+            "chunk": chunk.astype("int64"),
+            "value": df["value"].to_numpy(np.float64)})
+
+    def bucket_sketch(g: pd.DataFrame) -> pd.DataFrame:
+        vs, ls = [], []
+        for _, srs in g.groupby("chunk", sort=False)["value"]:
+            v, l = kll_partial(srs.to_numpy(), k)
+            vs.append(v)
+            ls.append(l)
+        v, l = kll_merge(np.concatenate(vs), np.concatenate(ls), k)
+        return pd.DataFrame({"_v": v, "_l": l.astype("int64")})
+
+    parts = (ds.map_batches(tag, batch_format="pandas")
+             .groupby("_bk").map_groups(
+                 lambda g: bucket_sketch(g.drop(columns=["_bk"])),
+                 batch_format="pandas"))
+    pdf = parts.to_pandas()       # ≤ n_buckets × ~35 rows — knob-bounded
+    fv, fl = kll_merge(pdf["_v"].to_numpy(),
+                       pdf["_l"].to_numpy().astype(np.uint8), k)
+    row = {f"p{int(q * 100)}": kll_quantile(fv, fl, q)
+           for q in (0.25, 0.5, 0.75, 0.9)}
+    row["n_est"] = int(kll_weight(fl).sum())
+    return pd.DataFrame([row])
+
+
 def approx_value_percentiles(sf_dir: str, k: int = 200):
     """KLL-sketched per-group percentiles — the 100-TB shape for
     per-key quantiles at UNBOUNDED key cardinality: the shuffle
