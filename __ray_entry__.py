@@ -3093,6 +3093,10 @@ def oracle_sql() -> dict[str, str]:
         # the BIT-string strpos trick (exact — no float log), register
         # merge = integer MAX.  All integers, hash-exact; the float
         # estimator is pytest-gated (libm ln differs in the last ulp)
+        # NOTE (ADVICE r4): this oracle is PINNED to the surface's
+        # defaults (p=12: >>52, *4096, rank cap 53) — calling the
+        # python surface with a non-default p diverges from it by
+        # design; parameterized replays live in the pytest gates
         "hll_registers": f"""
             WITH h AS (
               SELECT DISTINCT event_type,
@@ -3803,6 +3807,8 @@ def oracle_sql() -> dict[str, str]:
         # meta-blocking: CBS edge weights are exact integers and the
         # WEP mean test is the integer cross-multiplication
         # w * n_edges > sum_w on both sides — no float mean exists
+        # NOTE (ADVICE r4): pinned to the surface's default
+        # max_block_size=1000, like hll_registers above
         "meta_blocking": """
             WITH c AS (
               SELECT c_custkey AS k, c_nationkey AS nk,

@@ -1033,7 +1033,10 @@ def cluster_pair_metrics(labels_ds, *, pred_col: str = "pred",
     Float discipline (hash-oracle-exact): all sums are integers; the
     B³ terms are integer micro-units ``(n²·micro) // n_p`` (floor
     division matches DuckDB ``//``; ``micro=1e6`` keeps ``n²·micro``
-    inside int64 for cluster sizes up to ~3M — asserted); the only
+    inside int64 for per-(pred,truth) CELL counts up to ~3M — beyond
+    that the B³ term auto-widens to exact python-int arithmetic
+    rather than aborting; cluster SIZES only ever appear as divisors
+    and pair counts, both int64-safe); the only
     double arithmetic is the final per-metric expression, computed in
     the same operation order as the oracle SQL."""
     from .join import bucketed_sum
@@ -1060,15 +1063,24 @@ def cluster_pair_metrics(labels_ds, *, pred_col: str = "pred",
 
     def side_partials(g: pd.DataFrame, side: str) -> pd.DataFrame:
         n = g["n"].to_numpy().astype("int64")
-        assert n.max(initial=0) < 3_000_000, "raise micro arithmetic width"
         sizes = g.groupby(side)["n"].transform("sum").to_numpy()
         csz = g.groupby(side)["n"].sum().to_numpy().astype("int64")
+        if n.max(initial=0) < 3_000_000:
+            # n is the squared operand: n²·micro stays inside int64 for
+            # CELL counts (not cluster sizes) below ~3M
+            b3 = int(((n * n * micro) // sizes).sum())
+        else:
+            # auto-widen to python-int (exact, arbitrary precision)
+            # instead of aborting the job mid-map_groups; only the
+            # rare giant-cell regime pays the object-array cost
+            b3 = int(((n.astype(object) * n.astype(object) * micro)
+                      // sizes.astype(object)).sum())
         return pd.DataFrame({
             "n_records": [int(n.sum())],
             "n_clusters": [len(csz)],
             "cluster_pairs": [int((csz * (csz - 1) // 2).sum())],
             "tp_pairs": [int((n * (n - 1) // 2).sum())],
-            "b3_microsum": [int(((n * n * micro) // sizes).sum())]})
+            "b3_microsum": [b3]})
 
     def tag(side: str):
         def f(df: pd.DataFrame) -> pd.DataFrame:

@@ -1221,7 +1221,14 @@ def remove_duplicate_spans(docs_ds, n: int = 8, buckets: int = 64,
     shuffle (the asof-join recipe).  Both paths share the same
     difference-array-cumsum strip kernel and emit identical results
     (path-parity test).  Same 2⁻⁶⁴ rolling-hash collision caveat as
-    ``duplicate_ngrams`` (the oracle compares n-gram STRINGS)."""
+    ``duplicate_ngrams`` (the oracle compares n-gram STRINGS).
+
+    Note (ADVICE r4): unlike most lazy query surfaces this function
+    EXECUTES the drop-set derivation at call time (materialize +
+    count to pick the path; a driver ``to_pandas`` of the drop rows on
+    the broadcast path) and returns a Dataset only for the strip
+    stage; ``broadcast_limit`` is a row-count proxy for driver memory
+    (20M rows ≈ 320 MB of int64 pairs plus pandas overhead)."""
     import ray
 
     mix = np.uint64(0x9E3779B97F4A7C15)

@@ -450,10 +450,24 @@ def test_monge_elkan_oracle_and_function(ray_session):
                 exp[c].to_numpy().view("int64")).all(), c
     v = got[["me_lr", "me_rl"]].to_numpy()
     assert (v >= 0).all() and (v <= 100.0).all()
-    # planted sanity on the kernel itself
-    from address_address_matching_ray.pipelines.er_em import (
-        name_monge_elkan,  # noqa: F401  (import path exercised)
-    )
+    # planted sanity on the kernel contract (the closure's exact
+    # formula, replayed): identical strings score 100, and ME is
+    # asymmetric when token counts differ
+    import math
+
+    from address_address_matching_ray.functions.fuzzy import jaro_winkler
+
+    def me_one(a: str, b: str) -> float:
+        ta, tb = a.split(" "), b.split(" ")
+        s = 0
+        for x in ta:
+            best = max(jaro_winkler(x, y, prefix_weight=0.0) for y in tb)
+            s += int(math.floor(best * 1e10))
+        return (s / 1e10) / len(ta)
+
+    assert me_one("cold widget", "cold widget") == 100.0
+    assert me_one("cold", "cold widget economy") == 100.0   # subset l→r
+    assert me_one("cold widget economy", "cold") < 100.0    # but not r→l
 
 
 def test_name_qgram_dice_oracle_and_properties(ray_session):
@@ -465,10 +479,6 @@ def test_name_qgram_dice_oracle_and_properties(ray_session):
             exp["dice"].to_numpy().view("int64")).all()
     d = got["dice"].to_numpy()
     assert ((d >= 0.0) & (d <= 1.0)).all()
-    # function properties on adversarial strings
-    from address_address_matching_ray.pipelines.er_em import (
-        name_qgram_dice,  # noqa: F401
-    )
     # identical customer-name prefixes dominate: every blocked pair
     # shares 'Customer#0000...' so dice is high but < 1 for distinct
     assert d.min() > 0.5 and (d < 1.0).all()
