@@ -166,6 +166,17 @@ def _q_minhash_dedup(sf_dir: str):
     return minhash_dedup(_docs(sf_dir)).sort("doc_id")
 
 
+def _q_minhash_dedup_md5(sf_dir: str):
+    """The MinHash-LSH dedup with md5-replayable hash seams — same
+    signatures/banding/pair/verify/CC machinery as minhash_dedup, now
+    DuckDB-hash-checkable end-to-end (round-5 oracle conversion)."""
+    from address_address_matching_ray.pipelines.dedup import (
+        minhash_dedup_md5,
+    )
+
+    return minhash_dedup_md5(_docs(sf_dir)).sort("doc_id")
+
+
 def _q_simhash_dedup(sf_dir: str):
     from address_address_matching_ray.pipelines.dedup import simhash_dedup
 
@@ -1280,6 +1291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "exact_dedup": _q_exact_dedup,
         "minhash_dedup": _q_minhash_dedup,
+        "minhash_dedup_md5": _q_minhash_dedup_md5,
         "simhash_dedup": _q_simhash_dedup,
         "ngram_dedup": _q_ngram_dedup,
         "jaccard_verify": _q_jaccard_verify,
@@ -1404,6 +1416,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ──────────────────────────────────────────────────────────────
 # oracle SQL (DuckDB) — column names match the Ray results exactly
 # ──────────────────────────────────────────────────────────────
+
+def _minhash_perm_sql() -> str:
+    """The seeded MinHasher permutation family (a_i, b_i) as literal
+    VALUES rows — pinned to the surface defaults (num_perm=64,
+    seed=42), like the hll_registers oracle's p=12."""
+    from address_address_matching_ray.functions.minhash import MinHasher
+
+    mh = MinHasher(64, 42)
+    return ",".join("(%d,%d,%d)" % (i, a, b)
+                    for i, (a, b) in enumerate(zip(mh.a, mh.b)))
+
 
 def _kll_comp_cte(name: str, src: str) -> str:
     """One recursive-CTE replay of ``sketch.kll_compress`` (k=8 caps
@@ -2431,6 +2454,71 @@ def oracle_sql() -> dict[str, str]:
         # verify-math oracle for the LSH dedup family: same token-set
         # Jaccard arithmetic as batch_set_jaccard (100.0*i/u doubles,
         # floor-1e-6 quantize — verified bit-identical at sf0.01)
+        # full MinHash-LSH dedup replay (round 5): md5 base hash ->
+        # seeded (a*x+b) % (2^61-1) & (2^32-1) signature mins -> band
+        # csv keys (md5) -> distinct co-banded pairs -> word-Jaccard
+        # verify (the jaccard_verify arithmetic) -> recursive-CTE CC ->
+        # min-id keep.  Cap-free regime asserted in pytest.
+        "minhash_dedup_md5": f"""
+            WITH RECURSIVE
+            toks AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text),
+                       '\\s+'), x -> x <> '') AS ws
+              FROM documents),
+            sh AS (
+              SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+              FROM toks, LATERAL unnest(range(1, len(ws) - 1)) AS t(i)
+              WHERE len(ws) >= 3
+              UNION ALL
+              SELECT doc_id, array_to_string(ws, ' ')
+              FROM toks WHERE len(ws) BETWEEN 1 AND 2),
+            xs AS (
+              SELECT doc_id,
+                     (md5_number_lower(s) % 4294967296)::BIGINT AS x
+              FROM sh),
+            perms(i, a, b) AS (VALUES {_minhash_perm_sql()}),
+            sigs AS (
+              SELECT doc_id, p.i,
+                     min(((p.a * x + p.b) % 2305843009213693951)
+                         & 4294967295) AS sig
+              FROM xs CROSS JOIN perms p GROUP BY doc_id, p.i
+              UNION ALL
+              SELECT d.doc_id, p.i, 4294967295 AS sig
+              FROM documents d CROSS JOIN perms p
+              WHERE d.doc_id NOT IN (SELECT doc_id FROM xs)),
+            bkeys AS (
+              SELECT doc_id,
+                     md5_number_lower(CAST(i // 4 AS VARCHAR) || ':' ||
+                       string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bk
+              FROM sigs GROUP BY doc_id, i // 4),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS l, b.doc_id AS r
+              FROM bkeys a JOIN bkeys b
+                ON a.bk = b.bk AND a.doc_id < b.doc_id),
+            vt AS (SELECT doc_id, list_distinct(ws) AS tk FROM toks),
+            ed0 AS MATERIALIZED (
+              SELECT l, r FROM (
+                SELECT c.l, c.r,
+                       len(list_intersect(a.tk, b.tk)) AS i,
+                       len(a.tk) AS la, len(b.tk) AS lb
+                FROM cand c JOIN vt a ON a.doc_id = c.l
+                            JOIN vt b ON b.doc_id = c.r)
+              WHERE la + lb - i = 0
+                 OR 100.0 * i / (la + lb - i) >= 70.0),
+            nodes AS (SELECT l AS n FROM ed0 UNION SELECT r FROM ed0),
+            ed AS (SELECT l, r FROM ed0
+                   UNION ALL SELECT r AS l, l AS r FROM ed0),
+            reach AS (
+              SELECT n AS node, n AS label FROM nodes
+              UNION
+              SELECT ed.l AS node, reach.label AS label
+              FROM ed JOIN reach ON reach.node = ed.r),
+            dupes AS (
+              SELECT node FROM reach GROUP BY node
+              HAVING node != min(label))
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT node FROM dupes)
+            ORDER BY doc_id""",
         "jaccard_verify": r"""
             WITH t AS (
               SELECT doc_id,

@@ -28,6 +28,20 @@ def _stable_token_hash(tokens: list[str]) -> np.ndarray:
     return h & _MAX_HASH
 
 
+def md5_lower64(strs: "np.ndarray | list") -> np.ndarray:
+    """DuckDB ``md5_number_lower`` parity hash: little-endian uint64 of
+    the LAST 8 md5 digest bytes (verified against DuckDB).  Python-rate
+    by nature — used only by the ORACLE variants (``*_md5`` dedup
+    surfaces); the production paths keep the vectorized siphash."""
+    import hashlib
+
+    out = np.empty(len(strs), dtype=np.uint64)
+    for i, s in enumerate(strs):
+        out[i] = int.from_bytes(
+            hashlib.md5(str(s).encode("utf-8")).digest()[8:], "little")
+    return out
+
+
 def shingles(tokens: list[str], k: int = 3) -> list[str]:
     """k-token shingles; falls back to the token set when len < k."""
     if len(tokens) < k:

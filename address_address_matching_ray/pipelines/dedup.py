@@ -498,20 +498,13 @@ def _dedup_from_edges(docs_ds, edges_ds, id_col: str = "doc_id",
                           broadcast_threshold=broadcast_threshold)
 
 
-def minhash_edges(docs_ds, cfg: PipelineConfig | None = None,
-                  text_col: str = "text", id_col: str = "doc_id",
-                  jaccard_threshold: float = 70.0, buckets: int = 32):
-    """The verified near-dup edge set of ``minhash_dedup`` (LSH
-    candidates → word-Jaccard verify), exposed so cluster-view
-    surfaces (``minhash_dup_clusters``) and the dedup share one
-    implementation."""
-    cfg = cfg or PipelineConfig()
-    keyed = docs_ds.map_batches(
-        _keyer_task, fn_kwargs={
-            "mode": "minhash", "cfg": cfg, "text_col": text_col,
-            "id_col": id_col},
-        batch_format="pandas")
-    cand = _candidate_pairs(keyed, buckets)
+def _verified_edges(keyed_ds, docs_ds, text_col: str, id_col: str,
+                    jaccard_threshold: float, buckets: int):
+    """Band rows → unique candidate pairs → word-Jaccard-verified edge
+    set — the post-keyer half of the MinHash pipeline, shared by the
+    production siphash keyer and the md5 ORACLE keyer so the oracle
+    checks the same machinery."""
+    cand = _candidate_pairs(keyed_ds, buckets)
     with_text = _pair_texts(cand, _slim_texts(docs_ds, text_col, id_col),
                             buckets)
 
@@ -534,6 +527,80 @@ def minhash_edges(docs_ds, cfg: PipelineConfig | None = None,
 
     return with_text.map_batches(verify, batch_format="pandas",
                                  batch_size=None)
+
+
+def minhash_edges(docs_ds, cfg: PipelineConfig | None = None,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  jaccard_threshold: float = 70.0, buckets: int = 32):
+    """The verified near-dup edge set of ``minhash_dedup`` (LSH
+    candidates → word-Jaccard verify), exposed so cluster-view
+    surfaces (``minhash_dup_clusters``) and the dedup share one
+    implementation."""
+    cfg = cfg or PipelineConfig()
+    keyed = docs_ds.map_batches(
+        _keyer_task, fn_kwargs={
+            "mode": "minhash", "cfg": cfg, "text_col": text_col,
+            "id_col": id_col},
+        batch_format="pandas")
+    return _verified_edges(keyed, docs_ds, text_col, id_col,
+                           jaccard_threshold, buckets)
+
+
+def _md5_minhash_keys(df: pd.DataFrame, cfg: PipelineConfig,
+                      text_col: str, id_col: str) -> pa.Table:
+    """ORACLE-variant keyer: identical MinHash-LSH structure to the
+    production ``minhash`` mode (same shingles, same seeded
+    ``MinHasher`` permutation family, same band layout) with both
+    hash seams swapped for DuckDB-replayable md5 — base shingle hash
+    = ``md5_number_lower & 2^32-1``, band key = ``md5_number_lower``
+    of ``"{band}:{sig csv}"``.  Per-shingle python-rate md5 by
+    nature; the production siphash keyer stays vectorized."""
+    from address_address_matching_ray.functions.minhash import (
+        MinHasher, md5_lower64, shingles,
+    )
+
+    mh = MinHasher(cfg.dedup_minhash_perms, cfg.seed)
+    bands = cfg.dedup_lsh_bands
+    rows = cfg.dedup_minhash_perms // bands
+    ids = df[id_col].to_numpy(dtype="uint64")
+    out_ids: list[int] = []
+    out_keys: list[str] = []
+    for j, t in enumerate(df[text_col].fillna("")):
+        sh = shingles(t.lower().split(), cfg.shingle_size)
+        x = (md5_lower64(sh) & np.uint64((1 << 32) - 1)
+             if sh else np.empty(0, dtype=np.uint64))
+        sig = mh.signature(x)
+        for b in range(bands):
+            out_ids.append(int(ids[j]))
+            out_keys.append(
+                f"{b}:" + ",".join(str(int(v))
+                                   for v in sig[b * rows:(b + 1) * rows]))
+    return pa.table({
+        "doc_id": pa.array(np.array(out_ids, dtype=np.uint64), pa.uint64()),
+        "band_key": pa.array(md5_lower64(out_keys), pa.uint64())})
+
+
+def minhash_dedup_md5(docs_ds, cfg: PipelineConfig | None = None,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      jaccard_threshold: float = 70.0, buckets: int = 32,
+                      broadcast_threshold: int = 5_000_000):
+    """MinHash-LSH near-dup removal with md5-replayable hash seams —
+    the DuckDB-ORACLED twin of ``minhash_dedup``: signatures, banding,
+    candidate machinery (``_candidate_pairs`` incl. caps), word-Jaccard
+    verify, connected components and min-id keep all run through the
+    SAME code as the production surface; only the two hash functions
+    differ, so the oracle makes the whole LSH dedup hash-checkable.
+    Valid in the cap-free regime (no band block near
+    ``_BandCaps.max_block_size`` at oracle scales — pytest-asserted)."""
+    cfg = cfg or PipelineConfig()
+    keyed = docs_ds.map_batches(
+        _md5_minhash_keys, fn_kwargs={
+            "cfg": cfg, "text_col": text_col, "id_col": id_col},
+        batch_format="pandas")
+    edges = _verified_edges(keyed, docs_ds, text_col, id_col,
+                            jaccard_threshold, buckets)
+    return _dedup_from_edges(docs_ds, edges, id_col,
+                             broadcast_threshold=broadcast_threshold)
 
 
 def minhash_dedup(docs_ds, cfg: PipelineConfig | None = None,
