@@ -177,6 +177,31 @@ def _q_minhash_dedup_md5(sf_dir: str):
     return minhash_dedup_md5(_docs(sf_dir)).sort("doc_id")
 
 
+def _q_ngram_dedup_md5(sf_dir: str):
+    """ngram_jaccard_dedup's DuckDB-oracled md5-seam twin."""
+    from address_address_matching_ray.pipelines.dedup import ngram_dedup_md5
+
+    return ngram_dedup_md5(_docs(sf_dir)).sort("doc_id")
+
+
+def _q_simhash_dedup_md5(sf_dir: str):
+    """simhash_dedup's DuckDB-oracled md5-seam twin."""
+    from address_address_matching_ray.pipelines.dedup import (
+        simhash_dedup_md5,
+    )
+
+    return simhash_dedup_md5(_docs(sf_dir)).sort("doc_id")
+
+
+def _q_dup_clusters_md5(sf_dir: str):
+    """minhash_dup_clusters' DuckDB-oracled md5-seam twin."""
+    from address_address_matching_ray.pipelines.dedup import (
+        dup_clusters_md5,
+    )
+
+    return dup_clusters_md5(_docs(sf_dir))
+
+
 def _q_simhash_dedup(sf_dir: str):
     from address_address_matching_ray.pipelines.dedup import simhash_dedup
 
@@ -1292,6 +1317,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "minhash_dedup": _q_minhash_dedup,
         "minhash_dedup_md5": _q_minhash_dedup_md5,
+        "ngram_dedup_md5": _q_ngram_dedup_md5,
+        "simhash_dedup_md5": _q_simhash_dedup_md5,
+        "dup_clusters_md5": _q_dup_clusters_md5,
         "simhash_dedup": _q_simhash_dedup,
         "ngram_dedup": _q_ngram_dedup,
         "jaccard_verify": _q_jaccard_verify,
@@ -1416,6 +1444,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ──────────────────────────────────────────────────────────────
 # oracle SQL (DuckDB) — column names match the Ray results exactly
 # ──────────────────────────────────────────────────────────────
+
+def _md5_lsh_ctes() -> str:
+    """Shared CTE chain for the md5-seam LSH oracles: tokens →
+    shingles → md5 base hashes → seeded signature mins → band keys →
+    distinct co-banded candidate pairs (cap-free regime, pytest-
+    asserted)."""
+    return f"""toks AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text),
+                       '\\s+'), x -> x <> '') AS ws
+              FROM documents),
+            sh AS (
+              SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+              FROM toks, LATERAL unnest(range(1, len(ws) - 1)) AS t(i)
+              WHERE len(ws) >= 3
+              UNION ALL
+              SELECT doc_id, array_to_string(ws, ' ')
+              FROM toks WHERE len(ws) BETWEEN 1 AND 2),
+            xs AS (
+              SELECT doc_id,
+                     (md5_number_lower(s) % 4294967296)::BIGINT AS x
+              FROM sh),
+            perms(i, a, b) AS (VALUES {_minhash_perm_sql()}),
+            sigs AS (
+              SELECT doc_id, p.i,
+                     min(((p.a * x + p.b) % 2305843009213693951)
+                         & 4294967295) AS sig
+              FROM xs CROSS JOIN perms p GROUP BY doc_id, p.i
+              UNION ALL
+              SELECT d.doc_id, p.i, 4294967295 AS sig
+              FROM documents d CROSS JOIN perms p
+              WHERE d.doc_id NOT IN (SELECT doc_id FROM xs)),
+            bkeys AS (
+              SELECT doc_id,
+                     md5_number_lower(CAST(i // 4 AS VARCHAR) || ':' ||
+                       string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bk
+              FROM sigs GROUP BY doc_id, i // 4),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS l, b.doc_id AS r
+              FROM bkeys a JOIN bkeys b
+                ON a.bk = b.bk AND a.doc_id < b.doc_id)"""
+
+
+_CC_CTES = """nodes AS (SELECT l AS n FROM ed0 UNION SELECT r FROM ed0),
+            ed AS (SELECT l, r FROM ed0
+                   UNION ALL SELECT r AS l, l AS r FROM ed0),
+            reach AS (
+              SELECT n AS node, n AS label FROM nodes
+              UNION
+              SELECT ed.l AS node, reach.label AS label
+              FROM ed JOIN reach ON reach.node = ed.r),
+            dupes AS (
+              SELECT node FROM reach GROUP BY node
+              HAVING node != min(label))"""
+
 
 def _minhash_perm_sql() -> str:
     """The seeded MinHasher permutation family (a_i, b_i) as literal
@@ -2461,40 +2543,55 @@ def oracle_sql() -> dict[str, str]:
         # min-id keep.  Cap-free regime asserted in pytest.
         "minhash_dedup_md5": f"""
             WITH RECURSIVE
-            toks AS (
-              SELECT doc_id, list_filter(string_split_regex(lower(text),
-                       '\\s+'), x -> x <> '') AS ws
-              FROM documents),
-            sh AS (
-              SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-              FROM toks, LATERAL unnest(range(1, len(ws) - 1)) AS t(i)
-              WHERE len(ws) >= 3
+            {_md5_lsh_ctes()},
+            vt AS (SELECT doc_id, list_distinct(ws) AS tk FROM toks),
+            ed0 AS MATERIALIZED (
+              SELECT l, r FROM (
+                SELECT c.l, c.r,
+                       len(list_intersect(a.tk, b.tk)) AS i,
+                       len(a.tk) AS la, len(b.tk) AS lb
+                FROM cand c JOIN vt a ON a.doc_id = c.l
+                            JOIN vt b ON b.doc_id = c.r)
+              WHERE la + lb - i = 0
+                 OR 100.0 * i / (la + lb - i) >= 70.0),
+            {_CC_CTES}
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT node FROM dupes)
+            ORDER BY doc_id""",
+        # same md5 LSH candidates, char-5-gram Jaccard verify >= 60
+        "ngram_dedup_md5": f"""
+            WITH RECURSIVE
+            {_md5_lsh_ctes()},
+            nt AS (SELECT doc_id, array_to_string(ws, ' ') AS t
+                   FROM toks),
+            gr AS (
+              SELECT doc_id, substr(t, i, 5) AS g
+              FROM nt, LATERAL unnest(range(1, len(t) - 3)) AS r(i)
+              WHERE len(t) >= 5
               UNION ALL
-              SELECT doc_id, array_to_string(ws, ' ')
-              FROM toks WHERE len(ws) BETWEEN 1 AND 2),
-            xs AS (
-              SELECT doc_id,
-                     (md5_number_lower(s) % 4294967296)::BIGINT AS x
-              FROM sh),
-            perms(i, a, b) AS (VALUES {_minhash_perm_sql()}),
-            sigs AS (
-              SELECT doc_id, p.i,
-                     min(((p.a * x + p.b) % 2305843009213693951)
-                         & 4294967295) AS sig
-              FROM xs CROSS JOIN perms p GROUP BY doc_id, p.i
-              UNION ALL
-              SELECT d.doc_id, p.i, 4294967295 AS sig
-              FROM documents d CROSS JOIN perms p
-              WHERE d.doc_id NOT IN (SELECT doc_id FROM xs)),
-            bkeys AS (
-              SELECT doc_id,
-                     md5_number_lower(CAST(i // 4 AS VARCHAR) || ':' ||
-                       string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bk
-              FROM sigs GROUP BY doc_id, i // 4),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS l, b.doc_id AS r
-              FROM bkeys a JOIN bkeys b
-                ON a.bk = b.bk AND a.doc_id < b.doc_id),
+              SELECT doc_id, t FROM nt WHERE len(t) BETWEEN 1 AND 4),
+            gs AS (SELECT doc_id, list_distinct(list(g)) AS tk
+                   FROM gr GROUP BY doc_id),
+            ed0 AS MATERIALIZED (
+              SELECT l, r FROM (
+                SELECT c.l, c.r,
+                       len(list_intersect(coalesce(a.tk, []),
+                                          coalesce(b.tk, []))) AS i,
+                       len(coalesce(a.tk, [])) AS la,
+                       len(coalesce(b.tk, [])) AS lb
+                FROM cand c LEFT JOIN gs a ON a.doc_id = c.l
+                            LEFT JOIN gs b ON b.doc_id = c.r)
+              WHERE la + lb - i = 0
+                 OR 100.0 * i / (la + lb - i) >= 60.0),
+            {_CC_CTES}
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT node FROM dupes)
+            ORDER BY doc_id""",
+        # cluster VIEW of the md5 minhash edge graph: component id =
+        # min member, member counts; only multi-member components
+        "dup_clusters_md5": f"""
+            WITH RECURSIVE
+            {_md5_lsh_ctes()},
             vt AS (SELECT doc_id, list_distinct(ws) AS tk FROM toks),
             ed0 AS MATERIALIZED (
               SELECT l, r FROM (
@@ -2513,13 +2610,51 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT ed.l AS node, reach.label AS label
               FROM ed JOIN reach ON reach.node = ed.r),
-            dupes AS (
-              SELECT node FROM reach GROUP BY node
-              HAVING node != min(label))
+            lab AS (SELECT node, min(label) AS cluster_id
+                    FROM reach GROUP BY node)
+            SELECT cluster_id::BIGINT AS cluster_id,
+                   count(*)::BIGINT AS n_members
+            FROM lab GROUP BY 1 ORDER BY cluster_id""",
+        # md5-seam simhash: per-token md5 64-bit hash -> vote/sign
+        # signature -> 16-bit band slices (md5 keys) -> Hamming <= 3
+        "simhash_dedup_md5": f"""
+            WITH RECURSIVE
+            toks AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text),
+                       '\\s+'), x -> x <> '') AS ws
+              FROM documents),
+            tk AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+            th AS (SELECT doc_id, md5_number_lower(w) AS h FROM tk),
+            votes AS (
+              SELECT doc_id, b,
+                     sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)
+                       AS v
+              FROM th, LATERAL unnest(range(0, 64)) AS r(b)
+              GROUP BY doc_id, b),
+            sigs AS (
+              SELECT doc_id,
+                     bit_or(CASE WHEN v > 0 THEN (1::UBIGINT << b)
+                                 ELSE 0::UBIGINT END) AS sig
+              FROM votes GROUP BY doc_id
+              UNION ALL
+              SELECT doc_id, 0::UBIGINT FROM documents
+              WHERE doc_id NOT IN (SELECT doc_id FROM tk)),
+            bkeys AS (
+              SELECT doc_id, sig,
+                     md5_number_lower(CAST(b AS VARCHAR) || ':' ||
+                       CAST((sig >> (16 * b)::UBIGINT) & 65535
+                            AS VARCHAR)) AS bk
+              FROM sigs, LATERAL unnest(range(0, 4)) AS r(b)),
+            ed0 AS MATERIALIZED (
+              SELECT DISTINCT a.doc_id AS l, b.doc_id AS r
+              FROM bkeys a JOIN bkeys b
+                ON a.bk = b.bk AND a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+            {_CC_CTES}
             SELECT doc_id, text, lang, source, n_chars FROM documents
             WHERE doc_id NOT IN (SELECT node FROM dupes)
             ORDER BY doc_id""",
-        "jaccard_verify": r"""
+"jaccard_verify": r"""
             WITH t AS (
               SELECT doc_id,
                      list_distinct(list_filter(

@@ -657,6 +657,83 @@ def minhash_dup_clusters(docs_ds, cfg: PipelineConfig | None = None,
             .sort("cluster_id"))
 
 
+def _ngram_verified_edges(keyed_ds, docs_ds, text_col: str, id_col: str,
+                          n: int, threshold: float, buckets: int):
+    """Band rows → char-n-gram-Jaccard-verified edges — shared by the
+    production siphash keyer and the md5 ORACLE keyer."""
+    cand = _candidate_pairs(keyed_ds, buckets)
+    with_text = _pair_texts(cand, _slim_texts(docs_ds, text_col, id_col),
+                            buckets)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        # transient per-pair sets on purpose — see minhash_dedup's
+        # verify: factorization has nothing to reuse on pair-hash-
+        # scattered blocks, and live set pools thrash the memory bus
+        # (196 s vs 10 s at 1M docs, 32 workers)
+        if not len(df):
+            return df[["left_id", "right_id"]]
+        sims = np.fromiter(
+            (jaccard(char_ngrams(a, n), char_ngrams(b, n))
+             for a, b in zip(df["l_text"], df["r_text"])),
+            dtype=np.float64, count=len(df))
+        return df.loc[sims >= threshold, ["left_id", "right_id"]]
+
+    return with_text.map_batches(verify, batch_format="pandas",
+                                 batch_size=None)
+
+
+def ngram_dedup_md5(docs_ds, cfg: PipelineConfig | None = None,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    n: int = 5, threshold: float = 60.0,
+                    buckets: int = 32,
+                    broadcast_threshold: int = 5_000_000):
+    """DuckDB-ORACLED twin of ``ngram_jaccard_dedup`` — the md5
+    MinHash keyer feeds the same char-n-gram verify/CC/keep path."""
+    cfg = cfg or PipelineConfig()
+    keyed = docs_ds.map_batches(
+        _md5_minhash_keys, fn_kwargs={
+            "cfg": cfg, "text_col": text_col, "id_col": id_col},
+        batch_format="pandas")
+    edges = _ngram_verified_edges(keyed, docs_ds, text_col, id_col,
+                                  n, threshold, buckets)
+    return _dedup_from_edges(docs_ds, edges, id_col,
+                             broadcast_threshold=broadcast_threshold)
+
+
+def dup_clusters_md5(docs_ds, cfg: PipelineConfig | None = None,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     jaccard_threshold: float = 70.0, buckets: int = 32):
+    """DuckDB-ORACLED twin of ``minhash_dup_clusters``: the md5-seam
+    edge set through ``connected_components`` → (cluster_id,
+    n_members) per multi-member component."""
+    cfg = cfg or PipelineConfig()
+    keyed = docs_ds.map_batches(
+        _md5_minhash_keys, fn_kwargs={
+            "cfg": cfg, "text_col": text_col, "id_col": id_col},
+        batch_format="pandas")
+    edges = _verified_edges(keyed, docs_ds, text_col, id_col,
+                            jaccard_threshold, buckets)
+    labels = connected_components(edges.materialize())
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df.groupby("cluster_id", sort=False).size()
+        out = pd.DataFrame({"cluster_id": vc.index.to_numpy("int64"),
+                            "n_members": vc.to_numpy().astype("int64")})
+        with np.errstate(over="ignore"):
+            out["_b"] = ((out["cluster_id"].to_numpy("uint64")
+                          * np.uint64(0x9E3779B97F4A7C15))
+                         % np.uint64(buckets)).astype("int64")
+        return out
+
+    return (labels.map_batches(partial, batch_format="pandas")
+            .groupby("_b").map_groups(
+                lambda g: g.drop(columns=["_b"])
+                .groupby("cluster_id", sort=False, as_index=False)
+                ["n_members"].sum(),
+                batch_format="pandas")
+            .sort("cluster_id"))
+
+
 def simhash_dedup(docs_ds, cfg: PipelineConfig | None = None,
                   text_col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 3, buckets: int = 32,
@@ -671,7 +748,15 @@ def simhash_dedup(docs_ds, cfg: PipelineConfig | None = None,
             "mode": "simhash", "cfg": cfg, "text_col": text_col,
             "id_col": id_col},
         batch_format="pandas")
-    cand = _candidate_pairs(keyed, buckets, carry_sig=True)
+    edges = _hamming_edges(keyed, max_hamming, buckets)
+    return _dedup_from_edges(docs_ds, edges, id_col,
+                             broadcast_threshold=broadcast_threshold)
+
+
+def _hamming_edges(keyed_ds, max_hamming: int, buckets: int):
+    """Band rows (with sigs) → Hamming-verified edges — shared by the
+    production simhash keyer and the md5 ORACLE keyer."""
+    cand = _candidate_pairs(keyed_ds, buckets, carry_sig=True)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -680,8 +765,54 @@ def simhash_dedup(docs_ds, cfg: PipelineConfig | None = None,
                              df["r_sig"].to_numpy(dtype="uint64"))
         return df.loc[d <= max_hamming, ["left_id", "right_id"]]
 
-    edges = cand.map_batches(verify, batch_format="pandas",
-                             batch_size=None)
+    return cand.map_batches(verify, batch_format="pandas",
+                            batch_size=None)
+
+
+def _md5_simhash_keys(df: pd.DataFrame, cfg: PipelineConfig,
+                      text_col: str, id_col: str) -> pa.Table:
+    """ORACLE-variant simhash keyer: per-token 64-bit hash = DuckDB-
+    replayable ``md5_number_lower`` (replacing the mix-multiply
+    widening, which wraps mod 2^64 — SQL-hostile); the vote/sign
+    signature, 16-bit band slices and Hamming verify are the
+    production machinery.  Band key = md5 of ``"{band}:{slice}"``."""
+    from address_address_matching_ray.functions.minhash import md5_lower64
+
+    ids = df[id_col].to_numpy(dtype="uint64")
+    shifts = np.arange(64, dtype=np.uint64)
+    out_ids, out_keys, out_sigs = [], [], []
+    for j, t in enumerate(df[text_col].fillna("")):
+        toks = t.lower().split()
+        if toks:
+            h = md5_lower64(toks)
+            bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)
+                    ).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            sig = int((np.uint64(1) << shifts)[votes > 0].sum())
+        else:
+            sig = 0
+        for b in range(4):
+            out_ids.append(int(ids[j]))
+            out_keys.append(f"{b}:{(sig >> (16 * b)) & 0xFFFF}")
+            out_sigs.append(sig)
+    return pa.table({
+        "doc_id": pa.array(np.array(out_ids, dtype=np.uint64), pa.uint64()),
+        "band_key": pa.array(md5_lower64(out_keys), pa.uint64()),
+        "sig": pa.array(np.array(out_sigs, dtype=np.uint64), pa.uint64())})
+
+
+def simhash_dedup_md5(docs_ds, cfg: PipelineConfig | None = None,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      max_hamming: int = 3, buckets: int = 32,
+                      broadcast_threshold: int = 5_000_000):
+    """DuckDB-ORACLED twin of ``simhash_dedup`` — same candidate/
+    verify/CC/keep machinery, md5 hash seams (see ``_md5_simhash_keys``)."""
+    cfg = cfg or PipelineConfig()
+    keyed = docs_ds.map_batches(
+        _md5_simhash_keys, fn_kwargs={
+            "cfg": cfg, "text_col": text_col, "id_col": id_col},
+        batch_format="pandas")
+    edges = _hamming_edges(keyed, max_hamming, buckets)
     return _dedup_from_edges(docs_ds, edges, id_col,
                              broadcast_threshold=broadcast_threshold)
 
@@ -699,25 +830,8 @@ def ngram_jaccard_dedup(docs_ds, cfg: PipelineConfig | None = None,
             "mode": "minhash", "cfg": cfg, "text_col": text_col,
             "id_col": id_col},
         batch_format="pandas")
-    cand = _candidate_pairs(keyed, buckets)
-    with_text = _pair_texts(cand, _slim_texts(docs_ds, text_col, id_col),
-                            buckets)
-
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        # transient per-pair sets on purpose — see minhash_dedup's
-        # verify: factorization has nothing to reuse on pair-hash-
-        # scattered blocks, and live set pools thrash the memory bus
-        # (196 s vs 10 s at 1M docs, 32 workers)
-        if not len(df):
-            return df[["left_id", "right_id"]]
-        sims = np.fromiter(
-            (jaccard(char_ngrams(a, n), char_ngrams(b, n))
-             for a, b in zip(df["l_text"], df["r_text"])),
-            dtype=np.float64, count=len(df))
-        return df.loc[sims >= threshold, ["left_id", "right_id"]]
-
-    edges = with_text.map_batches(verify, batch_format="pandas",
-                                  batch_size=None)
+    edges = _ngram_verified_edges(keyed, docs_ds, text_col, id_col,
+                                  n, threshold, buckets)
     return _dedup_from_edges(docs_ds, edges, id_col,
                              broadcast_threshold=broadcast_threshold)
 
