@@ -16,6 +16,10 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
 from address_address_matching_ray.config import PipelineConfig
 from address_address_matching_ray.stages.cluster import (
     attach_singletons, connected_components,
@@ -377,3 +381,104 @@ def edge_stats(edges_ds):
         Max("quality", alias_name="max_quality"),
         Min("confidence", alias_name="min_confidence"),
     )
+
+def linkage_jaro(parts_ds, cfg=None, buckets: int = 32,
+                 accept_threshold: float = 55.0):
+    """The flagship linkage SPINE with SQL-replayable seams — the
+    DuckDB-ORACLED twin of ``run_linkage`` (round 5): md5-keyed
+    blocking rows (four families over part-table pseudo-addresses, the
+    ``match_queries_jaro`` derivation) feed the REAL ``pairs_stage``
+    (hot-key salting, per-block caps, cross-key dedup — all live), a
+    Jaro-only scorer with ONE pinned weighted sum + the wrong-unit
+    veto replaces the rapidfuzz ``PairScorer``, and the accepted edges
+    run the production ``connected_components`` + ``attach_singletons``
+    to (doc_id, cluster_id) for every input row.  The rapidfuzz
+    kernels themselves stay pytest-parity-gated; everything else the
+    flagship executes is now hash-checkable end-to-end.
+
+    Oracle validity: cap-free/salt-free regime at oracle scales
+    (no block near ``cfg.max_block_size`` — pytest-asserted)."""
+    import ray.data as rd  # noqa: F401  (parity with run_linkage imports)
+
+    from address_address_matching_ray.config import PipelineConfig
+    from address_address_matching_ray.functions import fuzzy
+    from address_address_matching_ray.functions.minhash import md5_lower64
+    from address_address_matching_ray.pipelines.matching import _jaro_struct
+    from address_address_matching_ray.stages.cluster import (
+        attach_singletons, connected_components,
+    )
+    from address_address_matching_ray.stages.pairs import pairs_stage
+
+    cfg = cfg or PipelineConfig()
+
+    def key_rows(df: pd.DataFrame) -> pd.DataFrame:
+        f = _jaro_struct(df, queries=False)
+        first = f["street"].str.split(" ").str[0].fillna("")
+        fams = (("e", f["norm"]),
+                ("h", f["house"] + "|" + f["street"] + "|" + f["zip"]),
+                ("f", f["house"] + "|" + first + "|" + f["zip"]),
+                ("k", first + "|" + f["state"]))
+        outs = []
+        for kind, vals in fams:
+            keys = np.array(
+                [f"{kind}:{int(v)}" for v in md5_lower64(vals.tolist())],
+                dtype=object)
+            outs.append(pd.DataFrame({
+                "doc_id": f["ck"].to_numpy().astype("uint64"),
+                "block_key": keys,
+                "key_kind": kind,
+                "norm_addr": f["norm"].to_numpy(object),
+                "house": f["house"].to_numpy(object),
+                "street_name": f["street"].to_numpy(object),
+                "street_type": "",
+                "unit": f["unit"].to_numpy(object),
+                "city": f["city"].to_numpy(object),
+                "state": f["state"].to_numpy(object),
+                "zip": f["zip"].to_numpy(object)}))
+        return pd.concat(outs, ignore_index=True)
+
+    keys = parts_ds.map_batches(key_rows, batch_format="pandas")
+    pairs = pairs_stage(keys, cfg, buckets=buckets)
+
+    def jaro100(a, b):
+        return fuzzy.apply_unique_pairs(
+            lambda As, Bs: np.array(
+                [fuzzy.jaro_winkler(x, y, prefix_weight=0.0)
+                 for x, y in zip(As, Bs)], dtype="float64"),
+            a, b)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "left_id": pd.array([], dtype="uint64"),
+                "right_id": pd.array([], dtype="uint64")})
+        js = jaro100(df["l_street_name"].to_numpy(object),
+                     df["r_street_name"].to_numpy(object))
+        jc = jaro100(df["l_city"].to_numpy(object),
+                     df["r_city"].to_numpy(object))
+        jh = np.where(df["l_house"].to_numpy(object)
+                      == df["r_house"].to_numpy(object), 100.0, 0.0)
+        jz = np.where(df["l_zip"].to_numpy(object)
+                      == df["r_zip"].to_numpy(object), 100.0, 0.0)
+        jst = np.where(df["l_state"].to_numpy(object)
+                       == df["r_state"].to_numpy(object), 100.0, 0.0)
+        lu = df["l_unit"].to_numpy(object)
+        ru = df["r_unit"].to_numpy(object)
+        ju = np.where((lu != "") & (ru != "") & (lu == ru), 100.0, 0.0)
+        # pinned double expression — literal order mirrored in the SQL
+        conf = (0.40 * js + 0.25 * jh + 0.15 * jc + 0.10 * jz
+                + 0.05 * jst + 0.05 * ju)
+        wrong_unit = (lu != "") & (ru != "") & (lu != ru)
+        keep = (conf >= accept_threshold) & ~wrong_unit
+        return pd.DataFrame({
+            "left_id": df["left_id"].to_numpy("uint64")[keep],
+            "right_id": df["right_id"].to_numpy("uint64")[keep]})
+
+    edges = pairs.map_batches(score, batch_format="pandas")
+    labels = connected_components(edges.materialize())
+    universe = parts_ds.map_batches(
+        lambda t: pa.table({"doc_id": pa.compute.cast(t["p_partkey"],
+                                                      pa.uint64())}),
+        batch_format="pyarrow")
+    return attach_singletons(universe, labels)
+

@@ -194,3 +194,33 @@ def test_edges_golden_hash(linkage_run):
     assert len(acc) == 11572
     assert h == ("fe99809342b878cab83895c78c97936c"
                  "edd1e234cc26e2792e6afa80f84e5059")
+
+
+def test_linkage_jaro_capfree_regime(ray_session):
+    """The linkage_jaro oracle replays the uncapped, unsalted pair
+    path; assert no block at oracle scales approaches the caps
+    (cfg.max_block_size=200, salt threshold 8x that) so that
+    assumption can't rot silently."""
+    import ray.data as rd
+
+    from address_address_matching_ray.config import PipelineConfig
+    from address_address_matching_ray.functions.minhash import md5_lower64
+    from address_address_matching_ray.pipelines.matching import _jaro_struct
+
+    cfg = PipelineConfig()
+    parts = rd.read_parquet(
+        "/root/testdata/sf0.001/part.parquet",
+        columns=["p_partkey", "p_name", "p_type", "p_size"]).to_pandas()
+    f = _jaro_struct(parts, queries=False)
+    first = f["street"].str.split(" ").str[0].fillna("")
+    sizes = []
+    for kind, vals in (("e", f["norm"]),
+                       ("h", f["house"] + "|" + f["street"] + "|" + f["zip"]),
+                       ("f", f["house"] + "|" + first + "|" + f["zip"]),
+                       ("k", first + "|" + f["state"])):
+        import pandas as pd
+        keys = pd.Series([f"{kind}:{int(v)}"
+                          for v in md5_lower64(vals.tolist())])
+        sizes.append(keys.value_counts().max())
+    assert max(sizes) < cfg.max_block_size // 2, sizes
+    assert max(sizes) * (max(sizes) - 1) // 2 < cfg.max_pairs_per_block
