@@ -42,7 +42,7 @@ def run_linkage(pages_ds, cfg: PipelineConfig | None = None,
                 checkpoint_root: str | None = None,
                 input_fp: str = "", buckets: int = 64,
                 num_partitions: int = 16,
-                cc_driver_threshold: int = 100_000_000,
+                cc_driver_threshold: int = 300_000_000,
                 approx_rows: int | None = None,
                 auto_spill_rows: int = 8_000_000,
                 doc_universe=None):

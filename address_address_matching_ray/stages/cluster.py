@@ -51,20 +51,20 @@ def _project(ds, mapping: dict[str, str]):
 
 def connected_components(edges_ds, num_partitions: int = 16,
                          max_iters: int = 25,
-                         driver_threshold: int = 20_000_000,
+                         driver_threshold: int = 100_000_000,
                          assume_unique: bool = False):
     """edges(left_id,right_id) → labels Dataset (doc_id, cluster_id).
 
-    Adaptive: when the edge list is small (≤ ``driver_threshold`` rows
-    of two uint64s — 100M edges ≈ 1.6 GB, minutes of multi-threaded
-    polars/numpy), the distributed fixpoint's per-iteration join
-    overhead dwarfs the work, so the slim id pairs are pulled to the
-    driver and union-found directly (the guide's "union-find on the
-    driver only if the candidate set is provably small"; at 16M pages /
-    57M edges the distributed path measured ~10× the driver path on one
-    box).  Above the threshold the iterative hash-partitioned label
-    propagation runs — the 10^12-row path, where no single machine
-    holds the edge list.
+    Adaptive: when the edge list fits the driver (≤ ``driver_threshold``
+    rows of two uint64s), the slim id pairs are pulled and union-found
+    directly.  Round-5 measurement (BASELINE.md): the driver path wins
+    at EVERY size that fits memory — 13.7 s at 57M edges (distributed:
+    102.8 s) and 38.3 s at 150M edges (distributed: 215.7 s) on one
+    32-CPU box — so the threshold guards MEMORY, not a speed
+    crossover: 100M edges ≈ 1.6 GB pull, int32 compressed indices are
+    valid to 2³¹ edges.  Above the threshold the condense prelude +
+    iterative hash-partitioned label propagation run — the ≳2B-edge /
+    driver-less regime, where no single machine holds the edge list.
     Both paths produce identical labels (cluster id = min member id);
     a property test asserts it.
 
