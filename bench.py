@@ -108,9 +108,14 @@ def run_bench() -> dict:
     # ── standing quality gate (VERDICT r4 #6): evaluate the LAST
     # headline run's clusters against the planted truth with the
     # engine's own cluster_pair_metrics, untimed — a quality
-    # regression now fails the bench like a perf regression ──
+    # regression now fails the bench like a perf regression.
+    # GRAFT_SKIP_QUALITY=1 skips it entirely (set by the scaling
+    # harness: its legs only read the timed linkage number, and the
+    # eval would add minutes of wall per leg) ──
     import numpy as np
     import pandas as pd
+
+    skip_quality = os.environ.get("GRAFT_SKIP_QUALITY", "0") == "1"
 
     from address_address_matching_ray.pipelines.er_em import (
         cluster_pair_metrics,
@@ -136,22 +141,28 @@ def run_bench() -> dict:
         return pd.DataFrame({"pred": m["pred"].astype("int64"),
                              "truth": m["truth"].astype("int64")})
 
-    labels = (res.clusters.map_batches(_tag("pred"), batch_format="pandas")
-              .union(synth_truth(n_pages, seed=42)
-                     .map_batches(_tag("truth"), batch_format="pandas"))
-              .groupby("_b").map_groups(
-                  lambda g: _join(g.drop(columns=["_b"])),
-                  batch_format="pandas"))
-    met = cluster_pair_metrics(labels, buckets=128)
-    mv = dict(zip(met["metric"], met["value"]))
-    quality = {k: round(float(mv[k]), 4) for k in
-               ("pairwise_recall", "pairwise_precision", "pairwise_f1",
-                "b3_f1")}
-    quality_ok = (quality["pairwise_recall"] >= 0.995
-                  and quality["pairwise_f1"] >= 0.92)
-    if not quality_ok and os.environ.get("GRAFT_QUALITY_GATE", "1") == "1":
-        raise RuntimeError(
-            f"quality gate failed (recall>=0.995, f1>=0.92): {quality}")
+    if skip_quality:
+        quality, quality_ok = {}, None
+    else:
+        labels = (res.clusters.map_batches(_tag("pred"),
+                                           batch_format="pandas")
+                  .union(synth_truth(n_pages, seed=42)
+                         .map_batches(_tag("truth"), batch_format="pandas"))
+                  .groupby("_b").map_groups(
+                      lambda g: _join(g.drop(columns=["_b"])),
+                      batch_format="pandas"))
+        met = cluster_pair_metrics(labels, buckets=128)
+        mv = dict(zip(met["metric"], met["value"]))
+        quality = {k: round(float(mv[k]), 4) for k in
+                   ("pairwise_recall", "pairwise_precision",
+                    "pairwise_f1", "b3_f1")}
+        quality_ok = (quality["pairwise_recall"] >= 0.995
+                      and quality["pairwise_f1"] >= 0.92)
+        if (not quality_ok
+                and os.environ.get("GRAFT_QUALITY_GATE", "1") == "1"):
+            raise RuntimeError(
+                f"quality gate failed (recall>=0.995, f1>=0.92): "
+                f"{quality}")
 
     # ── secondary pipelines ──
     # best-of-reps here too: one hypervisor steal burst painted
@@ -208,8 +219,10 @@ def run_scaling() -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    POLARS_MAX_THREADS=str(ncpu),
                    # run_scaling does its own per-leg reps — one
-                   # headline run per child invocation
-                   GRAFT_BENCH_REPS="1")
+                   # headline run per child invocation; quality eval
+                   # is skipped (legs only read the timed number)
+                   GRAFT_BENCH_REPS="1",
+                   GRAFT_SKIP_QUALITY="1")
         # scaling needs a big enough workload that parallel compute
         # dominates the serial residue: 1M pages measures warm-up and
         # driver-side costs after the round-2 speedups, 4M measures
