@@ -444,6 +444,30 @@ def _q_linkage_jaro(sf_dir: str):
     return out.map_batches(proj, batch_format="pandas").sort("doc_id")
 
 
+def _q_incremental_linkage_jaro(sf_dir: str):
+    """The incremental absorb machinery through its oracle twin —
+    prior = linkage_jaro over the 80% split, delta absorbed via the
+    REAL incremental_linkage with md5/jaro seams; oracle = the full
+    linkage_jaro SQL (absorb is label-identical to the full rerun)."""
+    import ray.data as rd
+    from address_address_matching_ray.pipelines.linkage import (
+        incremental_linkage_jaro,
+    )
+
+    parts = rd.read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_name", "p_type",
+                                     "p_size"])
+    out = incremental_linkage_jaro(parts, buckets=8)
+
+    def proj(df):
+        import pandas as pd
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy("int64"),
+            "cluster_id": df["cluster_id"].to_numpy("int64")})
+
+    return out.map_batches(proj, batch_format="pandas").sort("doc_id")
+
+
 def _q_match_queries_jaro(sf_dir: str):
     """The match cascade with the SQL-replayable Jaro scorer (VERDICT
     r4 #4): key families, per-tier caps, cross pairs, dedup, ladder
@@ -1457,6 +1481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_queries": _q_match_queries,
         "match_queries_jaro": _q_match_queries_jaro,
         "linkage_jaro": _q_linkage_jaro,
+        "incremental_linkage_jaro": _q_incremental_linkage_jaro,
         # multimodal plumbing (deterministic fake decode)
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
@@ -1519,6 +1544,81 @@ _CC_CTES = """nodes AS (SELECT l AS n FROM ed0 UNION SELECT r FROM ed0),
             dupes AS (
               SELECT node FROM reach GROUP BY node
               HAVING node != min(label))"""
+
+
+def _linkage_jaro_sql() -> str:
+    """The linkage_jaro replay (md5 keys -> distinct co-blocked
+    pairs -> pinned jaro weighted sum + wrong-unit veto -> CC ->
+    singleton attach).  Shared VERBATIM by the incremental twin:
+    the absorbed result is label-identical to the full rerun
+    (pytest + the per-doc/per-pair corpus-independence argument in
+    linkage.incremental_linkage_jaro), so one SQL oracles both.
+    Cap/salt-free regime at oracle scales is pytest-asserted."""
+    return f"""
+            WITH RECURSIVE
+            base AS (
+              SELECT p_partkey AS ck,
+                     {_norm_expr("p_name || ' ' || p_type")} AS street,
+                     cast(p_partkey % 90 + 10 AS VARCHAR) AS house,
+                     'city' || cast(p_size % 25 AS VARCHAR) AS city,
+                     cast((p_size % 25) % 10 AS VARCHAR) AS state,
+                     cast(10 + p_size % 25 AS VARCHAR) AS zip,
+                     CASE WHEN p_partkey % 3 = 0 THEN ''
+                          ELSE cast(p_partkey % 7 AS VARCHAR) END AS unit
+              FROM part),
+            r AS (
+              SELECT *,
+                     trim(regexp_replace(house || ' ' || street || ' '
+                       || city || ' ' || state || ' ' || zip,
+                       '\\s+', ' ', 'g')) AS rnorm,
+                     string_split(street, ' ')[1] AS first_tok
+              FROM base),
+            ks AS (
+              SELECT ck, 'e:' ||
+                cast(md5_number_lower(rnorm) AS VARCHAR) AS bk FROM r
+              UNION ALL SELECT ck, 'h:' || cast(md5_number_lower(
+                house || '|' || street || '|' || zip) AS VARCHAR) FROM r
+              UNION ALL SELECT ck, 'f:' || cast(md5_number_lower(
+                house || '|' || first_tok || '|' || zip) AS VARCHAR) FROM r
+              UNION ALL SELECT ck, 'k:' || cast(md5_number_lower(
+                first_tok || '|' || state) AS VARCHAR) FROM r),
+            pr AS (
+              SELECT DISTINCT a.ck AS l, b.ck AS r
+              FROM ks a JOIN ks b ON a.bk = b.bk AND a.ck < b.ck),
+            sc AS (
+              SELECT p.l, p.r,
+                jaro_similarity(x.street, y.street) * 100.0 AS js,
+                CASE WHEN x.house = y.house THEN 100.0 ELSE 0.0 END AS jh,
+                jaro_similarity(x.city, y.city) * 100.0 AS jc,
+                CASE WHEN x.zip = y.zip THEN 100.0 ELSE 0.0 END AS jz,
+                CASE WHEN x.state = y.state THEN 100.0 ELSE 0.0 END
+                  AS jst,
+                CASE WHEN x.unit <> '' AND y.unit <> ''
+                          AND x.unit = y.unit THEN 100.0 ELSE 0.0 END
+                  AS ju,
+                (x.unit <> '' AND y.unit <> '' AND x.unit <> y.unit)
+                  AS wrong_unit
+              FROM pr p JOIN r x ON x.ck = p.l JOIN r y ON y.ck = p.r),
+            ed0 AS MATERIALIZED (
+              SELECT l, r FROM (
+                SELECT *, 0.40 * js + 0.25 * jh + 0.15 * jc + 0.10 * jz
+                            + 0.05 * jst + 0.05 * ju AS confidence
+                FROM sc)
+              WHERE confidence >= 55.0 AND NOT wrong_unit),
+            nodes AS (SELECT l AS n FROM ed0 UNION SELECT r FROM ed0),
+            ed AS (SELECT l, r FROM ed0
+                   UNION ALL SELECT r AS l, l AS r FROM ed0),
+            reach AS (
+              SELECT n AS node, n AS label FROM nodes
+              UNION
+              SELECT ed.l AS node, reach.label AS label
+              FROM ed JOIN reach ON reach.node = ed.r),
+            lab AS (SELECT node, min(label) AS cid
+                    FROM reach GROUP BY node)
+            SELECT p.p_partkey AS doc_id,
+                   coalesce(lab.cid, p.p_partkey)::BIGINT AS cluster_id
+            FROM part p LEFT JOIN lab ON lab.node = p.p_partkey
+            ORDER BY doc_id"""
 
 
 def _minhash_perm_sql() -> str:
@@ -3746,77 +3846,11 @@ def oracle_sql() -> dict[str, str]:
         # fuzzy metric, oracled: pure Jaro is engine-identical (the
         # Winkler prefix boost is what differs -- rapidfuzz boosts
         # unconditionally, classic/DuckDB gates at 0.7)
-        # the flagship linkage spine replayed (round 5): md5 block keys
-        # over the part pseudo-addresses, distinct co-blocked pairs
-        # (l<r), jaro scoring with the pinned weighted sum + wrong-unit
-        # veto at the fuzzy-tier floor, recursive-CTE CC, singleton
-        # attach over the full universe.  Cap/salt-free regime at
-        # oracle scales is pytest-asserted.
-        "linkage_jaro": f"""
-            WITH RECURSIVE
-            base AS (
-              SELECT p_partkey AS ck,
-                     {_norm_expr("p_name || ' ' || p_type")} AS street,
-                     cast(p_partkey % 90 + 10 AS VARCHAR) AS house,
-                     'city' || cast(p_size % 25 AS VARCHAR) AS city,
-                     cast((p_size % 25) % 10 AS VARCHAR) AS state,
-                     cast(10 + p_size % 25 AS VARCHAR) AS zip,
-                     CASE WHEN p_partkey % 3 = 0 THEN ''
-                          ELSE cast(p_partkey % 7 AS VARCHAR) END AS unit
-              FROM part),
-            r AS (
-              SELECT *,
-                     trim(regexp_replace(house || ' ' || street || ' '
-                       || city || ' ' || state || ' ' || zip,
-                       '\\s+', ' ', 'g')) AS rnorm,
-                     string_split(street, ' ')[1] AS first_tok
-              FROM base),
-            ks AS (
-              SELECT ck, 'e:' ||
-                cast(md5_number_lower(rnorm) AS VARCHAR) AS bk FROM r
-              UNION ALL SELECT ck, 'h:' || cast(md5_number_lower(
-                house || '|' || street || '|' || zip) AS VARCHAR) FROM r
-              UNION ALL SELECT ck, 'f:' || cast(md5_number_lower(
-                house || '|' || first_tok || '|' || zip) AS VARCHAR) FROM r
-              UNION ALL SELECT ck, 'k:' || cast(md5_number_lower(
-                first_tok || '|' || state) AS VARCHAR) FROM r),
-            pr AS (
-              SELECT DISTINCT a.ck AS l, b.ck AS r
-              FROM ks a JOIN ks b ON a.bk = b.bk AND a.ck < b.ck),
-            sc AS (
-              SELECT p.l, p.r,
-                jaro_similarity(x.street, y.street) * 100.0 AS js,
-                CASE WHEN x.house = y.house THEN 100.0 ELSE 0.0 END AS jh,
-                jaro_similarity(x.city, y.city) * 100.0 AS jc,
-                CASE WHEN x.zip = y.zip THEN 100.0 ELSE 0.0 END AS jz,
-                CASE WHEN x.state = y.state THEN 100.0 ELSE 0.0 END
-                  AS jst,
-                CASE WHEN x.unit <> '' AND y.unit <> ''
-                          AND x.unit = y.unit THEN 100.0 ELSE 0.0 END
-                  AS ju,
-                (x.unit <> '' AND y.unit <> '' AND x.unit <> y.unit)
-                  AS wrong_unit
-              FROM pr p JOIN r x ON x.ck = p.l JOIN r y ON y.ck = p.r),
-            ed0 AS MATERIALIZED (
-              SELECT l, r FROM (
-                SELECT *, 0.40 * js + 0.25 * jh + 0.15 * jc + 0.10 * jz
-                            + 0.05 * jst + 0.05 * ju AS confidence
-                FROM sc)
-              WHERE confidence >= 55.0 AND NOT wrong_unit),
-            nodes AS (SELECT l AS n FROM ed0 UNION SELECT r FROM ed0),
-            ed AS (SELECT l, r FROM ed0
-                   UNION ALL SELECT r AS l, l AS r FROM ed0),
-            reach AS (
-              SELECT n AS node, n AS label FROM nodes
-              UNION
-              SELECT ed.l AS node, reach.label AS label
-              FROM ed JOIN reach ON reach.node = ed.r),
-            lab AS (SELECT node, min(label) AS cid
-                    FROM reach GROUP BY node)
-            SELECT p.p_partkey AS doc_id,
-                   coalesce(lab.cid, p.p_partkey)::BIGINT AS cluster_id
-            FROM part p LEFT JOIN lab ON lab.node = p.p_partkey
-            ORDER BY doc_id""",
+        # the flagship linkage spine replayed (round 5) — see
+        # _linkage_jaro_sql; the incremental twin shares it verbatim
+        # (absorb is label-identical to the full rerun)
+        "linkage_jaro": _linkage_jaro_sql(),
+        "incremental_linkage_jaro": _linkage_jaro_sql(),
         # the match cascade end-to-end (VERDICT r4 #4): pseudo-address
         # derivation, 4 key families, per-tier caps (row_number over
         # pid), distinct pairs, jaro scoring with ONE pinned weighted

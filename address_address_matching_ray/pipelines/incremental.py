@@ -88,6 +88,7 @@ def _in_sorted(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
 def incremental_linkage(new_pages_ds, prior_clusters_ds, *,
                         prior_pages_ds=None, prior_extracted_ds=None,
                         prior_keys_ds=None, new_universe=None,
+                        new_keys_ds=None, score_fn=None,
                         cfg: PipelineConfig | None = None,
                         buckets: int = 32, num_partitions: int = 8,
                         broadcast_threshold: int = 50_000_000) -> IncrementalResult:
@@ -120,8 +121,12 @@ def incremental_linkage(new_pages_ds, prior_clusters_ds, *,
     cfg = cfg or PipelineConfig()
 
     # ── delta keys (materialized: consumed by the hash-set pull AND the
-    # union shuffle; delta-sized by definition) ──
-    new_keys = keys_stage(extract_stage(new_pages_ds), cfg).materialize()
+    # union shuffle; delta-sized by definition).  ``new_keys_ds``
+    # overrides the extract→keys derivation (the oracle-twin seam —
+    # callers supplying it must also pass ``new_universe``) ──
+    new_keys = (new_keys_ds if new_keys_ds is not None
+                else keys_stage(extract_stage(new_pages_ds), cfg)
+                ).materialize()
 
     if prior_keys_ds is None:
         src = prior_extracted_ds
@@ -208,7 +213,10 @@ def incremental_linkage(new_pages_ds, prior_clusters_ds, *,
         pairs = semi_l.union(semi_r)
 
     pairs = pairs.repartition(target_num_rows_per_block=cfg.score_block_rows)
-    delta_edges = score_stage(pairs, cfg).materialize()
+    # ``score_fn``: pairs → edges with an ``accepted`` column — the
+    # other oracle-twin seam (default: the production tiered scorer)
+    delta_edges = (score_fn(pairs) if score_fn is not None
+                   else score_stage(pairs, cfg)).materialize()
     accepted = dedup_edge_pairs(delta_edges.filter(expr="accepted == True"),
                                 buckets=buckets)
 

@@ -382,6 +382,83 @@ def edge_stats(edges_ds):
         Min("confidence", alias_name="min_confidence"),
     )
 
+def _jaro_key_rows(df: pd.DataFrame) -> pd.DataFrame:
+    """md5-keyed blocking rows over part pseudo-addresses — the
+    SQL-replayable keyer shared by ``linkage_jaro`` and
+    ``incremental_linkage_jaro`` (four families: e/h/f/k)."""
+    from address_address_matching_ray.functions.minhash import md5_lower64
+    from address_address_matching_ray.pipelines.matching import _jaro_struct
+
+    f = _jaro_struct(df, queries=False)
+    first = f["street"].str.split(" ").str[0].fillna("")
+    fams = (("e", f["norm"]),
+            ("h", f["house"] + "|" + f["street"] + "|" + f["zip"]),
+            ("f", f["house"] + "|" + first + "|" + f["zip"]),
+            ("k", first + "|" + f["state"]))
+    outs = []
+    for kind, vals in fams:
+        keys = np.array(
+            [f"{kind}:{int(v)}" for v in md5_lower64(vals.tolist())],
+            dtype=object)
+        outs.append(pd.DataFrame({
+            "doc_id": f["ck"].to_numpy().astype("uint64"),
+            "block_key": keys,
+            "key_kind": kind,
+            "norm_addr": f["norm"].to_numpy(object),
+            "house": f["house"].to_numpy(object),
+            "street_name": f["street"].to_numpy(object),
+            "street_type": "",
+            "unit": f["unit"].to_numpy(object),
+            "city": f["city"].to_numpy(object),
+            "state": f["state"].to_numpy(object),
+            "zip": f["zip"].to_numpy(object)}))
+    return pd.concat(outs, ignore_index=True)
+
+
+def _jaro_score_pairs(df: pd.DataFrame,
+                      accept_threshold: float = 55.0) -> pd.DataFrame:
+    """SQL-replayable pair scorer over the ``pairs_stage`` payload:
+    plain-Jaro street/city comps, exact-equality house/zip/state/unit,
+    ONE pinned weighted sum, wrong-unit veto.  Emits
+    (left_id, right_id, accepted)."""
+    from address_address_matching_ray.functions import fuzzy
+
+    if not len(df):
+        return pd.DataFrame({
+            "left_id": pd.array([], dtype="uint64"),
+            "right_id": pd.array([], dtype="uint64"),
+            "accepted": pd.array([], dtype="bool")})
+
+    def jaro100(a, b):
+        return fuzzy.apply_unique_pairs(
+            lambda As, Bs: np.array(
+                [fuzzy.jaro_winkler(x, y, prefix_weight=0.0)
+                 for x, y in zip(As, Bs)], dtype="float64"),
+            a, b)
+
+    js = jaro100(df["l_street_name"].to_numpy(object),
+                 df["r_street_name"].to_numpy(object))
+    jc = jaro100(df["l_city"].to_numpy(object),
+                 df["r_city"].to_numpy(object))
+    jh = np.where(df["l_house"].to_numpy(object)
+                  == df["r_house"].to_numpy(object), 100.0, 0.0)
+    jz = np.where(df["l_zip"].to_numpy(object)
+                  == df["r_zip"].to_numpy(object), 100.0, 0.0)
+    jst = np.where(df["l_state"].to_numpy(object)
+                   == df["r_state"].to_numpy(object), 100.0, 0.0)
+    lu = df["l_unit"].to_numpy(object)
+    ru = df["r_unit"].to_numpy(object)
+    ju = np.where((lu != "") & (ru != "") & (lu == ru), 100.0, 0.0)
+    # pinned double expression — literal order mirrored in the SQL
+    conf = (0.40 * js + 0.25 * jh + 0.15 * jc + 0.10 * jz
+            + 0.05 * jst + 0.05 * ju)
+    wrong_unit = (lu != "") & (ru != "") & (lu != ru)
+    return pd.DataFrame({
+        "left_id": df["left_id"].to_numpy("uint64"),
+        "right_id": df["right_id"].to_numpy("uint64"),
+        "accepted": (conf >= accept_threshold) & ~wrong_unit})
+
+
 def linkage_jaro(parts_ds, cfg=None, buckets: int = 32,
                  accept_threshold: float = 55.0):
     """The flagship linkage SPINE with SQL-replayable seams — the
@@ -398,12 +475,7 @@ def linkage_jaro(parts_ds, cfg=None, buckets: int = 32,
 
     Oracle validity: cap-free/salt-free regime at oracle scales
     (no block near ``cfg.max_block_size`` — pytest-asserted)."""
-    import ray.data as rd  # noqa: F401  (parity with run_linkage imports)
-
     from address_address_matching_ray.config import PipelineConfig
-    from address_address_matching_ray.functions import fuzzy
-    from address_address_matching_ray.functions.minhash import md5_lower64
-    from address_address_matching_ray.pipelines.matching import _jaro_struct
     from address_address_matching_ray.stages.cluster import (
         attach_singletons, connected_components,
     )
@@ -411,74 +483,68 @@ def linkage_jaro(parts_ds, cfg=None, buckets: int = 32,
 
     cfg = cfg or PipelineConfig()
 
-    def key_rows(df: pd.DataFrame) -> pd.DataFrame:
-        f = _jaro_struct(df, queries=False)
-        first = f["street"].str.split(" ").str[0].fillna("")
-        fams = (("e", f["norm"]),
-                ("h", f["house"] + "|" + f["street"] + "|" + f["zip"]),
-                ("f", f["house"] + "|" + first + "|" + f["zip"]),
-                ("k", first + "|" + f["state"]))
-        outs = []
-        for kind, vals in fams:
-            keys = np.array(
-                [f"{kind}:{int(v)}" for v in md5_lower64(vals.tolist())],
-                dtype=object)
-            outs.append(pd.DataFrame({
-                "doc_id": f["ck"].to_numpy().astype("uint64"),
-                "block_key": keys,
-                "key_kind": kind,
-                "norm_addr": f["norm"].to_numpy(object),
-                "house": f["house"].to_numpy(object),
-                "street_name": f["street"].to_numpy(object),
-                "street_type": "",
-                "unit": f["unit"].to_numpy(object),
-                "city": f["city"].to_numpy(object),
-                "state": f["state"].to_numpy(object),
-                "zip": f["zip"].to_numpy(object)}))
-        return pd.concat(outs, ignore_index=True)
-
-    keys = parts_ds.map_batches(key_rows, batch_format="pandas")
+    keys = parts_ds.map_batches(_jaro_key_rows, batch_format="pandas")
     pairs = pairs_stage(keys, cfg, buckets=buckets)
-
-    def jaro100(a, b):
-        return fuzzy.apply_unique_pairs(
-            lambda As, Bs: np.array(
-                [fuzzy.jaro_winkler(x, y, prefix_weight=0.0)
-                 for x, y in zip(As, Bs)], dtype="float64"),
-            a, b)
-
-    def score(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({
-                "left_id": pd.array([], dtype="uint64"),
-                "right_id": pd.array([], dtype="uint64")})
-        js = jaro100(df["l_street_name"].to_numpy(object),
-                     df["r_street_name"].to_numpy(object))
-        jc = jaro100(df["l_city"].to_numpy(object),
-                     df["r_city"].to_numpy(object))
-        jh = np.where(df["l_house"].to_numpy(object)
-                      == df["r_house"].to_numpy(object), 100.0, 0.0)
-        jz = np.where(df["l_zip"].to_numpy(object)
-                      == df["r_zip"].to_numpy(object), 100.0, 0.0)
-        jst = np.where(df["l_state"].to_numpy(object)
-                       == df["r_state"].to_numpy(object), 100.0, 0.0)
-        lu = df["l_unit"].to_numpy(object)
-        ru = df["r_unit"].to_numpy(object)
-        ju = np.where((lu != "") & (ru != "") & (lu == ru), 100.0, 0.0)
-        # pinned double expression — literal order mirrored in the SQL
-        conf = (0.40 * js + 0.25 * jh + 0.15 * jc + 0.10 * jz
-                + 0.05 * jst + 0.05 * ju)
-        wrong_unit = (lu != "") & (ru != "") & (lu != ru)
-        keep = (conf >= accept_threshold) & ~wrong_unit
-        return pd.DataFrame({
-            "left_id": df["left_id"].to_numpy("uint64")[keep],
-            "right_id": df["right_id"].to_numpy("uint64")[keep]})
-
-    edges = pairs.map_batches(score, batch_format="pandas")
+    edges = pairs.map_batches(
+        lambda df: _jaro_score_pairs(df, accept_threshold)
+        .loc[lambda d: d["accepted"], ["left_id", "right_id"]],
+        batch_format="pandas")
     labels = connected_components(edges.materialize())
     universe = parts_ds.map_batches(
         lambda t: pa.table({"doc_id": pa.compute.cast(t["p_partkey"],
                                                       pa.uint64())}),
         batch_format="pyarrow")
     return attach_singletons(universe, labels)
+
+def incremental_linkage_jaro(parts_ds, cfg=None, buckets: int = 32,
+                             accept_threshold: float = 55.0):
+    """DuckDB-ORACLED twin of the incremental absorb (round 5): build
+    the prior clustering with ``linkage_jaro`` over the 80% prior
+    split (p_partkey % 5 != 0), then absorb the 20% delta through the
+    REAL ``incremental_linkage`` machinery — delta key semi-filter,
+    new-side pair masking, old-endpoint contraction to prior labels,
+    merged relabel — with the md5 keyer and Jaro scorer plugged into
+    its two seams.  Because blocking keys and pair scores are
+    per-doc/per-pair (corpus-composition-independent) and the oracle
+    scales are cap/salt-free, the absorbed result is label-identical
+    to a full ``linkage_jaro`` over ALL parts — so the oracle IS the
+    full-rerun SQL, making the incremental machinery itself
+    hash-checkable end-to-end."""
+    from address_address_matching_ray.config import PipelineConfig
+    from address_address_matching_ray.pipelines.incremental import (
+        incremental_linkage,
+    )
+
+    cfg = cfg or PipelineConfig()
+
+    def split(pred):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["p_partkey"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(pred(ids)))
+        return f
+
+    prior_parts = parts_ds.map_batches(split(lambda i: i % 5 != 0),
+                                       batch_format="pyarrow")
+    delta_parts = parts_ds.map_batches(split(lambda i: i % 5 == 0),
+                                       batch_format="pyarrow")
+
+    prior_clusters = linkage_jaro(prior_parts, cfg, buckets=buckets,
+                                  accept_threshold=accept_threshold
+                                  ).materialize()
+    delta_universe = delta_parts.map_batches(
+        lambda t: pa.table({"doc_id": pa.compute.cast(t["p_partkey"],
+                                                      pa.uint64())}),
+        batch_format="pyarrow")
+    res = incremental_linkage(
+        delta_parts, prior_clusters,
+        prior_keys_ds=prior_parts.map_batches(_jaro_key_rows,
+                                              batch_format="pandas"),
+        new_keys_ds=delta_parts.map_batches(_jaro_key_rows,
+                                            batch_format="pandas"),
+        new_universe=delta_universe,
+        score_fn=lambda pairs: pairs.map_batches(
+            lambda df: _jaro_score_pairs(df, accept_threshold),
+            batch_format="pandas"),
+        cfg=cfg, buckets=buckets)
+    return res.clusters
 
