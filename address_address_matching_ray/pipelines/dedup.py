@@ -632,7 +632,14 @@ def minhash_dup_clusters(docs_ds, cfg: PipelineConfig | None = None,
     """
     edges = minhash_edges(docs_ds, cfg, text_col, id_col,
                           jaccard_threshold, buckets)
-    labels = connected_components(edges.materialize())
+    return _clusters_from_edges(edges, buckets)
+
+
+def _clusters_from_edges(edges_ds, buckets: int):
+    """Verified edge set → (cluster_id, n_members) per multi-member
+    component — the cluster-view tail shared by the production and
+    md5-twin surfaces (so the oracle checks this code, not a copy)."""
+    labels = connected_components(edges_ds.materialize())
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         # per-batch member-count combiner + cluster-hash bucket: a
@@ -713,25 +720,7 @@ def dup_clusters_md5(docs_ds, cfg: PipelineConfig | None = None,
         batch_format="pandas")
     edges = _verified_edges(keyed, docs_ds, text_col, id_col,
                             jaccard_threshold, buckets)
-    labels = connected_components(edges.materialize())
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        vc = df.groupby("cluster_id", sort=False).size()
-        out = pd.DataFrame({"cluster_id": vc.index.to_numpy("int64"),
-                            "n_members": vc.to_numpy().astype("int64")})
-        with np.errstate(over="ignore"):
-            out["_b"] = ((out["cluster_id"].to_numpy("uint64")
-                          * np.uint64(0x9E3779B97F4A7C15))
-                         % np.uint64(buckets)).astype("int64")
-        return out
-
-    return (labels.map_batches(partial, batch_format="pandas")
-            .groupby("_b").map_groups(
-                lambda g: g.drop(columns=["_b"])
-                .groupby("cluster_id", sort=False, as_index=False)
-                ["n_members"].sum(),
-                batch_format="pandas")
-            .sort("cluster_id"))
+    return _clusters_from_edges(edges, buckets)
 
 
 def simhash_dedup(docs_ds, cfg: PipelineConfig | None = None,

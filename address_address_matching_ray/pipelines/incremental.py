@@ -119,6 +119,11 @@ def incremental_linkage(new_pages_ds, prior_clusters_ds, *,
     from address_address_matching_ray.stages.score import score_stage
 
     cfg = cfg or PipelineConfig()
+    if new_keys_ds is not None and new_universe is None:
+        # fail at the call site: new_pages_ds may not carry doc_id when
+        # the keyer is overridden, and the late select_columns error is
+        # far from the misuse
+        raise ValueError("new_keys_ds requires new_universe")
 
     # ── delta keys (materialized: consumed by the hash-set pull AND the
     # union shuffle; delta-sized by definition).  ``new_keys_ds``

@@ -421,7 +421,9 @@ def _jaro_score_pairs(df: pd.DataFrame,
     plain-Jaro street/city comps, exact-equality house/zip/state/unit,
     ONE pinned weighted sum, wrong-unit veto.  Emits
     (left_id, right_id, accepted)."""
-    from address_address_matching_ray.functions import fuzzy
+    from address_address_matching_ray.pipelines.matching import (
+        _jaro_confidence,
+    )
 
     if not len(df):
         return pd.DataFrame({
@@ -429,30 +431,14 @@ def _jaro_score_pairs(df: pd.DataFrame,
             "right_id": pd.array([], dtype="uint64"),
             "accepted": pd.array([], dtype="bool")})
 
-    def jaro100(a, b):
-        return fuzzy.apply_unique_pairs(
-            lambda As, Bs: np.array(
-                [fuzzy.jaro_winkler(x, y, prefix_weight=0.0)
-                 for x, y in zip(As, Bs)], dtype="float64"),
-            a, b)
-
-    js = jaro100(df["l_street_name"].to_numpy(object),
-                 df["r_street_name"].to_numpy(object))
-    jc = jaro100(df["l_city"].to_numpy(object),
-                 df["r_city"].to_numpy(object))
-    jh = np.where(df["l_house"].to_numpy(object)
-                  == df["r_house"].to_numpy(object), 100.0, 0.0)
-    jz = np.where(df["l_zip"].to_numpy(object)
-                  == df["r_zip"].to_numpy(object), 100.0, 0.0)
-    jst = np.where(df["l_state"].to_numpy(object)
-                   == df["r_state"].to_numpy(object), 100.0, 0.0)
-    lu = df["l_unit"].to_numpy(object)
-    ru = df["r_unit"].to_numpy(object)
-    ju = np.where((lu != "") & (ru != "") & (lu == ru), 100.0, 0.0)
-    # pinned double expression — literal order mirrored in the SQL
-    conf = (0.40 * js + 0.25 * jh + 0.15 * jc + 0.10 * jz
-            + 0.05 * jst + 0.05 * ju)
-    wrong_unit = (lu != "") & (ru != "") & (lu != ru)
+    _, conf, wrong_unit = _jaro_confidence(
+        df["l_street_name"].to_numpy(object),
+        df["r_street_name"].to_numpy(object),
+        df["l_house"].to_numpy(object), df["r_house"].to_numpy(object),
+        df["l_city"].to_numpy(object), df["r_city"].to_numpy(object),
+        df["l_zip"].to_numpy(object), df["r_zip"].to_numpy(object),
+        df["l_state"].to_numpy(object), df["r_state"].to_numpy(object),
+        df["l_unit"].to_numpy(object), df["r_unit"].to_numpy(object))
     return pd.DataFrame({
         "left_id": df["left_id"].to_numpy("uint64"),
         "right_id": df["right_id"].to_numpy("uint64"),

@@ -413,6 +413,41 @@ def match_queries(queries_ds, records_ds, cfg: PipelineConfig | None = None,
 _JARO_FAMS = ("e", "h", "f", "k")   # caps 1 / 3 / 10 / 35 via TIER_CAPS
 
 
+def _jaro100_pairs(a, b):
+    """Batched plain Jaro (0-100) over object arrays via
+    apply_unique_pairs — the shared kernel of every *_jaro oracle
+    surface."""
+    from address_address_matching_ray.functions import fuzzy
+
+    return fuzzy.apply_unique_pairs(
+        lambda As, Bs: np.array(
+            [fuzzy.jaro_winkler(x, y, prefix_weight=0.0)
+             for x, y in zip(As, Bs)], dtype="float64"),
+        a, b)
+
+
+def _jaro_confidence(street_l, street_r, house_l, house_r, city_l, city_r,
+                     zip_l, zip_r, state_l, state_r, unit_l, unit_r):
+    """The ONE pinned confidence expression every *_jaro oracle twin
+    and its SQL mirror share: plain-Jaro street/city comps,
+    exact-equality house/zip/state/unit comps, left-associated
+    weighted sum (literal order mirrored in the SQL), wrong-unit
+    flag.  Returns (comps dict, confidence, wrong_unit)."""
+    js = _jaro100_pairs(street_l, street_r)
+    jc = _jaro100_pairs(city_l, city_r)
+    jh = np.where(house_l == house_r, 100.0, 0.0)
+    jz = np.where(zip_l == zip_r, 100.0, 0.0)
+    jst = np.where(state_l == state_r, 100.0, 0.0)
+    ju = np.where((unit_l != "") & (unit_r != "") & (unit_l == unit_r),
+                  100.0, 0.0)
+    conf = (0.40 * js + 0.25 * jh + 0.15 * jc + 0.10 * jz
+            + 0.05 * jst + 0.05 * ju)
+    wrong_unit = (unit_l != "") & (unit_r != "") & (unit_l != unit_r)
+    comps = {"street": js, "house": jh, "city": jc, "zip": jz,
+             "state": jst, "unit": ju}
+    return comps, conf, wrong_unit
+
+
 def _jaro_struct(df: pd.DataFrame, queries: bool) -> pd.DataFrame:
     """Structured pseudo-address fields from part rows; every
     expression here is mirrored verbatim in the oracle SQL.  Queries
@@ -481,36 +516,22 @@ def _score_candidates_jaro(df: pd.DataFrame,
     confidence is ONE pinned left-associated weighted sum (same literal
     order as the oracle), tiers/exactness/unit adjustment are the real
     ``scoring`` helpers — all bit-reproducible in DuckDB."""
-    from address_address_matching_ray.functions import fuzzy
-
-    def jaro100(a, b):
-        return fuzzy.apply_unique_pairs(
-            lambda As, Bs: np.array(
-                [fuzzy.jaro_winkler(x, y, prefix_weight=0.0)
-                 for x, y in zip(As, Bs)], dtype="float64"),
-            a, b)
-
-    qs = df["q_street"].to_numpy(dtype=object)
-    rs = df["STREET"].to_numpy(dtype=object)
-    js = jaro100(qs, rs)
-    jc = jaro100(df["q_city"].to_numpy(dtype=object),
-                 df["CITY"].to_numpy(dtype=object))
-    jh = np.where(df["q_house"].to_numpy(dtype=object)
-                  == df["HOUSE"].to_numpy(dtype=object), 100.0, 0.0)
-    jz = np.where(df["q_zip"].to_numpy(dtype=object)
-                  == df["ZIP_CODE"].to_numpy(dtype=object), 100.0, 0.0)
-    jst = np.where(df["q_state"].to_numpy(dtype=object)
-                   == df["STATE"].to_numpy(dtype=object), 100.0, 0.0)
     qu = df["q_unit"].to_numpy(dtype=object)
     ru = df["APTNBR"].to_numpy(dtype=object)
-    ju = np.where((qu != "") & (ru != "") & (qu == ru), 100.0, 0.0)
-    # pinned double expression — literal order mirrored in the SQL
-    confidence = (0.40 * js + 0.25 * jh + 0.15 * jc + 0.10 * jz
-                  + 0.05 * jst + 0.05 * ju)
-    similarity = jaro100(df["q_norm"].to_numpy(dtype=object),
-                         df["r_norm"].to_numpy(dtype=object))
-    comp = {"street": js, "house": jh, "city": jc, "zip": jz,
-            "state": jst, "unit": ju}
+    comp, confidence, _wrong = _jaro_confidence(
+        df["q_street"].to_numpy(dtype=object),
+        df["STREET"].to_numpy(dtype=object),
+        df["q_house"].to_numpy(dtype=object),
+        df["HOUSE"].to_numpy(dtype=object),
+        df["q_city"].to_numpy(dtype=object),
+        df["CITY"].to_numpy(dtype=object),
+        df["q_zip"].to_numpy(dtype=object),
+        df["ZIP_CODE"].to_numpy(dtype=object),
+        df["q_state"].to_numpy(dtype=object),
+        df["STATE"].to_numpy(dtype=object),
+        qu, ru)
+    similarity = _jaro100_pairs(df["q_norm"].to_numpy(dtype=object),
+                                df["r_norm"].to_numpy(dtype=object))
     exact = scoring.exactness(similarity, confidence, comp)
     tier = scoring.assign_tier(confidence)
     unit_adj = scoring.unit_adjustment(qu, ru, cfg)

@@ -204,23 +204,17 @@ def test_linkage_jaro_capfree_regime(ray_session):
     import ray.data as rd
 
     from address_address_matching_ray.config import PipelineConfig
-    from address_address_matching_ray.functions.minhash import md5_lower64
-    from address_address_matching_ray.pipelines.matching import _jaro_struct
+    from address_address_matching_ray.pipelines.linkage import (
+        _jaro_key_rows,
+    )
 
     cfg = PipelineConfig()
     parts = rd.read_parquet(
         "/root/testdata/sf0.001/part.parquet",
         columns=["p_partkey", "p_name", "p_type", "p_size"]).to_pandas()
-    f = _jaro_struct(parts, queries=False)
-    first = f["street"].str.split(" ").str[0].fillna("")
-    sizes = []
-    for kind, vals in (("e", f["norm"]),
-                       ("h", f["house"] + "|" + f["street"] + "|" + f["zip"]),
-                       ("f", f["house"] + "|" + first + "|" + f["zip"]),
-                       ("k", first + "|" + f["state"])):
-        import pandas as pd
-        keys = pd.Series([f"{kind}:{int(v)}"
-                          for v in md5_lower64(vals.tolist())])
-        sizes.append(keys.value_counts().max())
-    assert max(sizes) < cfg.max_block_size // 2, sizes
-    assert max(sizes) * (max(sizes) - 1) // 2 < cfg.max_pairs_per_block
+    # the REAL keyer — an inline re-derivation could rot apart from
+    # what the oracle actually assumes (round-5 review finding)
+    keys = _jaro_key_rows(parts)
+    mx = int(keys.groupby("block_key").size().max())
+    assert mx < cfg.max_block_size // 2, mx
+    assert mx * (mx - 1) // 2 < cfg.max_pairs_per_block
