@@ -310,6 +310,16 @@ def _q_ann_ivf(sf_dir: str):
         ["query_idx", "rank"])
 
 
+def _q_ann_pq(sf_dir: str):
+    """Product-quantization ANN with exact re-rank (round 5): integer-
+    lattice codebooks + ADC shortlist, fully DuckDB-replayable."""
+    from address_address_matching_ray.pipelines.similarity import pq_topk
+
+    out = pq_topk(_emb(sf_dir), _query_vectors(sf_dir), k=5)
+    return out.select_columns(["query_idx", "vec_id", "rank"]).sort(
+        ["query_idx", "rank"])
+
+
 def _q_ann_lsh(sf_dir: str):
     from address_address_matching_ray.pipelines.similarity import lsh_topk
 
@@ -1376,6 +1386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_pq_topk": _q_ann_pq,
         # text analysis
         "token_stats": _q_token_stats,
         "lang_distribution": _q_lang_dist,
@@ -2095,6 +2106,102 @@ def _approx_distinct_users_sql(k: int = 64) -> str:
                END AS n_users_est
         FROM ranked WHERE rn <= {k}
         GROUP BY event_type ORDER BY event_type"""
+
+
+def _pq_topk_sql(k: int = 5, m_subs: int = 4, n_cent: int = 16,
+                iters: int = 4, rerank: int = 128, nq: int = 3,
+                dim: int = 64) -> str:
+    """similarity.pq_topk replayed: normalized micro-int vectors,
+    integer-lattice per-subspace Lloyd (truncating ``//`` centroid
+    update — matches numpy's sign-trick division), integer ADC
+    shortlist, exact-cosine re-rank.  Scores stay OUT of the hash
+    (rank/ids only, the ann_topk convention)."""
+    sd = dim // m_subs
+    ctes = [f"""mm AS MATERIALIZED (
+          SELECT vec_id, list_transform(v, x -> x / greatest(
+                   sqrt(list_sum(list_transform(v, y -> y*y))), 1e-12))
+                 AS mv
+          FROM (SELECT vec_id,
+                       list_transform(embedding, x -> x::DOUBLE) AS v
+                FROM embeddings)),
+        ex AS MATERIALIZED (
+          SELECT vec_id, (dim // {sd})::BIGINT AS sub,
+                 (dim % {sd})::BIGINT AS sdim,
+                 floor(x * 1e6)::BIGINT AS xq
+          FROM (SELECT vec_id, unnest(mv) AS x,
+                       unnest(range(len(mv))) AS dim FROM mm)),
+        init AS MATERIALIZED (
+          SELECT vec_id, row_number() OVER (
+                   ORDER BY {_splitmix64_sql('vec_id')}, vec_id) - 1
+                 AS cluster
+          FROM (SELECT DISTINCT vec_id FROM embeddings)
+          QUALIFY cluster < {n_cent}),
+        c0 AS MATERIALIZED (
+          SELECT e.sub, i.cluster, e.sdim, e.xq AS c
+          FROM ex e JOIN init i USING (vec_id))"""]
+    for t in range(iters):
+        ctes.append(f"""d{t} AS (
+          SELECT e.vec_id, e.sub, c.cluster,
+                 sum((e.xq - c.c) * (e.xq - c.c)) AS dist
+          FROM ex e JOIN c{t} c ON c.sub = e.sub AND c.sdim = e.sdim
+          GROUP BY 1, 2, 3),
+        a{t} AS MATERIALIZED (
+          SELECT vec_id, sub, cluster FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                       ORDER BY dist, cluster) AS rn FROM d{t})
+          WHERE rn = 1),
+        s{t} AS (
+          SELECT a.sub, a.cluster, e.sdim, sum(e.xq) AS ssum,
+                 count(*) AS n
+          FROM a{t} a JOIN ex e
+            ON e.vec_id = a.vec_id AND e.sub = a.sub
+          GROUP BY 1, 2, 3),
+        c{t + 1} AS MATERIALIZED (
+          SELECT p.sub, p.cluster, p.sdim,
+                 CASE WHEN s.n IS NULL THEN p.c
+                      ELSE s.ssum // s.n END AS c
+          FROM c{t} p LEFT JOIN s{t} s
+            ON s.sub = p.sub AND s.cluster = p.cluster
+           AND s.sdim = p.sdim)""")
+    ctes.append(f"""dz AS (
+          SELECT e.vec_id, e.sub, c.cluster,
+                 sum((e.xq - c.c) * (e.xq - c.c)) AS dist
+          FROM ex e JOIN c{iters} c
+            ON c.sub = e.sub AND c.sdim = e.sdim
+          GROUP BY 1, 2, 3),
+        codes AS MATERIALIZED (
+          SELECT vec_id, sub, cluster FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                       ORDER BY dist, cluster) AS rn FROM dz)
+          WHERE rn = 1),
+        qs AS (SELECT vec_id AS q, sub, sdim, xq FROM ex
+               WHERE vec_id < {nq}),
+        tt AS (
+          SELECT qs.q, c.sub, c.cluster,
+                 sum((qs.xq - c.c) * (qs.xq - c.c)) AS td
+          FROM qs JOIN c{iters} c
+            ON c.sub = qs.sub AND c.sdim = qs.sdim
+          GROUP BY 1, 2, 3),
+        ad AS (
+          SELECT t.q, cd.vec_id, sum(t.td) AS adist
+          FROM codes cd JOIN tt t
+            ON t.sub = cd.sub AND t.cluster = cd.cluster
+          GROUP BY 1, 2),
+        sl AS (SELECT q, vec_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY q
+                          ORDER BY adist, vec_id) AS rn FROM ad)
+               WHERE rn <= {rerank}),
+        qm AS (SELECT vec_id AS q, mv FROM mm WHERE vec_id < {nq}),
+        sc AS (
+          SELECT sl.q, sl.vec_id,
+                 list_dot_product(qm.mv, m2.mv) AS score
+          FROM sl JOIN qm ON qm.q = sl.q
+                  JOIN mm m2 ON m2.vec_id = sl.vec_id)""")
+    return (f"WITH {', '.join(ctes)}\n"
+            f"""SELECT q::BIGINT AS query_idx, vec_id, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY q
+                       ORDER BY score DESC, vec_id) AS rank FROM sc)
+            WHERE rank <= {k} ORDER BY query_idx, rank""")
 
 
 def _kmeans_ctes(k: int, iters: int) -> list[str]:
@@ -2870,6 +2977,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY left_id, right_id""",
         "ann_lsh_topk": _ann_lsh_sql(k=5, bits=6, probes=2, seed=4),
         "ann_ivf_topk": _ann_ivf_sql(k=5, n_centroids=16, nprobe=6),
+        "ann_pq_topk": _pq_topk_sql(),
         "embedding_dedup": _embedding_dedup_sql(threshold=0.3),
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_idx, embedding FROM embeddings WHERE vec_id < 3)
