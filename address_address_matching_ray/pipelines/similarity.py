@@ -396,11 +396,12 @@ def pq_topk(emb_ds, query_vecs: np.ndarray, k: int = 5,
         [((qq[:, None, s * sub_d:(s + 1) * sub_d]
            - books[s][None, :, :]) ** 2).sum(axis=2)
          for s in range(m_subs)], axis=1)
-    state = ray.put((tuple(books), T, m_subs, sub_d))
+    state = ray.put((tuple(books), T, m_subs, sub_d, rerank))
 
     class Encoder:
         def __init__(self):
-            self.books, self.T, self.m, self.sd = ray.get(state)
+            (self.books, self.T, self.m, self.sd,
+             self.rr) = ray.get(state)
 
         def __call__(self, t) -> pd.DataFrame:
             mx = _normalize_rows(
@@ -411,18 +412,34 @@ def pq_topk(emb_ds, query_vecs: np.ndarray, k: int = 5,
             adist = np.zeros((nq, len(xqb)), dtype=np.int64)
             for s in range(self.m):
                 xs = xqb[:, s * self.sd:(s + 1) * self.sd]
-                dist = ((xs[:, None, :] - self.books[s][None, :, :]) ** 2
-                        ).sum(axis=2)
+                b = self.books[s]
+                # ||x-c||² = ||x||² - 2x·c + ||c||² via ONE BLAS matmul
+                # — EXACT despite float64: micro components ≤ ~1e6, so
+                # every product (≤1e12) and partial sum (≤2e13) is an
+                # integer below 2⁵³; the broadcasted (batch, k, d)
+                # difference cube this replaces was the encode stage's
+                # measured bottleneck (slower than brute force at 1M)
+                xc = xs.astype(np.float64) @ b.astype(np.float64).T
+                c2 = (b.astype(np.float64) ** 2).sum(axis=1)
+                x2 = (xs.astype(np.float64) ** 2).sum(axis=1)
+                dist = (x2[:, None] - 2.0 * xc) + c2[None, :]
                 codes = dist.argmin(axis=1)
                 adist += self.T[:, s, :][:, codes]
-            qi = np.repeat(np.arange(nq, dtype=np.int64), len(xqb))
+            # per-batch shortlist truncation: the global ADC top-R is
+            # inside the union of per-batch top-Rs, so emitting more
+            # than R rows per query per batch is pure shuffle waste
+            # (nq × corpus rows without it — the measured stage cost)
+            kk = min(self.rr, adist.shape[1])
+            part = np.argpartition(adist, kk - 1, axis=1)[:, :kk]
+            qi = np.repeat(np.arange(nq, dtype=np.int64), kk)
+            cols = part.ravel()
             return pd.DataFrame({
                 "query_idx": qi,
-                id_col: np.tile(ids, nq),
-                "adist": adist.ravel()})
+                id_col: ids[cols],
+                "adist": adist[np.repeat(np.arange(nq), kk), cols]})
 
     partials = emb_ds.map_batches(Encoder, batch_format="pyarrow",
-                                  batch_size=4096, concurrency=(1, 8))
+                                  batch_size=16384, concurrency=(1, 8))
 
     def adc_shortlist(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["adist", id_col], ascending=[True, True],
